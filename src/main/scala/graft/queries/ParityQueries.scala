@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsl.FilterDsl
+import graft.sample.Samplers
+import graft.sample.Samplers.SampleOrder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reference-parity operators (SURVEY.md §2) as driver-verifiable queries
+  * over the harness `events` table (the GDELT-events stand-in,
+  * FIXTURES.md §A: event_type ≈ QuadClass-style stratum, value ≈
+  * GoldsteinScale-style range column).
+  *
+  * Conventions shared with the DuckDB oracles:
+  *   - every computed column is aliased identically on both sides (the
+  *     driver's hash-compare sorts columns by name);
+  *   - every query ends in a deterministic ORDER BY on a unique key, so the
+  *     comparison never depends on engine output order;
+  *   - timestamps are projected as formatted strings (`ts_str`) — raw
+  *     timestamp hash semantics differ across engines (UTC-instant vs naive).
+  */
+object ParityQueries {
+
+  /** events output projection used by row-returning queries. */
+  private def evOut(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("props"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+
+  private val evOutSql =
+    "event_id, user_id, event_type, value, props, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str"
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  private def dsl(df: DataFrame, json: String) =
+    df.where(FilterDsl.toColumn(json, df.columns.toSeq))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P5: scalar equality via the JSON DSL
+    "q_filter_eq" -> ((s, d) =>
+      evOut(dsl(ev(s, d), """{"event_type": "click"}""")).orderBy("event_id")),
+
+    // P6: JSON array → IN-list (never a range)
+    "q_filter_in" -> ((s, d) =>
+      evOut(dsl(ev(s, d), """{"event_type": ["purchase", "signup"]}"""))
+        .orderBy("event_id")),
+
+    // P8: explicit between op
+    "q_filter_between" -> ((s, d) =>
+      evOut(dsl(ev(s, d), """{"value": {"op": "between", "min": 10, "max": 20}}"""))
+        .orderBy("event_id")),
+
+    // P8: gt + lt ops, implicit top-level AND
+    "q_filter_gt_lt" -> ((s, d) =>
+      evOut(dsl(ev(s, d),
+        """{"value": {"op": "gt", "value": 25}, "user_id": {"op": "lt", "value": 40}}"""))
+        .orderBy("event_id")),
+
+    // P9: nested boolean composition (OR containing AND)
+    "q_filter_bool" -> ((s, d) =>
+      evOut(dsl(ev(s, d),
+        """{"OR": {"event_type": "signup",
+                   "AND": {"event_type": "error", "value": {"op": "gt", "value": 90}}}}"""))
+        .orderBy("event_id")),
+
+    // P1/P2: column projection + canonical output reorder
+    "q_project" -> ((s, d) =>
+      ev(s, d).select("event_id", "event_type", "value").orderBy("event_id")),
+
+    // P3: drop-NaN row filter over derived nullable columns (the fixture has
+    // no physical nulls; nulls are derived in-plan, then na.drop applies the
+    // reference's "any null in check-columns drops the row" semantics)
+    "q_dropna" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("value_n", when(col("value") > 80, lit(null)).otherwise(col("value")))
+        .withColumn("user_n", when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+        .na.drop("any", Seq("value_n", "user_n"))
+        .select("event_id", "event_type", "value_n", "user_n")
+        .orderBy("event_id")),
+
+    // S7: numeric coercion — cast failures become null, not errors. Spark 4
+    // is ANSI-on by default, so the reference's `errors="coerce"` maps to
+    // try_cast (plain cast would throw on 'error').
+    "q_cast_coerce" -> ((s, d) =>
+      ev(s, d).select(
+        col("event_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).try_cast("double").as("k_num"),
+        col("event_type").try_cast("double").as("et_num"))
+        .orderBy("event_id")),
+
+    // R1 (deterministic surrogate): exact-n global sample as rank-by-key
+    // top-n — identical TakeOrderedAndProject plan as the random path
+    "q_sample_indexed" -> ((s, d) =>
+      evOut(Samplers.uniformExact(ev(s, d), 500,
+        SampleOrder.By(Seq(col("event_id")))))),
+
+    // R2 (deterministic surrogate): k=10 rows per day
+    "q_sample_daily" -> ((s, d) =>
+      Samplers.daily(ev(s, d).withColumn("day", to_date(col("ts"))), col("day"),
+        10, SampleOrder.By(Seq(col("event_id"))))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), date_format(col("day"), "yyyy-MM-dd").as("day_str"))
+        .orderBy("event_id")),
+
+    // R5 (deterministic surrogate): exact-k per stratum with __NA__ sentinel
+    // (stratum derived with nulls in-plan to exercise the sentinel path)
+    "q_sample_stratified" -> ((s, d) => {
+      val e = ev(s, d).withColumn("stratum",
+        Samplers.stratumKey(nullif(col("event_type"), lit("error"))))
+      Samplers.perGroup(e, Seq(col("stratum")), 50,
+        SampleOrder.By(Seq(col("event_id"))))
+        .select("event_id", "user_id", "event_type", "stratum", "value")
+        .orderBy("event_id")
+    }),
+
+    // Flagship (R3+R5): DSL filter → projection → stratified exact-k
+    "q_sample_filtered_strat" -> ((s, d) => {
+      val filtered = dsl(ev(s, d),
+        """{"value": {"op": "between", "min": 5, "max": 95},
+            "event_type": ["click", "view", "signup"]}""")
+      Samplers.stratified(filtered, col("event_type"), 25,
+        SampleOrder.By(Seq(col("event_id"))))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // R5 random path: true hash-ordered stratified sample; the oracle checks
+    // the exact-k invariant (k per stratum, all rows when group < k)
+    "q_sample_rand_stratified_counts" -> ((s, d) => {
+      val sampled = Samplers.stratified(ev(s, d), col("event_type"), 100,
+        SampleOrder.HashOf(42, Seq(col("event_id"))))
+      sampled.groupBy(col("event_type").as("stratum")).agg(count(lit(1)).as("n"))
+        .select("stratum", "n").orderBy("stratum")
+    }),
+
+    // R1 random path: exact-n, no duplicates (invariant oracle)
+    "q_sample_rand_global_count" -> ((s, d) => {
+      val sampled = Samplers.uniformExact(ev(s, d), 1234,
+        SampleOrder.HashOf(42, Seq(col("event_id"))))
+      sampled.agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_eq" ->
+      s"""SELECT $evOutSql FROM events WHERE event_type = 'click' ORDER BY event_id""",
+
+    "q_filter_in" ->
+      s"""SELECT $evOutSql FROM events
+          WHERE event_type IN ('purchase', 'signup') ORDER BY event_id""",
+
+    "q_filter_between" ->
+      s"""SELECT $evOutSql FROM events
+          WHERE value >= 10 AND value <= 20 ORDER BY event_id""",
+
+    "q_filter_gt_lt" ->
+      s"""SELECT $evOutSql FROM events
+          WHERE value > 25 AND user_id < 40 ORDER BY event_id""",
+
+    "q_filter_bool" ->
+      s"""SELECT $evOutSql FROM events
+          WHERE event_type = 'signup' OR (event_type = 'error' AND value > 90)
+          ORDER BY event_id""",
+
+    "q_project" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
+    "q_dropna" ->
+      """SELECT event_id, event_type,
+                CASE WHEN value > 80 THEN NULL ELSE value END AS value_n,
+                CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_n
+         FROM events
+         WHERE NOT (value > 80) AND NOT (user_id % 7 = 0)
+         ORDER BY event_id""",
+
+    "q_cast_coerce" ->
+      """SELECT event_id,
+                TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) AS k_num,
+                TRY_CAST(event_type AS DOUBLE) AS et_num
+         FROM events ORDER BY event_id""",
+
+    "q_sample_indexed" ->
+      s"""SELECT $evOutSql FROM events ORDER BY event_id LIMIT 500""",
+
+    "q_sample_daily" ->
+      """SELECT event_id, user_id, event_type, value,
+                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY CAST(ts AS DATE) ORDER BY event_id) AS rn
+               FROM events)
+         WHERE rn <= 10 ORDER BY event_id""",
+
+    "q_sample_stratified" ->
+      """SELECT event_id, user_id, event_type, stratum, value
+         FROM (SELECT *,
+                 COALESCE(NULLIF(event_type, 'error'), '__NA__') AS stratum,
+                 row_number() OVER
+                   (PARTITION BY COALESCE(NULLIF(event_type, 'error'), '__NA__')
+                    ORDER BY event_id) AS rn
+               FROM events)
+         WHERE rn <= 50 ORDER BY event_id""",
+
+    "q_sample_filtered_strat" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY COALESCE(CAST(event_type AS VARCHAR), '__NA__')
+                  ORDER BY event_id) AS rn
+               FROM events
+               WHERE value >= 5 AND value <= 95
+                 AND event_type IN ('click', 'view', 'signup'))
+         WHERE rn <= 25 ORDER BY event_id""",
+
+    "q_sample_rand_stratified_counts" ->
+      """SELECT event_type AS stratum, LEAST(100, COUNT(*)) AS n
+         FROM events GROUP BY event_type ORDER BY stratum""",
+
+    "q_sample_rand_global_count" ->
+      """SELECT LEAST(1234, COUNT(*)) AS n,
+                LEAST(1234, COUNT(DISTINCT event_id)) AS n_distinct
+         FROM events"""
+  )
+}

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.queries vs DuckDB oracles.
+
+Mimics the driver's correctness gate: reads each query's parquet dump
+(produced by `sbt "runMain graft.Verify <sfDir> <outDir>"`), runs the
+matching oracle SQL in DuckDB over the same source tables, sorts columns by
+name, sorts rows, and compares values exactly.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), ignore_index=True,
+                            key=lambda s: s.astype(str))
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, (np.floating, float)) and isinstance(b, (np.floating, float)):
+        return a == b or (np.isnan(a) and np.isnan(b))
+    if isinstance(a, (np.integer, int)) and isinstance(b, (np.integer, int, float, np.floating)):
+        return float(a) == float(b)
+    if isinstance(a, (np.ndarray, list)) and isinstance(b, (np.ndarray, list)):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return str(a) == str(b)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
+    s, o = canon(spark_df), canon(oracle_df)
+    if list(s.columns) != list(o.columns):
+        return f"SCHEMA MISMATCH spark={list(s.columns)} oracle={list(o.columns)}"
+    if len(s) != len(o):
+        return f"ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}"
+    for c in s.columns:
+        sv, ov = s[c].values, o[c].values
+        for i in range(len(sv)):
+            if not values_equal(sv[i], ov[i]):
+                return (f"VALUE MISMATCH col={c} row={i}: "
+                        f"spark={sv[i]!r} oracle={ov[i]!r}")
+    return "OK"
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    results = {}
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        parts = glob.glob(f"{qdir}/*.parquet")
+        if not parts:
+            results[name] = "NO SPARK OUTPUT"
+            continue
+        spark_df = pd.concat([pd.read_parquet(p) for p in parts],
+                             ignore_index=True)
+        if name not in oracles:
+            results[name] = f"rows-only: {len(spark_df)} rows " + \
+                            ("OK" if len(spark_df) > 0 else "EMPTY!")
+            continue
+        try:
+            oracle_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE SQL ERROR: {e}"
+            continue
+        try:
+            results[name] = compare(name, spark_df, oracle_df)
+        except Exception as e:
+            results[name] = f"COMPARE ERROR: {e}"
+
+    declared = set(oracles) - set(results)
+    for name in sorted(declared):
+        results[name] = "ORACLE DECLARED BUT NO QUERY OUTPUT"
+
+    width = max(len(n) for n in results) if results else 10
+    n_ok = 0
+    for name in sorted(results):
+        r = results[name]
+        ok = r == "OK" or r.startswith("rows-only") and "EMPTY" not in r
+        n_ok += ok
+        print(f"{'PASS' if ok else 'FAIL'}  {name:<{width}}  {r}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
