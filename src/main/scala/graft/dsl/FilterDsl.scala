@@ -144,21 +144,30 @@ object FilterDsl {
   }
 
   // --------------------------------------------------------- compilation
-  /** Compile the AST to a Spark `Column`. An empty block compiles to
-    * `lit(true)` (match-all, samplers.py:270-271). */
-  def compile(node: Node): Column = node match {
-    case Group(_, Seq()) => lit(true)
+  /** Compile the AST to a Spark `Column`.
+    *
+    * Empty blocks are *skipped*, exactly like the reference's
+    * `_build_expression` returning `None` for an empty sub-block
+    * (samplers.py:263-297): `{"OR": {"a": 1, "AND": {}}}` compiles to
+    * `a = 1`, NOT to `a = 1 OR true`. Only a fully-empty top-level filter
+    * is match-all (`lit(true)`, samplers.py:270-271). */
+  def compile(node: Node): Column = compileOpt(node).getOrElse(lit(true))
+
+  /** `None` ⇔ the node contributes no predicate (empty block, recursively). */
+  private def compileOpt(node: Node): Option[Column] = node match {
     case Group(conn, children) =>
-      val cols = children.map(compile)
-      conn match {
-        case And => cols.reduce(_ && _)
-        case Or  => cols.reduce(_ || _)
+      children.flatMap(compileOpt) match {
+        case Seq() => None
+        case cols => Some(conn match {
+          case And => cols.reduce(_ && _)
+          case Or  => cols.reduce(_ || _)
+        })
       }
-    case Equals(c, v)      => col(c) === v.toLit
-    case InList(c, vs)     => col(c).isin(vs.map(_.toLit): _*)
-    case Gt(c, v)          => col(c) > v.toLit
-    case Lt(c, v)          => col(c) < v.toLit
-    case Between(c, lo, hi) => col(c) >= lo.toLit && col(c) <= hi.toLit
+    case Equals(c, v)      => Some(col(c) === v.toLit)
+    case InList(c, vs)     => Some(col(c).isin(vs.map(_.toLit): _*))
+    case Gt(c, v)          => Some(col(c) > v.toLit)
+    case Lt(c, v)          => Some(col(c) < v.toLit)
+    case Between(c, lo, hi) => Some(col(c) >= lo.toLit && col(c) <= hi.toLit)
   }
 
   /** Parse + validate against a schema + compile, in one step. */

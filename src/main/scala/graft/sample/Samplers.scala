@@ -87,10 +87,14 @@ object Samplers {
   def perGroup(df: DataFrame, groupCols: Seq[Column], k: Int,
                order: SampleOrder): DataFrame = {
     require(k >= 0, s"per-group sample size must be >= 0, got $k")
+    // Collision-free temp name: a caller column literally named "__rn"
+    // must survive the round-trip untouched.
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(groupCols: _*).orderBy(order.sortExprs: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= k)
+      .drop(rn)
   }
 
   /** Daily sampler (R2): k rows per day. The reference samples per

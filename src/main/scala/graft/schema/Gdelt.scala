@@ -6,12 +6,13 @@ import org.apache.spark.sql.types._
   * every stage — mirrors the reference's config-driven column list
   * (reference: config/settings.example.yaml:8-67, conversion/converter.py:67).
   *
-  * Physical types after conversion (converter.py:225-227, 246-250):
-  *   - 22 configured columns coerced to double (`pd.to_numeric(errors="coerce")`
-  *     → our non-ANSI `cast(DoubleType)`, null on parse failure);
-  *   - Year / MonthYear / Day normalized to nullable long so flat daily files
-  *     and the Hive-partitioned historical tree share one union schema;
-  *   - everything else string.
+  * Physical types after conversion (converter.py:225-227, 246-250): 22
+  * columns pass `pd.to_numeric(errors="coerce")` in the reference; of those,
+  * the 3 date-ints (Year / MonthYear / Day, the reference converter's
+  * `_DATE_INT_COLS`) become nullable long so flat daily files and the
+  * Hive-partitioned historical tree share one union schema, and the
+  * remaining 19 become double (→ our `try_cast(DoubleType)`, null on parse
+  * failure). Everything else stays string.
   */
 object Gdelt {
 

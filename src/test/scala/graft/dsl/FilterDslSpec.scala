@@ -53,6 +53,19 @@ class FilterDslSpec extends SparkSpec {
     assert(rows("{}") == rowsCol(lit(true)))
   }
 
+  test("empty nested block is skipped, not match-all (reference returns None)") {
+    // {"OR": {"a": 1, "AND": {}}} must compile to a == 1 — an empty
+    // sub-block compiling to lit(true) would make the OR match every row.
+    assert(rows("""{"OR": {"user_id": 3, "AND": {}}}""") == rowsCol($"user_id" === 3))
+    assert(rows("""{"OR": {"event_type": "click", "OR": {}}}""")
+      == rowsCol($"event_type" === "click"))
+    // under an AND parent too: {"a": 1, "AND": {}} ≡ a == 1
+    assert(rows("""{"user_id": 3, "AND": {}}""") == rowsCol($"user_id" === 3))
+    // recursively empty: a block containing only empty blocks is itself empty
+    assert(rows("""{"OR": {"user_id": 3, "AND": {"OR": {}}}}""")
+      == rowsCol($"user_id" === 3))
+  }
+
   test("error contract: unknown column, bad AND payload, malformed JSON, bad op") {
     intercept[IllegalArgumentException](FilterDsl.toColumn("""{"nope": 1}""", Seq("a")))
     intercept[IllegalArgumentException](FilterDsl.parse("""{"AND": 17}"""))

@@ -1,0 +1,64 @@
+package graft.sample
+
+import graft.SparkSpec
+import graft.sample.Samplers.SampleOrder
+import org.apache.spark.sql.functions._
+
+/** Sampler invariants (SURVEY.md §2.6 / §7.4): exact counts, small-group
+  * semantics, null-stratum sentinel, partition-layout-independent
+  * reproducibility, and temp-column hygiene. */
+class SamplersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = graft.Tables.events(spark, sf).cache()
+
+  test("uniformExact returns exactly n distinct rows") {
+    val s = Samplers.uniformExact(ev, 100, SampleOrder.HashOf(42, Seq($"event_id")))
+    val ids = s.select("event_id").as[Long].collect()
+    assert(ids.length == 100)
+    assert(ids.toSet.size == 100)
+  }
+
+  test("uniformExact strict raises when n > total") {
+    intercept[IllegalArgumentException] {
+      Samplers.uniformExact(ev, 100000000, SampleOrder.HashOf(1, Seq($"event_id")),
+        strict = true)
+    }
+  }
+
+  test("perGroup: k per group; groups smaller than k return all rows") {
+    val k = 7
+    val s = Samplers.stratified(ev, $"event_type", k, SampleOrder.HashOf(42, Seq($"event_id")))
+    val got = s.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val totals = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (g, total) =>
+      assert(got(g) == math.min(k.toLong, total), s"group $g")
+    }
+  }
+
+  test("stratified: null strata collapse into one __NA__ group") {
+    val withNulls = ev.withColumn("s", nullif($"event_type", lit("click")))
+    val s = Samplers.stratified(withNulls, $"s", 5, SampleOrder.HashOf(1, Seq($"event_id")))
+    // sampled rows where s is null exist and are capped at 5
+    val naCount = s.where($"s".isNull).count()
+    assert(naCount == 5)
+  }
+
+  test("HashOf sample is identical under different partitionings") {
+    val order = SampleOrder.HashOf(42, Seq($"event_id"))
+    val a = Samplers.uniformExact(ev.repartition(1), 50, order)
+      .select("event_id").as[Long].collect().toSet
+    val b = Samplers.uniformExact(ev.repartition(13, $"user_id"), 50, order)
+      .select("event_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("perGroup leaves a pre-existing __rn column untouched") {
+    val withRn = ev.withColumn("__rn", $"event_id" * 2)
+    val s = Samplers.perGroup(withRn, Seq($"event_type"), 3,
+      SampleOrder.By(Seq($"event_id")))
+    assert(s.columns.contains("__rn"))
+    val bad = s.where($"__rn" =!= $"event_id" * 2).count()
+    assert(bad == 0)
+  }
+}

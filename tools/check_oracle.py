@@ -37,10 +37,10 @@ def values_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    if isinstance(a, (np.floating, float)) and isinstance(b, (np.floating, float)):
-        return a == b or (np.isnan(a) and np.isnan(b))
-    if isinstance(a, (np.integer, int)) and isinstance(b, (np.integer, int, float, np.floating)):
-        return float(a) == float(b)
+    num = (int, float, np.integer, np.floating)
+    if isinstance(a, num) and isinstance(b, num):
+        fa, fb = float(a), float(b)
+        return fa == fb or (np.isnan(fa) and np.isnan(fb))
     if isinstance(a, (np.ndarray, list)) and isinstance(b, (np.ndarray, list)):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
     return str(a) == str(b)
