@@ -18,8 +18,8 @@ object SparkEntry {
     ParityQueries.queries("q_sample_filtered_strat")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries
+    ParityQueries.queries ++ TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql
+    ParityQueries.oracleSql ++ TextQueries.oracleSql
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-verifiable queries for the text-analysis extension operators
+  * (graft.text.TextFunctions) over the `documents` table.
+  *
+  * Oracle notes (DuckDB twins must be *bitwise* mirrors):
+  *   - counts are cast to long on the Spark side (DuckDB `len()` returns
+  *     BIGINT; a size()-int vs BIGINT schema mismatch would fail the gate);
+  *   - doubles come from identical IEEE expression trees on both sides;
+  *   - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *     replace-all semantics.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // whitespace + BPE-ish token counting
+    "q_text_tokens" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+        .orderBy("doc_id")),
+
+    // quality scoring: stopword/punct ratios + combined [0,1] score
+    "q_text_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        stopwordCount(col("text")).cast("long").as("n_stop"),
+        punctCount(col("text")).cast("long").as("n_punct"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // language-ID heuristic vs the fixture's labeled lang
+    "q_text_langid" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // md5 + polynomial rolling-hash fingerprints
+    "q_text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id"))
+  )
+
+  /** DuckDB-side score expression for one language profile. */
+  private def sqlLangScore(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($list, t)))"
+  }
+
+  private val sqlToks =
+    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+                len(regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS n_bpe_tokens,
+                length(text) AS len_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS chars,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks,
+                  len(list_filter(
+                        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                             ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                        t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS n_stop,
+                  len(regexp_extract_all(text, '[.,!?;:''"()\[\]{}*#@&%/\\_-]')) AS n_punct
+           FROM documents)
+         SELECT doc_id, n_stop, n_punct,
+                0.4 * least(1.0, chars / 500.0)
+              + 0.3 * least(1.0, 4.0 * (CAST(n_stop AS DOUBLE) / greatest(toks, 1.0)))
+              + 0.3 * (1.0 - least(1.0, 10.0 * (CAST(n_punct AS DOUBLE) / greatest(chars, 1.0)))) AS quality
+         FROM t ORDER BY doc_id""",
+
+    "q_text_langid" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, text, $sqlToks AS toks FROM documents),
+          s AS (
+            SELECT doc_id, lang, text,
+                   ${sqlLangScore(Seq("the", "a", "of", "and", "to", "in", "is"))} AS s_en,
+                   ${sqlLangScore(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))} AS s_de,
+                   ${sqlLangScore(Seq("el", "los", "las", "es", "un", "una", "y"))} AS s_es,
+                   ${sqlLangScore(Seq("le", "la", "les", "et", "est", "une", "dans"))} AS s_fr
+            FROM t)
+          SELECT doc_id, lang,
+                 CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+                      WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                      WHEN s_fr > 0 THEN 'fr'
+                      ELSE 'und' END AS lang_pred
+          FROM s ORDER BY doc_id""",
+
+    "q_text_fingerprint" ->
+      """WITH n AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, md5(norm) AS fp_md5,
+                CASE WHEN length(norm) = 0 THEN 0
+                     ELSE list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                              list_transform(string_split(norm, ''),
+                                ch -> CAST(ord(ch) AS BIGINT))),
+                            (a, b) -> (a * 31 + b) % 1000000007) END AS fp_roll
+         FROM n ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit contract for the text-analysis operators: edge cases the oracle
+  * fixture can't hit (empty text, CJK, contractions) + invariants. */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T =
+    Seq(text).toDF("t").select(c(col("t")).as("r")).collect()(0).getAs[T]("r")
+
+  test("tokenCount: whitespace runs, empty, all-space") {
+    assert(one[Int]("a  b\tc\nd", TextFunctions.tokenCount) == 4)
+    assert(one[Int]("", TextFunctions.tokenCount) == 0)
+    assert(one[Int]("   ", TextFunctions.tokenCount) == 0)
+  }
+
+  test("bpeTokenCount: contractions, digits, punctuation runs") {
+    // "don't stop" → [don]['t][ stop] = 3
+    assert(one[Int]("don't stop", TextFunctions.bpeTokenCount) == 3)
+    // "x42!!" → [x][42][!!] = 3
+    assert(one[Int]("x42!!", TextFunctions.bpeTokenCount) == 3)
+    assert(one[Int]("", TextFunctions.bpeTokenCount) == 0)
+  }
+
+  test("stopword + punct counts") {
+    assert(one[Int]("The cat and the hat.", TextFunctions.stopwordCount) == 3)
+    assert(one[Int]("a,b.c!?", TextFunctions.punctCount) == 4)
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val docs = graft.Tables.documents(spark, sf)
+    val bad = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
+      .where(col("q") < 0 || col("q") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("langId: CJK wins; stopword profiles; und fallback") {
+    assert(one[String]("你好世界", TextFunctions.langId) == "zh")
+    assert(one[String]("the cat of the house", TextFunctions.langId) == "en")
+    assert(one[String]("der hund ist nicht da", TextFunctions.langId) == "de")
+    assert(one[String]("le chat est dans la maison", TextFunctions.langId) == "fr")
+    assert(one[String]("los gatos y el perro", TextFunctions.langId) == "es")
+    assert(one[String]("xyzzy plugh", TextFunctions.langId) == "und")
+  }
+
+  test("fingerprints: normalization-invariant, rolling hash deterministic") {
+    val a = one[String]("Hello   World", TextFunctions.fingerprintMd5)
+    val b = one[String]("  hello world ", TextFunctions.fingerprintMd5)
+    assert(a == b)
+    // "ab" normalized: h = (0*31+97)*31+98 mod p = 3105
+    assert(one[Long]("ab", TextFunctions.fingerprintRolling) == 97L * 31 + 98)
+    assert(one[Long]("", TextFunctions.fingerprintRolling) == 0L)
+  }
+}
