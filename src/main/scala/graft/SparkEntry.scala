@@ -18,8 +18,8 @@ object SparkEntry {
     ParityQueries.queries("q_sample_filtered_strat")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ TextQueries.queries
+    ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ TextQueries.oracleSql
+    ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql
 }

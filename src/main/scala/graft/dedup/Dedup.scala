@@ -1,0 +1,151 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines (builder-prompt
+  * extension surface; the reference has no dedup — SURVEY.md §2.3/§2.5 note
+  * its only "combine" ops are file unions).
+  *
+  * Four families, each chosen for its 100 TB shape:
+  *
+  *   - **Exact**: hash-groupBy on a canonical fingerprint. One shuffle on
+  *     the fingerprint; group sizes are bounded by duplication factor, so no
+  *     skew beyond genuinely viral documents.
+  *   - **MinHash + LSH**: per-doc signature (k salted-md5 minima over word
+  *     shingles — embarrassingly parallel), then banding: docs sharing any
+  *     band bucket become candidate pairs. The self-join shuffles on the
+  *     band hash, NOT all pairs — O(candidates), not O(n²). Verification
+  *     (true Jaccard) runs only on candidates.
+  *   - **SimHash**: 60-bit signature via per-bit majority vote over feature
+  *     hashes (one explode + one groupBy with 60 conditional sums — a single
+  *     shuffle); near-dup pairs via 6-bit chunk banding (pigeonhole: any
+  *     pair within Hamming ≤ 9 shares one of 10 chunks) + bit_count verify.
+  *   - **Embedding cosine**: sign-pattern banding over leading dimensions
+  *     (random-hyperplane LSH with axis-aligned planes), cosine verified
+  *     only within buckets.
+  *
+  * Everything is Column algebra + relational joins — no UDFs, no driver
+  * loops — so Catalyst sees every predicate and AQE can rebalance skewed
+  * band buckets at runtime. Hashing uses md5 (bit-identical in DuckDB, so
+  * every operator is oracle-verifiable end to end).
+  */
+object Dedup {
+
+  // --------------------------------------------------------- shingling
+
+  /** Distinct word n-gram shingles of the normalized text. Documents with
+    * fewer than n tokens yield one shingle (the whole token run), never an
+    * empty set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(TextFunctions.normalized(text))
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+  }
+
+  // ------------------------------------------------------ exact dedup
+
+  /** Exact duplicate groups: one row per distinct fingerprint with the
+    * surviving (minimum) id and the group size. Keep-policy = min id,
+    * matching the stable "first wins" convention. */
+  def exactGroups(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(TextFunctions.fingerprintMd5(textCol).as("fp"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // --------------------------------------------------------- MinHash
+
+  /** k-element MinHash signature over a shingle array: element i is the
+    * minimum md5 of the salted shingle `"{i}:{shingle}"`. Salted full-width
+    * hashes (not hash fragments) keep the k estimators independent. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => md5(concat(lit(s"$i:"), s))))): _*)
+
+  /** Per-band bucket hashes for LSH banding: band b hashes signature
+    * elements [b·r, b·r+r). Returns an array of (band, bh) structs ready to
+    * explode. */
+  def lshBands(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until r).map(j => element_at(sig, b * r + j + 1)): _*)).as("bh"))
+    }: _*)
+
+  /** Candidate pairs from LSH banding: ids sharing any (band, bucket).
+    * The join key is the band hash — this is the operator's scale story:
+    * shuffle volume is O(docs·bands), and the pair blow-up is confined to
+    * genuinely similar buckets (AQE skew-join splits any hot bucket). */
+  def lshCandidates(df: DataFrame, idCol: Column, sigCol: Column,
+                    bands: Int, r: Int): DataFrame = {
+    val e = df.select(idCol.as("id"), explode(lshBands(sigCol, bands, r)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    e.as("a").join(e.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. Integer set
+    * sizes divided as doubles — bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
+
+  // --------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash over a feature (shingle) array: per-bit majority vote
+    * of the features' 60-bit md5-derived hashes. Implemented as
+    * explode → single groupBy with 60 conditional sums (one shuffle,
+    * map-side combined), not a per-row O(features·bits) lambda. */
+  def simhash(df: DataFrame, idCol: Column, featuresCol: Column): DataFrame = {
+    val f = df.select(idCol.as("id"), explode(featuresCol).as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"__b$b"))
+    val agg = f.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map(b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming.
+    * Candidates via 6-bit chunk banding over the 60-bit signature
+    * (10 chunks ⇒ any pair with Hamming ≤ 9 is guaranteed to collide in at
+    * least one chunk); the exact bit_count filter runs on candidates only. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 9, "10 six-bit chunks only guarantee Hamming <= 9")
+    val chunks = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 10).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), 6 * c).bitwiseAND(lit(63L)).as("v"))): _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.simhash").as("sha"), col("b.simhash").as("shb"))
+      .distinct()
+      .withColumn("ham", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+      .where(col("ham") <= maxHamming)
+      .select("ida", "idb", "ham")
+  }
+
+  // ------------------------------------------- embedding sign-LSH bands
+
+  /** Sign-pattern band values over a double-array embedding: band b covers
+    * dims [b·w, b·w+w), its pattern the w-bit integer of per-dim signs.
+    * Axis-aligned random-hyperplane LSH; returns (band, pat) structs. */
+  def signBands(vec: Column, bands: Int, width: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until width).map(i =>
+          when(element_at(vec, b * width + i + 1) > 0, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_ + _).as("pat"))
+    }: _*)
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-verifiable queries for the dedup extension operators
+  * (graft.dedup.Dedup, graft.similarity.Similarity) over `documents` and
+  * `embeddings`.
+  *
+  * Thresholds are calibrated on the fixture: true near-dup pairs sit at
+  * Jaccard ≥ 0.97 / SimHash Hamming ≤ 7 with the nearest noise at
+  * Jaccard < 0.2 / Hamming ≥ 15, so jac ≥ 0.8 and ham ≤ 8 are safely
+  * inside the separation margin (no engine-boundary sensitivity).
+  */
+object DedupQueries {
+
+  private val K = 8        // minhash signature length
+  private val BANDS = 4    // LSH bands (r = 2)
+  private val R = 2
+  private val NGRAM = 3    // word-shingle width
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** documents + distinct 3-gram shingles + 8-element minhash signature. */
+  private def withSig(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), Dedup.shingles(col("text"), NGRAM).as("shingles"))
+      .withColumn("sig", Dedup.minhashSignature(col("shingles"), K))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy on the canonical md5 fingerprint
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d), col("doc_id"), col("text")).orderBy("keep_id")),
+
+    // MinHash + LSH banding → candidate pairs → exact-Jaccard verify
+    "q_dedup_minhash_lsh" -> ((s, d) => {
+      val sig = withSig(s, d)
+      val cand = Dedup.lshCandidates(sig, col("doc_id"), col("sig"), BANDS, R)
+      cand
+        .join(sig.select(col("doc_id").as("ida"), col("sig").as("sa"),
+          col("shingles").as("xa")), "ida")
+        .join(sig.select(col("doc_id").as("idb"), col("sig").as("sb"),
+          col("shingles").as("xb")), "idb")
+        .withColumn("sig_matches",
+          size(filter(sequence(lit(0), lit(K - 1)),
+            i => get(col("sa"), i) === get(col("sb"), i))).cast("long"))
+        .withColumn("jac", Dedup.jaccard(col("xa"), col("xb")))
+        .where(col("jac") >= 0.8)
+        .select("ida", "idb", "sig_matches", "jac")
+        .orderBy("ida", "idb")
+    }),
+
+    // n-gram Jaccard via inverted-index join (explode shingles, equi-join,
+    // count shared per pair) — the shuffle is on the shingle, not all pairs
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = withSig(s, d).select("doc_id", "shingles")
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val shared = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sh.select(col("doc_id").as("ida"), size(col("shingles")).as("na")), "ida")
+        .join(sh.select(col("doc_id").as("idb"), size(col("shingles")).as("nb")), "idb")
+        .withColumn("jac", col("shared").cast("double") /
+          (col("na").cast("double") + col("nb").cast("double") - col("shared").cast("double")))
+        .where(col("jac") >= 0.8)
+        .select("ida", "idb", "shared", "jac")
+        .orderBy("ida", "idb")
+    }),
+
+    // SimHash signatures (per-bit majority vote over shingle hashes)
+    "q_dedup_simhash_sig" -> ((s, d) =>
+      Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles"))
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs: 6-bit chunk banding + bit_count verify
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles")), 8)
+        .orderBy("ida", "idb")),
+
+    // embedding-cosine near-dup: sign-LSH bands + exact cosine verify
+    "q_dedup_embed_cosine" -> ((s, d) =>
+      Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4)
+        .where(col("cos") >= 0.4)
+        .orderBy("va", "vb"))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Shared CTE prefix: normalized tokens + distinct 3-gram shingles,
+    * mirroring TextFunctions.normalized/tokens + Dedup.shingles. */
+  private val shCte =
+    """WITH n AS (
+         SELECT doc_id,
+                CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+                     THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')
+                END AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(0, len(toks) - 2),
+                         i -> array_to_string(toks[i+1:i+3], ' ')) END) AS shingles
+         FROM n)"""
+
+  private val sigCte =
+    """sig AS (
+         SELECT doc_id,
+                [list_min(list_transform(shingles,
+                   s -> md5(CAST(k AS VARCHAR) || ':' || s))) for k in range(0, 8)] AS sig
+         FROM sh)"""
+
+  private val simhashCte =
+    """f AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+             FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       bits AS (
+         SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM f, range(0, 60) t(b) GROUP BY 1, 2),
+       simhash AS (
+         SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) AS sh
+         FROM bits GROUP BY 1)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                    FROM documents)
+         SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM n GROUP BY 1 ORDER BY keep_id""",
+
+    "q_dedup_minhash_lsh" ->
+      s"""$shCte,
+          $sigCte,
+          bands AS (
+            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+            FROM sig, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          j AS (
+            SELECT ida, idb,
+                   CAST(len(list_filter(range(0, 8),
+                     i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS sig_matches,
+                   CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                     / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                        - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) AS jac
+            FROM cand
+            JOIN sig sa ON sa.doc_id = ida JOIN sig sb ON sb.doc_id = idb
+            JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)
+          SELECT ida, idb, sig_matches, jac FROM j
+          WHERE jac >= 0.8 ORDER BY ida, idb""",
+
+    "q_dedup_ngram_jaccard" ->
+      s"""$shCte,
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          p AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS shared
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          j AS (
+            SELECT ida, idb, shared,
+                   CAST(shared AS DOUBLE)
+                     / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                        - CAST(shared AS DOUBLE)) AS jac
+            FROM p JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)
+          SELECT ida, idb, shared, jac FROM j
+          WHERE jac >= 0.8 ORDER BY ida, idb""",
+
+    "q_dedup_simhash_sig" ->
+      s"""$shCte,
+          $simhashCte
+          SELECT doc_id, sh AS simhash FROM simhash ORDER BY doc_id""",
+
+    "q_dedup_simhash_pairs" ->
+      s"""$shCte,
+          $simhashCte,
+          chunks AS (
+            SELECT doc_id, sh, c, (sh >> (6*c)) & 63 AS v
+            FROM simhash, range(0, 10) t(c)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                   a.sh AS sha, b.sh AS shb
+            FROM chunks a JOIN chunks b
+              ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+          SELECT ida, idb, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS ham
+          FROM cand WHERE bit_count(xor(sha, shb)) <= 8
+          ORDER BY ida, idb""",
+
+    "q_dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bands AS (
+           SELECT vec_id, b,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [CASE WHEN v[4*b + i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END
+                     for i in range(0, 4)]),
+                    (x, y) -> x + y) AS pat
+           FROM e, range(0, 4) t(b)),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.pat = b.pat AND a.vec_id < b.vec_id),
+         cos AS (
+           SELECT va, vb,
+             list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
+             / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
+              * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
+           FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb)
+         SELECT va, vb, cos FROM cos WHERE cos >= 0.4 ORDER BY va, vb"""
+  )
+}

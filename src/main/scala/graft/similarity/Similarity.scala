@@ -1,0 +1,76 @@
+package graft.similarity
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Vector similarity operators over an embedding column
+  * (`array<float>` cast to `array<double>`): exact cosine algebra, a
+  * brute-force top-k baseline, and a sign-LSH bucketed ANN variant as the
+  * scale path (builder-prompt extension surface).
+  *
+  * All arithmetic is sequential left-to-right double accumulation inside
+  * `aggregate`/`zip_with` — a fixed IEEE operation order, so the DuckDB
+  * oracle (list_reduce over an index comprehension) reproduces every score
+  * bitwise. float→double element widening is exact.
+  *
+  * Scale notes: brute-force top-k is a broadcast of the (small) query set
+  * against a full scan of the corpus — one pass, no shuffle of the corpus,
+  * `TakeOrderedAndProject`-style per-partition heaps via the row_number
+  * window on the (tiny) query-id partitions. The ANN variant replaces the
+  * corpus scan per query with a bucket-equi-join on sign patterns —
+  * shuffle O(n·bands), candidates confined to matching buckets.
+  */
+object Similarity {
+
+  /** Dot product with fixed left-to-right double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  /** L2 norm (sequential accumulation, see [[dot]]). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force exact top-k by cosine: for each row of `queries`, the k
+    * nearest `corpus` rows (excluding self-matches on id equality). The
+    * query side is expected to be small — Spark broadcasts it, so the
+    * corpus is scanned once with no shuffle. Deterministic tiebreak on
+    * corpus id. Returns (qid, nid, rank, cos). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("nv"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
+  /** ANN candidate pairs via sign-pattern banding (see
+    * [[Dedup.signBands]]): all id-ordered pairs sharing any band pattern,
+    * with exact cosine attached. Callers filter/top-k downstream. */
+  def signLshPairs(vectors: DataFrame, bands: Int, width: Int): DataFrame = {
+    val v = vectors.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val e = v.select(col("id"),
+      explode(Dedup.signBands(col("v"), bands, width)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.pat").as("pat"))
+    val cand = e.as("a").join(e.as("b"),
+        col("a.band") === col("b.band") && col("a.pat") === col("b.pat") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("va"), col("b.id").as("vb"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("va"), col("v").as("xa")), "va")
+      .join(v.select(col("id").as("vb"), col("v").as("xb")), "vb")
+      .withColumn("cos", cosine(col("xa"), col("xb")))
+      .select("va", "vb", "cos")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Dedup operator invariants: shingling edges, Jaccard algebra, LSH
+  * candidate completeness on the fixture's known near-dup pairs, SimHash
+  * stability. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sf).cache()
+
+  test("shingles: short docs yield one whole-text shingle; n-grams are distinct") {
+    val r = Seq("a b", "a b c d", "x x x x").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("a b"))
+    assert(r(1) == Seq("a b c", "b c d"))
+    assert(r(2) == Seq("x x x")) // duplicates collapse
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val r = df.select(
+      Dedup.jaccard(col("x"), col("y")).as("same"),
+      Dedup.jaccard(col("x"), col("z")).as("disj")).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("LSH candidates recover all high-Jaccard pairs (recall on fixture)") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("shingles"))
+    // ground truth: all pairs with true Jaccard >= 0.8 (brute-force on 500 docs)
+    val truth = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .where(Dedup.jaccard(col("a.shingles"), col("b.shingles")) >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    val sig = sh.withColumn("sig", Dedup.minhashSignature(col("shingles"), 8))
+    val cand = Dedup.lshCandidates(sig, col("doc_id"), col("sig"), 4, 2)
+      .as[(Long, Long)].collect().toSet
+    assert((truth -- cand).isEmpty,
+      s"LSH missed ${(truth -- cand).size} of ${truth.size} true pairs")
+  }
+
+  test("simhash: deterministic and insensitive to feature order") {
+    val a = Seq((1L, Seq("aa", "bb", "cc"))).toDF("doc_id", "f")
+    val b = Seq((1L, Seq("cc", "aa", "bb"))).toDF("doc_id", "f")
+    val ha = Dedup.simhash(a, col("doc_id"), col("f")).select("simhash").as[Long].collect()(0)
+    val hb = Dedup.simhash(b, col("doc_id"), col("f")).select("simhash").as[Long].collect()(0)
+    assert(ha == hb)
+    assert(ha >= 0 && ha < (1L << 60))
+  }
+
+  test("cosine: orthogonal=0, parallel=1 (within fp error)") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0), Seq(3.0, 0.0))).toDF("x", "y", "z")
+    val r = df.select(
+      Similarity.cosine(col("x"), col("y")).as("orth"),
+      Similarity.cosine(col("x"), col("z")).as("par")).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+}
