@@ -18,8 +18,10 @@ object SparkEntry {
     ParityQueries.queries("q_sample_filtered_strat")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries
+    ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql
+    ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql
 }

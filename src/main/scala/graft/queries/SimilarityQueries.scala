@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.similarity.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-verifiable queries for the similarity-search extension
+  * (graft.similarity.Similarity) over `embeddings`.
+  *
+  * Scores are bitwise cross-engine (fixed-order IEEE accumulation, see
+  * Similarity), so rank windows ordered by (cos DESC, id) are exactly
+  * reproducible in DuckDB — no rounding, no tolerance.
+  */
+object SimilarityQueries {
+
+  private val QuerySetMax = 10 // queries = vec_id < 10 (small, broadcast side)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force cosine top-5: broadcast query set × corpus scan
+    "q_sim_topk_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < QuerySetMax), emb, 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // ANN variant: per-query top-3 restricted to sign-LSH band candidates —
+    // the 100 TB path (bucket equi-join instead of full scan per query)
+    "q_sim_ann_topk" -> ((s, d) => {
+      val pairs = Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4)
+      val directed = pairs.select(col("va").as("qid"), col("vb").as("nid"), col("cos"))
+        .unionByName(pairs.select(col("vb").as("qid"), col("va").as("nid"), col("cos")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      directed.where(col("qid") < QuerySetMax)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("qid", "nid", "rank", "cos")
+        .orderBy("qid", "rank")
+    })
+  )
+
+  private val cosSql =
+    """list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
+       / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
+        * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_topk_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id
+            WHERE x.vec_id < $QuerySetMax),
+          r AS (
+            SELECT qid, nid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+            FROM scored)
+          SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q_sim_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          bands AS (
+            SELECT vec_id, b,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     [CASE WHEN v[4*b + i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END
+                      for i in range(0, 4)]),
+                     (x, y) -> x + y) AS pat
+            FROM e, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.pat = b.pat AND a.vec_id < b.vec_id),
+          cos AS (
+            SELECT va, vb, $cosSql AS cos
+            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
+          directed AS (
+            SELECT va AS qid, vb AS nid, cos FROM cos
+            UNION ALL
+            SELECT vb AS qid, va AS nid, cos FROM cos),
+          r AS (
+            SELECT qid, nid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+            FROM directed WHERE qid < $QuerySetMax)
+          SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+  )
+}
