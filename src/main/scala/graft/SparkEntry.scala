@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql
+      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-verifiable queries for the multimodal extension
+  * (graft.multimodal.Multimodal). The media table derives deterministically
+  * from `documents` (payload = unhex(md5(text))), so DuckDB mirrors the
+  * byte-level features by parsing md5 hex pairs — the binary plumbing on
+  * the Spark side is real, the oracle arithmetic is identical.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaTable(Tables.documents(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // typed mapPartitions decode (stub codec) → per-item features
+    "q_mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeImageFeatures(Multimodal.asRecords(media(s, d)))
+        .toDF().orderBy("media_id")),
+
+    // declarative 1-fps frame sampling with deterministic frame keys
+    "q_mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(media(s, d), 8).orderBy("media_id", "frame_idx")),
+
+    // metadata-level aspect-preserving resize
+    "q_mm_resize_meta" -> ((s, d) =>
+      Multimodal.resizeMeta(media(s, d), 64).orderBy("media_id"))
+  )
+
+  /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
+  private val bytesCte =
+    """WITH m AS (
+         SELECT doc_id AS media_id, md5(text) AS h, n_chars,
+                (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+                CAST(16 + (doc_id % 16) * 8 AS BIGINT) AS width_px,
+                CAST(16 + (doc_id % 8) * 8 AS BIGINT) AS height_px,
+                CAST(n_chars * 40 AS BIGINT) AS duration_ms
+         FROM documents)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mm_decode_features" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m)
+          SELECT media_id,
+                 CAST(16 AS BIGINT) AS n_bytes,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                      (a, x) -> a + x) AS DOUBLE) / 16.0 AS mean_byte,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 16),
+                     i -> CASE WHEN bytes[i+1] > 127 THEN 1::BIGINT << i
+                               ELSE 0::BIGINT END)),
+                   (a, x) -> a + x) AS phash16
+          FROM b ORDER BY media_id""",
+
+    "q_mm_frame_sample" ->
+      s"""$bytesCte,
+          v AS (SELECT media_id, h, duration_ms FROM m WHERE media_type = 'video'),
+          f AS (
+            SELECT media_id, h,
+                   unnest(range(0, least(CAST(floor(duration_ms / 1000.0) AS BIGINT), 7) + 1))
+                     AS frame_idx
+            FROM v)
+          SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                 md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS frame_key
+          FROM f ORDER BY media_id, frame_idx""",
+
+    "q_mm_resize_meta" ->
+      s"""$bytesCte
+          SELECT media_id, width_px, height_px,
+                 CAST(64 AS BIGINT) AS new_width_px,
+                 greatest(CAST(1 AS BIGINT),
+                   CAST(floor(CAST(height_px * 64 AS DOUBLE) / CAST(width_px AS DOUBLE))
+                     AS BIGINT)) AS new_height_px
+          FROM m WHERE media_type = 'image' ORDER BY media_id"""
+  )
+}
