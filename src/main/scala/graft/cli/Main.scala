@@ -1,0 +1,162 @@
+package graft.cli
+
+import graft.dsl.FilterDsl
+import graft.etl.{Convert, FilterStage}
+import graft.sample.Samplers
+import graft.sample.Samplers.SampleOrder
+import graft.schema.Gdelt
+import graft.sources.Files
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.LocalDate
+import scala.util.Try
+
+/** CLI shell mirroring the reference's subcommand surface and error
+  * contract (SURVEY.md §2.12; reference: main.py:163-247):
+  *
+  *   scrape  --urls-file F [--start-date D] [--end-date D]
+  *           (the network-free part: date-range filtering of an URL list;
+  *            downloading is ops tooling, not an analytics operator — S1/S4)
+  *   convert --in TSV... --flat-out DIR --hist-out DIR
+  *   filter  --in DIR... --out DIR [--check-cols c1,c2,...]
+  *   sample  --in DIR --mode {indexed|filtered|daily} [-n N] [--seed S]
+  *           [--per-day K] [--filter JSON] [--columns c1,c2,...]
+  *           [--stratify COL --n-per-group K] [--out PATH]
+  *
+  * Error contract (main.py:49-57,118-156): invalid dates, start > end,
+  * filtered mode without --filter, --stratify without --n-per-group, and
+  * unknown modes all raise IllegalArgumentException before any Spark job
+  * starts.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "scrape" :: rest  => scrape(parseFlags(rest))
+    case "convert" :: rest => withSpark(s => convert(s, parseFlags(rest)))
+    case "filter" :: rest  => withSpark(s => filter(s, parseFlags(rest)))
+    case "sample" :: rest  => withSpark(s => sample(s, parseFlags(rest)))
+    case other =>
+      throw new IllegalArgumentException(
+        s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
+          "(expected scrape | convert | filter | sample)")
+  }
+
+  // ------------------------------------------------------------ commands
+
+  private def scrape(flags: Flags): Unit = {
+    val urls = scala.io.Source.fromFile(flags.req("urls-file")).getLines().toSeq
+    val start = flags.get("start-date").map(parseDate("start-date"))
+    val end = flags.get("end-date").map(parseDate("end-date"))
+    for (s <- start; e <- end)
+      require(!s.isAfter(e), s"start-date $s must be <= end-date $e")
+    Files.filterUrlsByDate(urls, start, end).foreach(println)
+  }
+
+  private def convert(spark: SparkSession, flags: Flags): Unit = {
+    val (daily, hist, skipped) = Convert.run(spark, flags.reqList("in"),
+      flags.req("flat-out"), flags.req("hist-out"))
+    println(s"convert: daily=$daily historical=$hist skipped=$skipped")
+  }
+
+  private def filter(spark: SparkSession, flags: Flags): Unit = {
+    val checkCols = flags.get("check-cols")
+      .map(_.split(',').toSeq).getOrElse(Gdelt.defaultFilterColumns)
+    val (before, after) = FilterStage.run(spark, flags.reqList("in"),
+      flags.req("out"), checkCols)
+    val pct = if (before == 0) 100.0 else after * 100.0 / before
+    println(f"filter: rows_before=$before rows_after=$after retention=$pct%.2f%%")
+  }
+
+  private def sample(spark: SparkSession, flags: Flags): Unit = {
+    val df = spark.read.parquet(flags.reqList("in"): _*)
+    val seed = flags.get("seed").map(_.toLong).getOrElse(42L)
+    val n = flags.get("n").map(_.toInt).getOrElse(1000)
+    val projected = flags.getList("columns").map(_.flatMap(_.split(','))) match {
+      case Some(cols) =>
+        val unknown = cols.filterNot(df.columns.contains)
+        require(unknown.isEmpty, s"Unknown columns: ${unknown.mkString(", ")}")
+        cols
+      case None => df.columns.toSeq
+    }
+    val order = sampleOrder(df, seed)
+
+    val result: DataFrame = flags.req("mode") match {
+      case "indexed" =>
+        Samplers.uniformExact(df, n, order, strict = true)
+      case "daily" =>
+        require(df.columns.contains("Day"), "daily mode requires a Day column")
+        Samplers.daily(df, col("Day"), flags.get("per-day").map(_.toInt).getOrElse(10), order)
+      case "filtered" =>
+        val json = flags.get("filter").getOrElse(
+          throw new IllegalArgumentException("filtered mode requires --filter JSON"))
+        val filtered = df.where(FilterDsl.toColumn(json, df.columns.toSeq))
+        flags.get("stratify") match {
+          case Some(stratCol) =>
+            val k = flags.get("n-per-group").getOrElse(
+              throw new IllegalArgumentException("--stratify requires --n-per-group")).toInt
+            Samplers.stratified(filtered, col(stratCol), k, order)
+          case None => Samplers.uniformExact(filtered, n, order)
+        }
+      case m =>
+        throw new IllegalArgumentException(s"Unknown sampling mode: $m")
+    }
+    val out = flags.get("out").getOrElse("sample.parquet")
+    result.select(projected.map(col): _*)
+      .write.mode("overwrite").parquet(out)
+    println(s"sample: wrote $out")
+  }
+
+  /** Content-hash ordering on GlobalEventID when present (partition-layout
+    * independent reproducibility); plain rand(seed) otherwise. */
+  private def sampleOrder(df: DataFrame, seed: Long): SampleOrder =
+    if (df.columns.contains("GlobalEventID"))
+      SampleOrder.HashOf(seed, Seq(col("GlobalEventID")))
+    else SampleOrder.Rand(seed)
+
+  // ------------------------------------------------------------ plumbing
+
+  private def parseDate(flag: String)(s: String): LocalDate =
+    Try(LocalDate.parse(s)).getOrElse(
+      throw new IllegalArgumentException(s"Invalid --$flag '$s' (expected YYYY-MM-DD)"))
+
+  /** `--key value` flags; `--key v1 v2 v3` accumulates a list. */
+  final case class Flags(m: Map[String, Seq[String]]) {
+    def get(k: String): Option[String] = m.get(k).map(_.head)
+    def getList(k: String): Option[Seq[String]] = m.get(k)
+    def req(k: String): String =
+      get(k).getOrElse(throw new IllegalArgumentException(s"Missing required --$k"))
+    def reqList(k: String): Seq[String] =
+      m.getOrElse(k, throw new IllegalArgumentException(s"Missing required --$k"))
+  }
+
+  private def parseFlags(args: List[String]): Flags = {
+    val grouped = scala.collection.mutable.Map[String, Vector[String]]()
+    var key: Option[String] = None
+    args.foreach {
+      case f if f.startsWith("--") =>
+        key = Some(f.drop(2))
+        grouped.getOrElseUpdate(f.drop(2), Vector())
+      case f if f == "-n" =>
+        key = Some("n"); grouped.getOrElseUpdate("n", Vector())
+      case v =>
+        val k = key.getOrElse(
+          throw new IllegalArgumentException(s"Value '$v' without a preceding flag"))
+        grouped(k) = grouped(k) :+ v
+    }
+    Flags(grouped.view.mapValues(_.toSeq).toMap)
+  }
+
+  private def withSpark[T](body: SparkSession => T): T = {
+    // only stop the session if this invocation created it (embedding callers
+    // — tests, notebooks — keep theirs)
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try body(spark) finally if (preExisting.isEmpty) spark.stop()
+  }
+}
