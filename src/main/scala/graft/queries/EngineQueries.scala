@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Engine-breadth queries over the TPC-H-ish harness tables: aggregation,
+  * multi-way joins with explicit broadcasts, and ranking windows.
+  *
+  * The reference performs no joins (SURVEY.md §2.3) — these queries
+  * demonstrate that the rebuilt engine is a general Spark analytics
+  * library, with the plans one wants at 100 TB:
+  *
+  *   - dimension joins (region/nation/customer/part) broadcast explicitly —
+  *     no shuffle of the fact table for smalls;
+  *   - aggregations rely on partial (map-side) aggregation before the
+  *     single hash shuffle on the group keys;
+  *   - top-k per group is a rank window over the group-key shuffle, not a
+  *     global sort.
+  *
+  * Oracle determinism: double SUMs are order-sensitive, so all monetary
+  * aggregates go through exact DECIMAL(18,2) accumulation (associative) and
+  * only the final value is cast back to double — bit-identical across
+  * engines regardless of aggregation order.
+  */
+object EngineQueries {
+
+  /** Exact money sum: per-row double → DECIMAL(18,6) → associative decimal
+    * sum → double result. Scale 6 matters: the harness money columns carry
+    * 2 decimals, so row expressions like price·(1−discount) are exact at
+    * ≤4 decimals — every double is ~1 ulp from a representable 6dp value,
+    * never at a rounding boundary, so Spark's HALF_UP and DuckDB's
+    * HALF_EVEN agree. (At scale 2 the 4dp products hit exact .005 ties and
+    * the engines round them differently.) */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  private def sqlMoneySum(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: single hash aggregate, map-side combine
+    "q_eng_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // revenue per nation: fact table joined to broadcast dimensions —
+    // customer/nation/region never shuffle the orders side
+    "q_eng_join_nation_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name")),
+
+    // revenue per part brand: lineitem ⋈ broadcast(part)
+    "q_eng_join_brand_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("p_brand")),
+
+    // top-3 orders per customer by totalprice: rank window, shuffle on
+    // o_custkey only (no global sort)
+    "q_eng_window_top_orders" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_eng_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${sqlMoneySum("l_quantity")} AS sum_qty,
+                 ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+                 ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+                 count(*) AS count_order,
+                 ${sqlMoneySum("l_quantity")} / count(*) AS avg_qty
+          FROM lineitem
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "q_eng_join_nation_revenue" ->
+      s"""SELECT r_name, n_name, count(*) AS n_orders,
+                 ${sqlMoneySum("o_totalprice")} AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+          ORDER BY r_name, n_name""",
+
+    "q_eng_join_brand_revenue" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+                 ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(row_number() OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+               FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn"""
+  )
+}
