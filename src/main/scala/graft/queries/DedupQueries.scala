@@ -24,10 +24,20 @@ object DedupQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
-  /** documents + distinct 3-gram shingles + 8-element minhash signature. */
+  /** documents + distinct 3-gram shingles + 8-element minhash signature.
+    * Cached: every dedup query self-joins or reuses this projection, and
+    * Spark's cache is keyed by the analyzed plan, so both sides of a
+    * self-join and sibling queries share one materialization instead of
+    * recomputing the shingle/signature pipeline per branch (the cluster
+    * analogue: persist the signature table before candidate generation). */
   private def withSig(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), Dedup.shingles(col("text"), NGRAM).as("shingles"))
       .withColumn("sig", Dedup.minhashSignature(col("shingles"), K))
+      .cache()
+
+  /** Cached SimHash signatures (shared by the _sig and _pairs queries). */
+  private def simhashSig(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles")).cache()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy on the canonical md5 fingerprint
@@ -73,19 +83,19 @@ object DedupQueries {
 
     // SimHash signatures (per-bit majority vote over shingle hashes)
     "q_dedup_simhash_sig" -> ((s, d) =>
-      Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles"))
+      simhashSig(s, d)
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy("doc_id")),
 
     // SimHash near-dup pairs: 6-bit chunk banding + bit_count verify
     "q_dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(
-        Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles")), 8)
+      Dedup.simhashPairs(simhashSig(s, d), 8)
         .orderBy("ida", "idb")),
 
     // embedding-cosine near-dup: sign-LSH bands + exact cosine verify
+    // (cached — q_sim_ann_topk shares the identical pair plan)
     "q_dedup_embed_cosine" -> ((s, d) =>
-      Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4)
+      Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4).cache()
         .where(col("cos") >= 0.4)
         .orderBy("va", "vb"))
   )

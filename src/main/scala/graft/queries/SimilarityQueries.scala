@@ -29,7 +29,9 @@ object SimilarityQueries {
     // ANN variant: per-query top-3 restricted to sign-LSH band candidates —
     // the 100 TB path (bucket equi-join instead of full scan per query)
     "q_sim_ann_topk" -> ((s, d) => {
-      val pairs = Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4)
+      // cached: identical plan to q_dedup_embed_cosine's pair generation,
+      // so the two queries share one materialization
+      val pairs = Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4).cache()
       val directed = pairs.select(col("va").as("qid"), col("vb").as("nid"), col("cos"))
         .unionByName(pairs.select(col("vb").as("qid"), col("va").as("nid"), col("cos")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

@@ -23,9 +23,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Dot product with fixed left-to-right double accumulation. */
+  /** Dot product with fixed left-to-right double accumulation. Backed by
+    * the codegen'd [[graft.functions.DotProductDouble]] expression — the
+    * identical fold order as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`,
+    * bitwise-equal results, minus the per-element interpreted-lambda cost. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    graft.functions.VectorExpressions.dotNative(a, b)
 
   /** L2 norm (sequential accumulation, see [[dot]]). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
@@ -39,13 +42,19 @@ object Similarity {
     * corpus is scanned once with no shuffle. Deterministic tiebreak on
     * corpus id. Returns (qid, nid, rank, cos). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // norms precomputed per side: each corpus row scores against every
+    // query, so folding the norm into the pair expression would recompute
+    // it |queries| times per row. sqrt(dot(v,v)) here is the identical
+    // expression, so cos values stay bitwise unchanged.
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val c = corpus.select(col("vec_id").as("nid"),
       col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
     val scored = broadcast(q).crossJoin(c)
       .where(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -57,8 +66,11 @@ object Similarity {
     * [[Dedup.signBands]]): all id-ordered pairs sharing any band pattern,
     * with exact cosine attached. Callers filter/top-k downstream. */
   def signLshPairs(vectors: DataFrame, bands: Int, width: Int): DataFrame = {
+    // per-vector norm computed once on the (small) vector side, not once
+    // per candidate pair — cos values are bitwise unchanged (same sqrt(dot))
     val v = vectors.select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
     val e = v.select(col("id"),
       explode(Dedup.signBands(col("v"), bands, width)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.pat").as("pat"))
@@ -68,9 +80,9 @@ object Similarity {
       .select(col("a.id").as("va"), col("b.id").as("vb"))
       .distinct()
     cand
-      .join(v.select(col("id").as("va"), col("v").as("xa")), "va")
-      .join(v.select(col("id").as("vb"), col("v").as("xb")), "vb")
-      .withColumn("cos", cosine(col("xa"), col("xb")))
+      .join(v.select(col("id").as("va"), col("v").as("xa"), col("nrm").as("na")), "va")
+      .join(v.select(col("id").as("vb"), col("v").as("xb"), col("nrm").as("nb")), "vb")
+      .withColumn("cos", dot(col("xa"), col("xb")) / (col("na") * col("nb")))
       .select("va", "vb", "cos")
   }
 }

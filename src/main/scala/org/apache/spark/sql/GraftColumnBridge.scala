@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column↔Expression converters, so the
+  * graft library can register custom Catalyst expressions (e.g.
+  * graft.functions.DotProductDouble) as Columns. Standard extension-library
+  * technique: Spark's own connector ecosystem uses the same package-scoped
+  * access for this. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
