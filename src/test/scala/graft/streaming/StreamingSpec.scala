@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.schema.Gdelt
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files => JFiles, Paths}
+import java.sql.Timestamp
+
+/** Streaming extension contract: incremental file ingest picks up only new
+  * files across restarts; watermarked windowed counts; gap sessionization
+  * closes sessions on gap and on watermark timeout. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val workDir = JFiles.createTempDirectory("graft_stream").toString
+
+  private def writeTsv(name: String, ids: Seq[Long]): Unit = {
+    val lines = ids.map { id =>
+      Gdelt.columns.map {
+        case "GlobalEventID" => id.toString
+        case "Day" => "20130401"
+        case "MonthYear" => "201304"
+        case "Year" => "2013"
+        case _ => "x"
+      }.mkString("\t")
+    }
+    JFiles.write(Paths.get(workDir, "in", name), lines.mkString("\n").getBytes)
+  }
+
+  test("incremental convert: AvailableNow drains once, restart picks up only new files") {
+    JFiles.createDirectories(Paths.get(workDir, "in"))
+    val out = s"$workDir/out"
+    val ckpt = s"$workDir/ckpt"
+    writeTsv("a.export.CSV", Seq(1, 2, 3))
+    Incremental.incrementalConvert(spark, s"$workDir/in", out, ckpt)
+      .start().awaitTermination()
+    assert(spark.read.parquet(out).count() == 3)
+    // second run with one new file: only its rows are appended
+    writeTsv("b.export.CSV", Seq(4, 5))
+    Incremental.incrementalConvert(spark, s"$workDir/in", out, ckpt)
+      .start().awaitTermination()
+    val df = spark.read.parquet(out)
+    assert(df.count() == 5)
+    assert(df.select("GlobalEventID").as[Double].collect().toSet == Set(1d, 2d, 3d, 4d, 5d))
+    // typed schema came through the streaming path
+    assert(df.schema("GlobalEventID").dataType.typeName == "double")
+    assert(df.schema("Year").dataType.typeName == "long")
+  }
+
+  test("windowed counts with watermark (update mode)") {
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val counts = Incremental.windowedEventCounts(
+      mem.toDF().toDF("ts", "event_type"), "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:01:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:04:00")
+    val t2 = Timestamp.valueOf("2024-01-01 10:12:00")
+    mem.addData((t0, "click"), (t1, "click"), (t2, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select("window_start", "event_type", "n_events")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(rows.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L)))
+    assert(rows.contains((Timestamp.valueOf("2024-01-01 10:10:00"), "view", 1L)))
+    q.stop()
+  }
+
+  test("sessionize: gap closes a session; watermark timeout closes the last one") {
+    val mem = MemoryStream[SessionEvent](spark)
+    val sessions = Sessionize.sessions(
+      mem.toDS().withWatermark("ts", "0 seconds").as[SessionEvent],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    // user 1: events at 10:00, 10:05 (one session), then 10:30 (> 10m gap →
+    // closes the first and opens a second)
+    mem.addData(
+      SessionEvent(1, ts("10:00"), "a"), SessionEvent(1, ts("10:05"), "b"))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1, ts("10:30"), "c"))
+    q.processAllAvailable()
+    val afterGap = spark.table("sessions").as[UserSession].collect()
+    assert(afterGap.exists(s => s.user_id == 1 &&
+      s.session_start == ts("10:00") && s.session_end == ts("10:05") && s.n_events == 2))
+    // advance watermark far past the open session's timeout → it closes
+    mem.addData(SessionEvent(2, ts("11:30"), "z"))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2, ts("11:31"), "z"))
+    q.processAllAvailable()
+    val all = spark.table("sessions").as[UserSession].collect()
+    assert(all.exists(s => s.user_id == 1 &&
+      s.session_start == ts("10:30") && s.n_events == 1))
+    q.stop()
+  }
+}
