@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the graft custom expressions, so
+  * `spark.sql("... graft_dot(a, b) ...")` works alongside the Column API.
+  *
+  * Two entry points:
+  *   - cluster/config path: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (applied at session build via [[SparkSessionExtensions.injectFunction]]);
+  *   - programmatic path: [[GraftFunctions.register]] on a live session
+  *     (temp-function registry), used by tests and notebooks.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  /** (name, info, builder) for every graft SQL function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot expects exactly 2 arguments")
+        DotProductDouble(children.head, children(1))
+      })
+  )
+
+  /** Register all graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
