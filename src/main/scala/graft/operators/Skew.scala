@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Skew-mitigation operators for hot grouping keys (builder-prompt scale
+  * surface; no reference analogue — the reference is single-process).
+  *
+  * Two-phase salted aggregation: phase 1 groups on (key, salt) where salt
+  * spreads each hot key over `buckets` reducers; phase 2 re-aggregates the
+  * per-salt partials on the key alone. The second shuffle moves only
+  * buckets·|distinct keys| rows, so a key holding 30% of a 100 TB table
+  * costs 1/buckets of a reducer instead of one straggler. For aggregates
+  * that decompose (count/sum/min/max), the result is exactly the
+  * single-phase answer.
+  *
+  * (AQE's skew-join splitting covers *joins* at runtime; salting covers
+  * *aggregations* and is plan-level, deterministic, and AQE-independent.)
+  */
+object Skew {
+
+  /** Salted exact count per key. The salt derives from a content hash, not
+    * rand(), so the plan stays deterministic and retry-safe (a rand() salt
+    * re-draws on task retry — fine for counts, wrong for samplers). */
+  def saltedCount(df: DataFrame, key: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val salted = df.groupBy(key.as("__key"),
+        pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).as("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+    salted.groupBy(col("__key"))
+      .agg(sum(col("__partial")).as("n"))
+      .select(col("__key"), col("n"))
+  }
+
+  /** Salted exact sum per key (same two-phase shape; sum is associative so
+    * partial-of-partials is exact). */
+  def saltedSum(df: DataFrame, key: Column, value: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val salted = df.groupBy(key.as("__key"),
+        pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).as("__salt"))
+      .agg(sum(value).as("__partial"))
+    salted.groupBy(col("__key"))
+      .agg(sum(col("__partial")).as("total"))
+      .select(col("__key"), col("total"))
+  }
+}

@@ -88,7 +88,25 @@ object EngineQueries {
         .where(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy("o_custkey", "rn")
-    })
+    }),
+
+    // two-phase salted aggregation — the oracle equality proves the salted
+    // plan returns exactly the single-phase answer (skew story: hot keys
+    // spread over 16 reducers in phase 1)
+    "q_eng_salted_count" -> ((s, d) =>
+      graft.operators.Skew.saltedCount(Tables.lineitem(s, d), col("l_returnflag"), 16)
+        .select(col("__key").as("l_returnflag"), col("n"))
+        .orderBy("l_returnflag")),
+
+    // HLL approximate distinct vs exact, asserted within 5% in-plan —
+    // the boolean invariant is the cross-engine-checkable part
+    "q_eng_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey")).as("n_approx"))
+        .select(col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("within_5pct")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -126,6 +144,14 @@ object EngineQueries {
                         (PARTITION BY o_custkey
                          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
                FROM orders)
-         WHERE rn <= 3 ORDER BY o_custkey, rn"""
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_eng_salted_count" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_eng_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact, true AS within_5pct
+         FROM lineitem"""
   )
 }

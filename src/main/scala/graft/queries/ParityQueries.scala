@@ -141,6 +141,23 @@ object ParityQueries {
         SampleOrder.HashOf(42, Seq(col("event_id"))))
       sampled.agg(count(lit(1)).as("n"),
         countDistinct(col("event_id")).as("n_distinct"))
+    }),
+
+    // R4 true single-pass path: mergeable bottom-k reservoir Aggregator
+    // (map-side combined, O(k) state/group/task). Invariant oracle — DuckDB
+    // has no xxhash64, so the per-stratum exact-k counts are the checkable
+    // contract; row-identity with the window path is spec-verified.
+    "q_sample_reservoir_counts" -> ((s, d) => {
+      import s.implicits._
+      ev(s, d)
+        .select(col("event_type"),
+          xxhash64(lit(42L), col("event_id")).as("p"), col("event_id"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(graft.sample.BottomKByPriority(100).toColumn.name("ids"))
+        .toDF("stratum", "ids")
+        .select(col("stratum"), size(col("ids")).cast("long").as("n"))
+        .orderBy("stratum")
     })
   )
 
@@ -220,6 +237,10 @@ object ParityQueries {
     "q_sample_rand_global_count" ->
       """SELECT LEAST(1234, COUNT(*)) AS n,
                 LEAST(1234, COUNT(DISTINCT event_id)) AS n_distinct
-         FROM events"""
+         FROM events""",
+
+    "q_sample_reservoir_counts" ->
+      """SELECT event_type AS stratum, LEAST(100, COUNT(*)) AS n
+         FROM events GROUP BY event_type ORDER BY stratum"""
   )
 }
