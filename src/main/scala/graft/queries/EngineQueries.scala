@@ -106,7 +106,29 @@ object EngineQueries {
           approx_count_distinct(col("l_partkey")).as("n_approx"))
         .select(col("n_exact"),
           (abs(col("n_approx") - col("n_exact")).cast("double") /
-            col("n_exact").cast("double") <= 0.05).as("within_5pct")))
+            col("n_exact").cast("double") <= 0.05).as("within_5pct"))),
+
+    // as-of join: each event picks up the latest prior config row for its
+    // type (config = every 97th event). Oracle is DuckDB's native ASOF JOIN
+    "q_eng_asof_join" -> ((s, d) => {
+      val events = Tables.events(s, d)
+      val cfg = events.where(col("event_id") % 97 === 0)
+        .select(col("event_type"), col("ts"), col("value").as("cfg_value"))
+      graft.operators.AsOfJoin.lastValueBefore(
+        events.select("event_id", "event_type", "ts"), cfg,
+        key = "event_type", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("cfg_value"))
+        .select("event_id", "event_type", "cfg_value")
+        .orderBy("event_id")
+    }),
+
+    // exact median per group (integral quantities → interpolation exact in
+    // both engines)
+    "q_eng_median" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
+        .orderBy("l_returnflag"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -152,6 +174,20 @@ object EngineQueries {
 
     "q_eng_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact, true AS within_5pct
-         FROM lineitem"""
+         FROM lineitem""",
+
+    "q_eng_asof_join" ->
+      """WITH cfg AS (
+           SELECT event_type, ts, value AS cfg_value
+           FROM events WHERE event_id % 97 = 0)
+         SELECT l.event_id, l.event_type, r.cfg_value
+         FROM events l
+         ASOF LEFT JOIN cfg r
+           ON l.event_type = r.event_type AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+
+    "q_eng_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

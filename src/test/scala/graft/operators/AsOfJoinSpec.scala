@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** As-of join contract: latest-prior match, <= tie semantics, null when no
+  * prior right row, per-key isolation. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+
+  test("latest prior row wins; equal ts matches; no prior → null; keys isolated") {
+    val left = Seq(
+      (1L, "a", ts("09:00")),  // before any cfg → null
+      (2L, "a", ts("10:00")),  // == cfg@10:00 → 100
+      (3L, "a", ts("10:30")),  // after cfg@10:00 → 100
+      (4L, "a", ts("11:05")),  // after cfg@11:00 → 110
+      (5L, "b", ts("12:00"))   // key b has its own cfg → 200
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts("10:00"), 100.0),
+      ("a", ts("11:00"), 110.0),
+      ("b", ts("11:30"), 200.0)
+    ).toDF("k", "rts", "cfg")
+
+    val out = AsOfJoin.lastValueBefore(left, right, "k", "ts", "rts", Seq("cfg"))
+      .select("id", "cfg").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(100.0))
+    assert(out(3L).contains(100.0))
+    assert(out(4L).contains(110.0))
+    assert(out(5L).contains(200.0))
+  }
+
+  test("payload-name collision with left columns is rejected") {
+    val l = Seq((1L, "a", ts("09:00"), 0.0)).toDF("id", "k", "ts", "cfg")
+    val r = Seq(("a", ts("08:00"), 1.0)).toDF("k", "rts", "cfg")
+    intercept[IllegalArgumentException](
+      AsOfJoin.lastValueBefore(l, r, "k", "ts", "rts", Seq("cfg")))
+  }
+}
