@@ -40,8 +40,18 @@ object SimilarityQueries {
         .where(col("rank") <= 3)
         .select("qid", "nid", "rank", "cos")
         .orderBy("qid", "rank")
-    })
+    }),
+
+    // IVF variant: broadcast coarse-quantizer assignment, then single-probe
+    // search restricted to the query's cell
+    "q_sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d),
+        nCentroids = 8, queryMaxId = QuerySetMax, k = 3)
+        .orderBy("qid", "rank"))
   )
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [$a[i+1] * $b[i+1] for i in range(0, 64)]), (p, q) -> p + q)"
 
   private val cosSql =
     """list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
@@ -85,6 +95,32 @@ object SimilarityQueries {
             SELECT qid, nid, cos,
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM directed WHERE qid < $QuerySetMax)
+          SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "q_sim_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id AS id, e.v, cid,
+                   ${dotSql("v", "cv")} AS score
+            FROM e CROSS JOIN cents),
+          assigned AS (
+            SELECT id, v, cid AS cell
+            FROM (SELECT id, v, cid,
+                         row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+                  FROM scored)
+            WHERE rn = 1),
+          q AS (SELECT id AS qid, v AS qv, cell FROM assigned WHERE id < $QuerySetMax),
+          c AS (SELECT id AS nid, v AS nv, cell FROM assigned),
+          cos AS (
+            SELECT qid, nid,
+                   ${dotSql("qv", "nv")}
+                     / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv", "nv")})) AS cos
+            FROM q JOIN c USING (cell) WHERE qid != nid),
+          r AS (
+            SELECT qid, nid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+            FROM cos)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""
   )
 }

@@ -62,6 +62,51 @@ object Similarity {
       .select("qid", "nid", "rank", "cos")
   }
 
+  /** IVF-style cell assignment: each vector goes to the centroid with the
+    * highest dot product (ties → lowest centroid id). The coarse quantizer
+    * here is training-free (the first `nCentroids` vectors act as
+    * centroids) — production swaps in k-means centroids; the
+    * assign/partition/search plumbing is identical and is what scales:
+    * broadcast the centroid set, one scan to assign, then searches touch
+    * only matching cells instead of the corpus.
+    * Returns (id, v, cell). */
+  def ivfAssign(vectors: DataFrame, nCentroids: Int): DataFrame = {
+    val v = vectors.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = v.where(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("cid"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("score", dot(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: rank only corpus vectors sharing the query's cell
+    * (single-probe). Returns (qid, nid, rank, cos); recall vs brute force
+    * depends on the quantizer — the engine contract is the deterministic
+    * cell-restricted search. */
+  def ivfTopK(vectors: DataFrame, nCentroids: Int, queryMaxId: Long,
+              k: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, nCentroids)
+    val q = assigned.where(col("id") < queryMaxId)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cell"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = assigned
+      .select(col("id").as("nid"), col("v").as("nv"), col("cell"))
+      .withColumn("nn", l2norm(col("nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    broadcast(q).join(c, "cell")
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
   /** ANN candidate pairs via sign-pattern banding (see
     * [[Dedup.signBands]]): all id-ordered pairs sharing any band pattern,
     * with exact cosine attached. Callers filter/top-k downstream. */
