@@ -128,7 +128,36 @@ object EngineQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // rollup (grouping sets): counts at (region, nation), (region), ()
+    "q_eng_rollup" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // left-semi join: orders having at least one high-value line item —
+    // the fact side is filtered without duplication or payload movement
+    "q_eng_semi_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).where(col("l_extendedprice") > 90000),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // pivot: event counts per user bucket × event type (oracle mirrors the
+    // pivot as conditional aggregation with identical column names)
+    "q_eng_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("bucket"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -188,6 +217,28 @@ object EngineQueries {
 
     "q_eng_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_eng_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_eng_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+         ORDER BY o_orderkey""",
+
+    "q_eng_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -96,6 +96,21 @@ class EtlSpec extends SparkSpec {
     assert(h2 == 0 && s2 == 1)
   }
 
+  test("monthly historical write: two-level Year=/MonthYear= Hive layout") {
+    val p = Paths.get(workDir, "200601.CSV")
+    JFiles.write(p, String.join("\n",
+      tsvLine(20, "20060101", "1", "1.0", "A"),
+      tsvLine(21, "20060115", "2", "2.0", "B")).getBytes)
+    val hist = s"$workDir/hist_monthly"
+    val (d0, h, sk) = Convert.run(spark, Seq(p.toString), s"$workDir/flat_m", hist)
+    assert(d0 == 0 && h == 1 && sk == 0)
+    assert(JFiles.exists(Paths.get(hist, "Year=2006", "MonthYear=200601")))
+    val back = spark.read.parquet(hist)
+    assert(back.count() == 2)
+    assert(back.select("Year", "MonthYear").distinct().as[(Long, Long)]
+      .collect().toSet == Set((2006L, 200601L)))
+  }
+
   test("filter stage: drops rows with nulls in existing check cols; reports retention") {
     val flat = s"$workDir/flat2"
     Convert.writeFlat(Convert.coerce(Convert.readRawTsv(spark, Seq(dailyTsv))), flat)
