@@ -58,6 +58,15 @@ object Dedup {
       when(size(toks) < n, array(array_join(toks, " "))).otherwise(full))
   }
 
+  /** 60-bit md5-derived hash per distinct shingle. Join-key compression
+    * for the inverted-index path: the shingle equi-join shuffles 8-byte
+    * longs instead of ~20-byte strings. Collisions (~n²/2^60) are
+    * negligible and, because both engines derive the same hashes, the
+    * DuckDB oracle sees the identical sets either way. */
+  def shingleHashes(shingleCol: Column): Column =
+    array_distinct(transform(shingleCol,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
   // ------------------------------------------------------ exact dedup
 
   /** Exact duplicate groups: one row per distinct fingerprint with the

@@ -62,18 +62,23 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
-    // n-gram Jaccard via inverted-index join (explode shingles, equi-join,
-    // count shared per pair) — the shuffle is on the shingle, not all pairs
+    // n-gram Jaccard via inverted-index join — the shuffle is on the
+    // (60-bit hashed) shingle, not all pairs; hashing compresses the join
+    // key from ~20-byte strings to longs
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = withSig(s, d).select("doc_id", "shingles")
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      // cached: the self-join + two size-joins would otherwise recompute
+      // the 60-bit hashing once per branch
+      val sh = withSig(s, d)
+        .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
+        .cache()
+      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
       val shared = ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .agg(count(lit(1)).as("shared"))
       shared
-        .join(sh.select(col("doc_id").as("ida"), size(col("shingles")).as("na")), "ida")
-        .join(sh.select(col("doc_id").as("idb"), size(col("shingles")).as("nb")), "idb")
+        .join(sh.select(col("doc_id").as("ida"), size(col("hs")).as("na")), "ida")
+        .join(sh.select(col("doc_id").as("idb"), size(col("hs")).as("nb")), "idb")
         .withColumn("jac", col("shared").cast("double") /
           (col("na").cast("double") + col("nb").cast("double") - col("shared").cast("double")))
         .where(col("jac") >= 0.8)
@@ -168,17 +173,22 @@ object DedupQueries {
 
     "q_dedup_ngram_jaccard" ->
       s"""$shCte,
-          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          hsh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                     s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
+            FROM sh),
+          ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
           p AS (
             SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS shared
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
           j AS (
             SELECT ida, idb, shared,
                    CAST(shared AS DOUBLE)
-                     / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                     / (CAST(len(x.hs) AS DOUBLE) + CAST(len(y.hs) AS DOUBLE)
                         - CAST(shared AS DOUBLE)) AS jac
-            FROM p JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)
+            FROM p JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
           SELECT ida, idb, shared, jac FROM j
           WHERE jac >= 0.8 ORDER BY ida, idb""",
 
