@@ -103,6 +103,22 @@ object Multimodal {
         md5(concat(col("payload_md5"), lit(":"),
           col("frame_idx").cast("string"))).as("frame_key"))
 
+  /** Declarative audio windowing for audio rows: fixed-length analysis
+    * windows (`windowMs` each), one row per window with its sample offset
+    * — the framing stage ahead of any feature extractor (STFT, MFCC, …),
+    * which would run in the decode mapPartitions stage. */
+  def audioWindows(media: DataFrame, windowMs: Long): DataFrame =
+    media.where(col("meta.media_type") === "audio")
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
+        col("meta.sample_rate_hz").as("sample_rate_hz"),
+        explode(sequence(lit(0L),
+          greatest(ceil(col("meta.duration_ms").cast("double") / windowMs)
+            .cast("long") - 1, lit(0L)))).as("window_idx"))
+      .select(col("media_id"), col("window_idx"),
+        (col("window_idx") * windowMs).as("start_ms"),
+        floor(col("window_idx") * windowMs / 1000.0 *
+          col("sample_rate_hz").cast("double")).cast("long").as("start_sample"))
+
   /** Metadata-level resize for image rows: fixed target width, height
     * scaled to preserve aspect ratio (integer floor division, min 1).
     * Payload re-encoding would happen in the decode stage; the metadata

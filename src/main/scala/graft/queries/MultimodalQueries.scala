@@ -28,7 +28,12 @@ object MultimodalQueries {
 
     // metadata-level aspect-preserving resize
     "q_mm_resize_meta" -> ((s, d) =>
-      Multimodal.resizeMeta(media(s, d), 64).orderBy("media_id"))
+      Multimodal.resizeMeta(media(s, d), 64).orderBy("media_id")),
+
+    // declarative 1s audio analysis windows with sample offsets
+    "q_mm_audio_windows" -> ((s, d) =>
+      Multimodal.audioWindows(media(s, d), 1000)
+        .orderBy("media_id", "window_idx"))
   )
 
   /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
@@ -79,6 +84,20 @@ object MultimodalQueries {
                  greatest(CAST(1 AS BIGINT),
                    CAST(floor(CAST(height_px * 64 AS DOUBLE) / CAST(width_px AS DOUBLE))
                      AS BIGINT)) AS new_height_px
-          FROM m WHERE media_type = 'image' ORDER BY media_id"""
+          FROM m WHERE media_type = 'image' ORDER BY media_id""",
+
+    "q_mm_audio_windows" ->
+      s"""$bytesCte,
+          a AS (SELECT media_id, duration_ms FROM m WHERE media_type = 'audio'),
+          w AS (
+            SELECT media_id,
+                   unnest(range(0,
+                     greatest(CAST(ceil(CAST(duration_ms AS DOUBLE) / 1000) AS BIGINT) - 1,
+                              0) + 1)) AS window_idx
+            FROM a)
+          SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+                 CAST(window_idx * 1000 AS BIGINT) AS start_ms,
+                 CAST(floor(window_idx * 1000 / 1000.0 * 16000.0) AS BIGINT) AS start_sample
+          FROM w ORDER BY media_id, window_idx"""
   )
 }

@@ -143,6 +143,20 @@ object ParityQueries {
         countDistinct(col("event_id")).as("n_distinct"))
     }),
 
+    // F2 in-plan: GDELT-style integer-date handling — YYYYMMDD ints parsed
+    // to dates, month-end via last_day (the reference does this driver-side
+    // on filenames; here it's the in-plan equivalent for Day/MonthYear
+    // columns)
+    "q_gdelt_dates" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyyMMdd").cast("long").as("day_int"))
+        .withColumn("day_date", to_date(col("day_int").cast("string"), "yyyyMMdd"))
+        .select(col("event_id"), col("day_int"),
+          date_format(col("day_date"), "yyyy-MM-dd").as("day_str"),
+          date_format(last_day(col("day_date")), "yyyy-MM-dd").as("month_end"))
+        .orderBy("event_id")),
+
     // R4 true single-pass path: mergeable bottom-k reservoir Aggregator
     // (map-side combined, O(k) state/group/task). Invariant oracle — DuckDB
     // has no xxhash64, so the per-stratum exact-k counts are the checkable
@@ -241,6 +255,15 @@ object ParityQueries {
 
     "q_sample_reservoir_counts" ->
       """SELECT event_type AS stratum, LEAST(100, COUNT(*)) AS n
-         FROM events GROUP BY event_type ORDER BY stratum"""
+         FROM events GROUP BY event_type ORDER BY stratum""",
+
+    "q_gdelt_dates" ->
+      """SELECT event_id,
+                CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_int,
+                strftime(CAST(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d') AS DATE),
+                         '%Y-%m-%d') AS day_str,
+                strftime(last_day(CAST(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d') AS DATE)),
+                         '%Y-%m-%d') AS month_end
+         FROM events ORDER BY event_id"""
   )
 }
