@@ -143,6 +143,16 @@ object ParityQueries {
         countDistinct(col("event_id")).as("n_distinct"))
     }),
 
+    // Custom-plan path: exact-k per stratum through the TopKPerGroup
+    // LogicalPlan/Strategy/Exec (k-bounded heaps, no group sort) — same
+    // deterministic selection as q_sample_stratified's window form, so the
+    // full-row oracle verifies the custom physical operator end to end
+    "q_sample_topk_planned" -> ((s, d) =>
+      Samplers.perGroupPlanned(ev(s, d), Seq(col("event_type")), 50,
+        SampleOrder.By(Seq(col("event_id"))))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
     // F2 in-plan: GDELT-style integer-date handling — YYYYMMDD ints parsed
     // to dates, month-end via last_day (the reference does this driver-side
     // on filenames; here it's the in-plan equivalent for Day/MonthYear
@@ -256,6 +266,13 @@ object ParityQueries {
     "q_sample_reservoir_counts" ->
       """SELECT event_type AS stratum, LEAST(100, COUNT(*)) AS n
          FROM events GROUP BY event_type ORDER BY stratum""",
+
+    "q_sample_topk_planned" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY event_type ORDER BY event_id) AS rn
+               FROM events)
+         WHERE rn <= 50 ORDER BY event_id""",
 
     "q_gdelt_dates" ->
       """SELECT event_id,

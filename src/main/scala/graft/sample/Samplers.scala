@@ -97,6 +97,39 @@ object Samplers {
       .drop(rn)
   }
 
+  /** Heap-based exact-k per group via the custom [[graft.plans.TopKPerGroup]]
+    * plan node — same selection as [[perGroup]] under the same ordering,
+    * but executed with k-bounded per-group heaps (O(n log k), no sort)
+    * instead of WindowExec's full per-partition sort. The scale pick when
+    * k is small and groups are huge. Registers the planner strategy on the
+    * session if absent. */
+  def perGroupPlanned(df: DataFrame, groupCols: Seq[Column], k: Int,
+                      order: SampleOrder): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+    // Spark 4 Columns carry lazy ColumnNode expressions the analyzer only
+    // resolves through the Dataset API — so materialize group/order exprs
+    // as projected columns first, then hand the custom node fully-resolved
+    // child attributes.
+    val gNames = groupCols.indices.map(i => s"__tk_g$i")
+    val oNames = order.sortExprs.indices.map(i => s"__tk_o$i")
+    require(!df.columns.exists(c => c.startsWith("__tk_")),
+      "column names starting with __tk_ are reserved by perGroupPlanned")
+    val prepared = (gNames.zip(groupCols) ++ oNames.zip(order.sortExprs))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val child = GraftColumnBridge.logicalPlan(prepared)
+    val attr = child.output.map(a => a.name -> a).toMap
+    val node = graft.plans.TopKPerGroup(
+      gNames.map(attr(_)),
+      oNames.map(n => SortOrder(attr(n), Ascending)),
+      k, child)
+    GraftColumnBridge.ofRows(spark, node).drop((gNames ++ oNames): _*)
+  }
+
   /** Daily sampler (R2): k rows per day. The reference samples per
     * (file, day) — an artifact of its per-file loop (samplers.py:142-154)
     * that we normalize to true per-day semantics (SURVEY.md §7.4); on the

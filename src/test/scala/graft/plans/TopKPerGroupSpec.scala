@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sample.Samplers
+import graft.sample.Samplers.SampleOrder
+import org.apache.spark.sql.functions._
+
+/** Custom-plan contract: the heap exec selects exactly the window path's
+  * rows, plans without a sort, and handles small groups / ties. */
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = graft.Tables.events(spark, sf).cache()
+
+  test("selects exactly the same rows as the window-rank path") {
+    for (order <- Seq(
+        SampleOrder.By(Seq($"event_id")),
+        SampleOrder.HashOf(42, Seq($"event_id")))) {
+      val planned = Samplers.perGroupPlanned(ev, Seq($"event_type"), 7, order)
+        .select("event_type", "event_id").as[(String, Long)].collect().toSet
+      val window = Samplers.perGroup(ev, Seq($"event_type"), 7, order)
+        .select("event_type", "event_id").as[(String, Long)].collect().toSet
+      assert(planned == window, s"order=$order")
+    }
+  }
+
+  test("physical plan uses TopKPerGroupExec with no sort") {
+    val df = Samplers.perGroupPlanned(ev, Seq($"event_type"), 5,
+      SampleOrder.By(Seq($"event_id")))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(1500))
+    assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("Window"),
+      s"must not sort:\n${plan.take(1500)}")
+  }
+
+  test("groups smaller than k return all rows; k=1 returns one per group") {
+    val totals = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val k = 100000 // larger than any group
+    val all = Samplers.perGroupPlanned(ev, Seq($"event_type"), k,
+        SampleOrder.By(Seq($"event_id")))
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(all == totals)
+    val one = Samplers.perGroupPlanned(ev, Seq($"event_type"), 1,
+        SampleOrder.By(Seq($"event_id")))
+      .select("event_type", "event_id").as[(String, Long)].collect()
+    assert(one.length == totals.size)
+    // k=1 with ascending id order = min id per group
+    val minIds = ev.groupBy("event_type").agg(min("event_id"))
+      .as[(String, Long)].collect().toSet
+    assert(one.toSet == minIds)
+  }
+}
