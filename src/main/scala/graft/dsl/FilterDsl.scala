@@ -68,7 +68,11 @@ object FilterDsl {
   }
 
   private def parseBlock(obj: JObject, conn: Connective): Group = {
-    val children = obj.obj.map {
+    // duplicate JSON keys: keep the LAST occurrence, matching Python's
+    // json.loads dict semantics in the reference (main.py:124-127) —
+    // json4s would otherwise surface both and silently AND them
+    val lastWins = obj.obj.reverse.distinctBy(_._1).reverse
+    val children = lastWins.map {
       case ("AND", v) => parseBlock(asObject("AND", v), And)
       case ("OR", v)  => parseBlock(asObject("OR", v), Or)
       case (col, v)   => parseCond(col, v)

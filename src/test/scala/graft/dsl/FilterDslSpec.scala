@@ -66,6 +66,10 @@ class FilterDslSpec extends SparkSpec {
       == rowsCol($"user_id" === 3))
   }
 
+  test("duplicate JSON keys: last occurrence wins (Python dict semantics)") {
+    assert(rows("""{"user_id": 3, "user_id": 5}""") == rowsCol($"user_id" === 5))
+  }
+
   test("error contract: unknown column, bad AND payload, malformed JSON, bad op") {
     intercept[IllegalArgumentException](FilterDsl.toColumn("""{"nope": 1}""", Seq("a")))
     intercept[IllegalArgumentException](FilterDsl.parse("""{"AND": 17}"""))
