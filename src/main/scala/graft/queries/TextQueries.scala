@@ -51,7 +51,29 @@ object TextQueries {
         col("doc_id"),
         fingerprintMd5(col("text")).as("fp_md5"),
         fingerprintRolling(col("text")).as("fp_roll"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // PII scrub: masked text + per-kind match counts (fixture text has no
+    // PII, so redaction must be the identity — the counts prove it ran)
+    "q_text_redact" -> ((s, d) =>
+      docs(s, d).withColumn("pii", piiCounts(col("text")))
+        .select(
+          col("doc_id"),
+          md5(redactPii(col("text"))).as("redacted_md5"),
+          col("pii.n_email").as("n_email"),
+          col("pii.n_url").as("n_url"),
+          col("pii.n_phone").as("n_phone"))
+        .orderBy("doc_id")),
+
+    // corpus document frequency: tokens by number of documents containing
+    // them, top 20 (deterministic tiebreak on the token)
+    "q_text_docfreq" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(tokens(lower(col("text"))))).as("tok"))
+      toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(20)
+    })
   )
 
   /** DuckDB-side score expression for one language profile. */
@@ -110,6 +132,32 @@ object TextQueries {
                       WHEN s_fr > 0 THEN 'fr'
                       ELSE 'und' END AS lang_pred
           FROM s ORDER BY doc_id""",
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+                md5(regexp_replace(
+                      regexp_replace(
+                        regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        'https?://[^\s]+', '<URL>', 'g'),
+                      '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}',
+                      '<PHONE>', 'g')) AS redacted_md5,
+                len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+                len(regexp_extract_all(text,
+                    '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS n_phone
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_docfreq" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(list_distinct(
+                    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                         ELSE string_split_regex(trim(lower(text)), '\s+') END)) AS tok
+           FROM documents)
+         SELECT tok, count(DISTINCT doc_id) AS df
+         FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 20""",
 
     "q_text_fingerprint" ->
       """WITH n AS (

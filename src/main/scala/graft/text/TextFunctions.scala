@@ -109,6 +109,31 @@ object TextFunctions {
     when(hasCjk, lit("zh")).otherwise(best)
   }
 
+  // -------------------------------------------------------- redaction
+
+  /** PII masking patterns (RE2-safe: no lookarounds, shared verbatim with
+    * the DuckDB oracle). Deliberately conservative — a production pipeline
+    * tunes these per corpus. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+  val UrlPattern: String = "https?://[^\\s]+"
+
+  /** Mask emails, URLs, then phone-shaped numbers with typed placeholder
+    * tokens — the standard pretraining-corpus PII scrub. Order matters
+    * (URLs can contain phone-shaped digit runs), and the fixed order is
+    * part of the cross-engine contract. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, UrlPattern, "<URL>")
+    regexp_replace(noUrl, PhonePattern, "<PHONE>")
+  }
+
+  /** Count of PII matches by kind, for corpus auditing. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).cast("long").as("n_email"),
+    regexp_count(text, lit(UrlPattern)).cast("long").as("n_url"),
+    regexp_count(text, lit(PhonePattern)).cast("long").as("n_phone"))
+
   // ----------------------------------------------------- fingerprinting
 
   /** Canonical normalization for fingerprinting: lowercase, collapse

@@ -50,6 +50,45 @@ class MainSpec extends SparkSpec {
     assert(max <= 5)
   }
 
+  test("full pipeline: convert → filter → sample chained through the CLI") {
+    import graft.schema.Gdelt
+    val dir = JFiles.createTempDirectory("graft_pipe").toString
+    // GDELT-shaped daily TSV: 40 rows, QuadClass null every 5th (dropped by
+    // filter), two distinct days
+    val lines = (1 to 40).map { i =>
+      val day = if (i % 2 == 0) "20130401" else "20130402"
+      val m = Map(
+        "GlobalEventID" -> i.toString, "Day" -> day,
+        "MonthYear" -> day.take(6), "Year" -> day.take(4),
+        "QuadClass" -> (if (i % 5 == 0) "" else (i % 4 + 1).toString),
+        "Actor1Name" -> "A", "Actor2Name" -> "B",
+        "Actor1Geo_Lat" -> "1", "Actor1Geo_Long" -> "2",
+        "Actor2Geo_Lat" -> "3", "Actor2Geo_Long" -> "4",
+        "ActionGeo_Lat" -> "5", "ActionGeo_Long" -> "6")
+      Gdelt.columns.map(c => m.getOrElse(c, "x")).mkString("\t")
+    }
+    JFiles.write(Paths.get(dir, "20130401.export.CSV"), lines.mkString("\n").getBytes)
+    spark // pin shared session
+
+    Main.main(Array("convert", "--in", s"$dir/20130401.export.CSV",
+      "--flat-out", s"$dir/flat", "--hist-out", s"$dir/hist"))
+    Main.main(Array("filter", "--in", s"$dir/flat", "--out", s"$dir/filtered"))
+    Main.main(Array("sample", "--in", s"$dir/filtered", "--mode", "filtered",
+      "--filter", """{"QuadClass": [1, 2, 3]}""",
+      "--stratify", "Day", "--n-per-group", "3", "--seed", "7",
+      "--out", s"$dir/sample"))
+
+    val filtered = spark.read.parquet(s"$dir/filtered")
+    assert(filtered.count() == 32) // 8 null-QuadClass rows dropped
+    val sample = spark.read.parquet(s"$dir/sample")
+    // 3 per day × 2 days, all matching the DSL filter
+    assert(sample.count() == 6)
+    assert(sample.groupBy("Day").count()
+      .collect().forall(_.getLong(1) == 3))
+    assert(sample.where(!org.apache.spark.sql.functions.col("QuadClass").isin(1d, 2d, 3d))
+      .count() == 0)
+  }
+
   test("scrape: date-filtered URL listing from file") {
     val f = Paths.get(workDir, "urls.txt")
     JFiles.write(f, "http://x/20150218.export.CSV.zip\nhttp://x/2014.zip\n".getBytes)

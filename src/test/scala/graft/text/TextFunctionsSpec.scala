@@ -46,6 +46,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String]("xyzzy plugh", TextFunctions.langId) == "und")
   }
 
+  test("redactPii masks emails, urls, and phone numbers") {
+    val in = "mail bob@example.com or call +1-555-123-4567, see https://x.io/a?b=1 now"
+    val out = one[String](in, TextFunctions.redactPii)
+    assert(out == "mail <EMAIL> or call <PHONE>, see <URL> now")
+    // counts
+    val df = Seq(in).toDF("t")
+      .select(TextFunctions.piiCounts(col("t")).as("p"))
+      .select("p.n_email", "p.n_url", "p.n_phone")
+      .collect()(0)
+    assert((df.getLong(0), df.getLong(1), df.getLong(2)) == ((1L, 1L, 1L)))
+    // clean text is untouched
+    assert(one[String]("no pii here", TextFunctions.redactPii) == "no pii here")
+  }
+
   test("fingerprints: normalization-invariant, rolling hash deterministic") {
     val a = one[String]("Hello   World", TextFunctions.fingerprintMd5)
     val b = one[String]("  hello world ", TextFunctions.fingerprintMd5)
