@@ -148,6 +148,16 @@ object EngineQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")),
 
+    // scalable stable-id assignment (range partition + zipWithIndex, NOT a
+    // single-partition global window); oracle proves identity with the
+    // row_number semantics
+    "q_eng_stable_ids" -> ((s, d) =>
+      graft.operators.StableIds.assignIds(
+        Tables.events(s, d).select("event_id", "event_type"),
+        Seq(col("event_id")))
+        .select("event_id", "event_type", "id")
+        .orderBy("event_id")),
+
     // pivot: event counts per user bucket × event type (oracle mirrors the
     // pivot as conditional aggregation with identical column names)
     "q_eng_pivot" -> ((s, d) =>
@@ -231,6 +241,11 @@ object EngineQueries {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
          ORDER BY o_orderkey""",
+
+    "q_eng_stable_ids" ->
+      """SELECT event_id, event_type,
+                CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS id
+         FROM events ORDER BY event_id""",
 
     "q_eng_pivot" ->
       """SELECT user_id % 10 AS bucket,

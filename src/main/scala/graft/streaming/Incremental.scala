@@ -40,6 +40,15 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming exact dedup on a key, with state bounded by the watermark:
+    * duplicates arriving within the watermark horizon are dropped, and key
+    * state is evicted once the watermark passes — the incremental-ingest
+    * analogue of exact dedup (batch exact dedup would re-scan the corpus;
+    * this holds only the active horizon's keys). Input must carry a
+    * watermark on `tsCol`. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked event-time windowed counts over an events stream: counts
     * per (window, event_type), with late data beyond the watermark dropped
     * — bounded state, append-mode compatible. */

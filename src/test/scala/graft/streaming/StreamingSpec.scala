@@ -67,6 +67,23 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val deduped = Incremental.streamingDedup(
+      mem.toDF().toDF("ts", "key").withWatermark("ts", "10 minutes"),
+      Seq("key"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((t, 1L), (t, 1L), (t, 2L))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:01:00"), 1L)) // dup within horizon
+    q.processAllAvailable()
+    val keys = spark.table("dedup_out").select("key").as[Long].collect().toSeq
+    assert(keys.sorted == Seq(1L, 2L))
+    q.stop()
+  }
+
   test("sessionize: gap closes a session; watermark timeout closes the last one") {
     val mem = MemoryStream[SessionEvent](spark)
     val sessions = Sessionize.sessions(
