@@ -4,8 +4,8 @@ import graft.dsl.FilterDsl
 import graft.etl.{Convert, FilterStage}
 import graft.sample.Samplers
 import graft.sample.Samplers.SampleOrder
-import graft.schema.Gdelt
 import graft.sources.Files
+import graft.util.Config
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.time.LocalDate
@@ -59,18 +59,24 @@ object Main {
   }
 
   private def filter(spark: SparkSession, flags: Flags): Unit = {
-    val checkCols = flags.get("check-cols")
-      .map(_.split(',').toSeq).getOrElse(Gdelt.defaultFilterColumns)
+    val checkCols = flags.get("check-cols").map(_.split(',').toSeq)
+      .getOrElse(config(flags).filterColumns)
     val (before, after) = FilterStage.run(spark, flags.reqList("in"),
       flags.req("out"), checkCols)
     val pct = if (before == 0) 100.0 else after * 100.0 / before
     println(f"filter: rows_before=$before rows_after=$after retention=$pct%.2f%%")
   }
 
+  /** `--config settings.yaml` when given, reference-default config
+    * otherwise (utils/config.py:6-14 contract). */
+  private def config(flags: Flags): graft.util.GraftConfig =
+    flags.get("config").map(Config.load).getOrElse(Config.Default)
+
   private def sample(spark: SparkSession, flags: Flags): Unit = {
+    val cfg = config(flags)
     val df = spark.read.parquet(flags.reqList("in"): _*)
-    val seed = flags.get("seed").map(_.toLong).getOrElse(42L)
-    val n = flags.get("n").map(_.toInt).getOrElse(1000)
+    val seed = flags.get("seed").map(_.toLong).getOrElse(cfg.defaultSeed)
+    val n = flags.get("n").map(_.toInt).getOrElse(cfg.defaultN)
     val projected = flags.getList("columns").map(_.flatMap(_.split(','))) match {
       case Some(cols) =>
         val unknown = cols.filterNot(df.columns.contains)
@@ -85,7 +91,8 @@ object Main {
         Samplers.uniformExact(df, n, order, strict = true)
       case "daily" =>
         require(df.columns.contains("Day"), "daily mode requires a Day column")
-        Samplers.daily(df, col("Day"), flags.get("per-day").map(_.toInt).getOrElse(10), order)
+        Samplers.daily(df, col("Day"),
+          flags.get("per-day").map(_.toInt).getOrElse(cfg.defaultPerDay), order)
       case "filtered" =>
         val json = flags.get("filter").getOrElse(
           throw new IllegalArgumentException("filtered mode requires --filter JSON"))

@@ -143,6 +143,15 @@ object ParityQueries {
         countDistinct(col("event_id")).as("n_distinct"))
     }),
 
+    // Weighted sample (A-ES priorities): invariant oracle — exact n from
+    // the positive-weight population, no non-positive-weight rows sampled
+    "q_sample_weighted_count" -> ((s, d) => {
+      val sampled = Samplers.weightedExact(ev(s, d), 500, col("value"), 42,
+        Seq(col("event_id")))
+      sampled.agg(count(lit(1)).as("n"),
+        count(when(col("value") <= 0, 1)).as("n_nonpos"))
+    }),
+
     // Custom-plan path: exact-k per stratum through the TopKPerGroup
     // LogicalPlan/Strategy/Exec (k-bounded heaps, no group sort) — same
     // deterministic selection as q_sample_stratified's window form, so the
@@ -266,6 +275,11 @@ object ParityQueries {
     "q_sample_reservoir_counts" ->
       """SELECT event_type AS stratum, LEAST(100, COUNT(*)) AS n
          FROM events GROUP BY event_type ORDER BY stratum""",
+
+    "q_sample_weighted_count" ->
+      """SELECT LEAST(500, count(*) FILTER (value > 0)) AS n,
+                CAST(0 AS BIGINT) AS n_nonpos
+         FROM events""",
 
     "q_sample_topk_planned" ->
       """SELECT event_id, user_id, event_type, value

@@ -143,6 +143,30 @@ object Samplers {
                  order: SampleOrder): DataFrame =
     perGroup(df, Seq(stratumKey(stratCol)), k, order)
 
+  /** Exact-n weighted sample without replacement (Efraimidis–Spirakis
+    * A-ES): each row gets priority u^(1/w) with u a content-hash uniform
+    * in (0,1); the n highest priorities form a sample where inclusion
+    * probability tracks weight — the standard quality-weighted corpus
+    * sampler. Plans as `TakeOrderedAndProject` like [[uniformExact]];
+    * reproducible independent of partition layout. Rows with weight <= 0
+    * are excluded. */
+  def weightedExact(df: DataFrame, n: Int, weightCol: Column, seed: Long,
+                    idCols: Seq[Column]): DataFrame = {
+    require(n >= 0, s"sample size must be >= 0, got $n")
+    val M = 1L << 40
+    val u = (pmod(xxhash64(lit(seed) +: idCols: _*), lit(M)).cast("double") + 0.5) /
+      lit(M.toDouble)
+    val priority = when(weightCol > 0, pow(u, lit(1.0) / weightCol))
+      .otherwise(lit(-1.0))
+    val rn = Iterator.from(0).map(i => s"__wp$i")
+      .find(nm => !df.columns.contains(nm)).get
+    df.withColumn(rn, priority)
+      .where(col(rn) > 0)
+      .orderBy(col(rn).desc)
+      .limit(n)
+      .drop(rn)
+  }
+
   /** Filter-then-materialize (R3): predicate + projection, no sampling.
     * Catalyst pushes both into the scan. */
   def filterMaterialize(df: DataFrame, pred: Column,

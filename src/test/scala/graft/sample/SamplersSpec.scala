@@ -53,6 +53,28 @@ class SamplersSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedExact: exact n, deterministic, weight-sensitive, zero-weight excluded") {
+    val w = $"value" // use value as the weight
+    val a = Samplers.weightedExact(ev, 200, w, 42, Seq($"event_id"))
+      .select("event_id").as[Long].collect().toSet
+    val b = Samplers.weightedExact(ev.repartition(9), 200, w, 42, Seq($"event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(a.size == 200 && a == b)
+    // zero/negative weights never sampled
+    val z = Samplers.weightedExact(
+      ev.withColumn("w0", when($"event_id" % 2 === 0, 0.0).otherwise($"value")),
+      300, $"w0", 1, Seq($"event_id"))
+    assert(z.where($"event_id" % 2 === 0).count() == 0)
+    // weight sensitivity: sampling by weight=value yields a higher mean
+    // value than the uniform sample of the same size (deterministic seeds)
+    val weightedMean = Samplers.weightedExact(ev, 100, $"value", 7, Seq($"event_id"))
+      .agg(avg($"value")).head().getDouble(0)
+    val uniformMean = Samplers.uniformExact(ev, 100,
+      SampleOrder.HashOf(7, Seq($"event_id"))).agg(avg($"value")).head().getDouble(0)
+    assert(weightedMean > uniformMean,
+      s"weighted mean $weightedMean should exceed uniform mean $uniformMean")
+  }
+
   test("perGroup leaves a pre-existing __rn column untouched") {
     val withRn = ev.withColumn("__rn", $"event_id" * 2)
     val s = Samplers.perGroup(withRn, Seq($"event_type"), 3,
