@@ -44,7 +44,8 @@ object Main {
   // ------------------------------------------------------------ commands
 
   private def scrape(flags: Flags): Unit = {
-    val urls = scala.io.Source.fromFile(flags.req("urls-file")).getLines().toSeq
+    val src = scala.io.Source.fromFile(flags.req("urls-file"))
+    val urls = try src.getLines().toSeq finally src.close()
     val start = flags.get("start-date").map(parseDate("start-date"))
     val end = flags.get("end-date").map(parseDate("end-date"))
     for (s <- start; e <- end)
@@ -53,9 +54,9 @@ object Main {
   }
 
   private def convert(spark: SparkSession, flags: Flags): Unit = {
-    val (daily, hist, skipped) = Convert.run(spark, flags.reqList("in"),
-      flags.req("flat-out"), flags.req("hist-out"))
-    println(s"convert: daily=$daily historical=$hist skipped=$skipped")
+    val (daily, hist, skipped, unknown) = Convert.run(spark, flags.reqList("in"),
+      flags.req("flat-out"), flags.req("hist-out"), config(flags))
+    println(s"convert: daily=$daily historical=$hist skipped=$skipped unknown=$unknown")
   }
 
   private def filter(spark: SparkSession, flags: Flags): Unit = {
@@ -128,12 +129,15 @@ object Main {
 
   /** `--key value` flags; `--key v1 v2 v3` accumulates a list. */
   final case class Flags(m: Map[String, Seq[String]]) {
-    def get(k: String): Option[String] = m.get(k).map(_.head)
-    def getList(k: String): Option[Seq[String]] = m.get(k)
+    // headOption, not head: `--flag` with no value parses to an empty list
+    // and must surface as the contractual "missing --flag" error, not a
+    // NoSuchElementException
+    def get(k: String): Option[String] = m.get(k).flatMap(_.headOption)
+    def getList(k: String): Option[Seq[String]] = m.get(k).filter(_.nonEmpty)
     def req(k: String): String =
       get(k).getOrElse(throw new IllegalArgumentException(s"Missing required --$k"))
     def reqList(k: String): Seq[String] =
-      m.getOrElse(k, throw new IllegalArgumentException(s"Missing required --$k"))
+      getList(k).getOrElse(throw new IllegalArgumentException(s"Missing required --$k"))
   }
 
   private def parseFlags(args: List[String]): Flags = {

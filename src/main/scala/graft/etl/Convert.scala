@@ -43,27 +43,37 @@ object Convert {
     * `pd.to_numeric(errors="coerce")` under Spark 4's default ANSI mode),
     * and Year/MonthYear/Day → nullable long (via double, so "2013.0"
     * coerces the way pandas' numeric path does). */
-  def coerce(df: DataFrame): DataFrame = {
+  def coerce(df: DataFrame): DataFrame =
+    coerce(df, Gdelt.numericColumns, Gdelt.intColumns)
+
+  /** Config-driven variant (utils/config.py contract: the numeric column
+    * set is injected, not hardcoded). */
+  def coerce(df: DataFrame, numericCols: Set[String],
+             intCols: Set[String]): DataFrame = {
     val projected = df.columns.map { c =>
-      if (Gdelt.intColumns.contains(c))
+      if (intCols.contains(c))
         col(c).try_cast("double").cast("long").as(c)
-      else if (Gdelt.numericColumns.contains(c))
+      else if (numericCols.contains(c))
         col(c).try_cast("double").as(c)
       else col(c)
     }
     df.select(projected.toIndexedSeq: _*)
   }
 
-  /** Flat write: one snappy parquet dataset (converter.py:238-262). */
+  /** Flat write: append to the snappy parquet dataset
+    * (converter.py:238-262). Append, not overwrite: the flat dataset
+    * accumulates days across runs; idempotency comes from the `.done`
+    * markers in [[run]], never from clobbering previously converted data. */
   def writeFlat(df: DataFrame, outDir: String): Unit =
-    df.write.mode("overwrite").option("compression", "snappy").parquet(outDir)
+    df.write.mode("append").option("compression", "snappy").parquet(outDir)
 
   /** Hive-partitioned historical write (converter.py:267-313): drop rows
     * with null partition keys, then `partitionBy` — Spark emits the same
     * `col=val/` directory tree the reference builds by hand with a pandas
     * groupby loop. */
-  def writeHistorical(df: DataFrame, histDir: String, fileType: String): Unit = {
-    val partCols = Gdelt.partitionRules.getOrElse(fileType,
+  def writeHistorical(df: DataFrame, histDir: String, fileType: String,
+                      rules: Map[String, Seq[String]] = Gdelt.partitionRules): Unit = {
+    val partCols = rules.getOrElse(fileType,
       throw new IllegalArgumentException(s"No partition rule for file type '$fileType'"))
     df.na.drop("any", partCols)
       .write.mode("append")
@@ -83,32 +93,48 @@ object Convert {
 
   /** Full stage over a set of extracted TSV files: route daily files to the
     * flat dataset and monthly/yearly files to the Hive tree, honoring
-    * `.done` markers for historical inputs (converter.py:146-155).
-    * Returns (daily, historical, skipped) file counts. */
+    * `.done` markers for every input (converter.py:146-155; daily inputs
+    * included — the flat sink appends, so re-ingesting a processed daily
+    * file would duplicate its rows). Unrecognized filenames are reported,
+    * never silently dropped.
+    * Returns (daily, historical, skipped, unknown) file counts. */
   def run(spark: SparkSession, tsvFiles: Seq[String], flatDir: String,
-          histDir: String): (Int, Int, Int) = {
+          histDir: String,
+          config: graft.util.GraftConfig = graft.util.Config.Default)
+      : (Int, Int, Int, Int) = {
     val byType = tsvFiles.groupBy(p => Files.detectFileType(fileZipName(p)))
-    val daily = byType.getOrElse("daily", Nil)
-    if (daily.nonEmpty) writeFlat(coerce(readRawTsv(spark, daily)), flatDir)
-    var hist = 0
+    val unknown = byType.getOrElse("unknown", Nil)
+    unknown.foreach(p =>
+      System.err.println(s"[convert] unrecognized file name, not converted: $p"))
+    def coerceCfg(df: DataFrame): DataFrame =
+      coerce(df, config.numericColumns, Gdelt.intColumns)
     var skipped = 0
+    val (dailyDone, dailyTodo) = byType.getOrElse("daily", Nil).partition(isDone)
+    skipped += dailyDone.size
+    if (dailyTodo.nonEmpty) {
+      writeFlat(coerceCfg(readRawTsv(spark, dailyTodo)), flatDir)
+      dailyTodo.foreach(markDone)
+    }
+    var hist = 0
     Seq("monthly", "yearly").foreach { ft =>
       val (done, todo) = byType.getOrElse(ft, Nil).partition(isDone)
       skipped += done.size
       if (todo.nonEmpty) {
-        writeHistorical(coerce(readRawTsv(spark, todo)), histDir, ft)
+        writeHistorical(coerceCfg(readRawTsv(spark, todo)), histDir, ft,
+          config.partitionRules)
         todo.foreach(markDone)
         hist += todo.size
       }
     }
-    (daily.size, hist, skipped)
+    (dailyTodo.size, hist, skipped, unknown.size)
   }
 
   /** Map an extracted TSV/CSV path back to the zip-style name used for
     * type detection: `20130401.export.CSV` → `20130401.export.CSV.zip`. */
   private def fileZipName(path: String): String = {
     val name = Paths.get(path).getFileName.toString
-    val base = name.stripSuffix(".tsv").stripSuffix(".csv").stripSuffix(".CSV")
+    val base = name.stripSuffix(".tsv").stripSuffix(".TSV")
+      .stripSuffix(".csv").stripSuffix(".CSV")
     if (base.matches("""\d{8}\.export""")) s"$base.CSV.zip" else s"$base.zip"
   }
 }

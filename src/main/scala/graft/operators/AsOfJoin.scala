@@ -38,23 +38,27 @@ object AsOfJoin {
     require(!leftCols.exists(payloadCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
 
+    // The payload travels as ONE struct (non-null exactly on right rows),
+    // so last(ignoreNulls) picks the latest right ROW atomically — a
+    // per-column fill would skip a genuinely-null payload field and stitch
+    // together values from different right rows.
     // tag 0 = right (sorts first at equal ts → <= semantics), tag 1 = left
     val taggedRight = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
-        payloadCols.map(col)) ++
+      col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
+        struct(payloadCols.map(col): _*).as("__payload") +:
         leftCols.filterNot(c => c == key).map(c => lit(null).as(c)): _*)
+    val payloadType = taggedRight.schema("__payload").dataType
     val taggedLeft = left.select(
-      (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
-        payloadCols.map(c => lit(null).as(c))) ++
+      col(key) +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
+        lit(null).cast(payloadType).as("__payload") +:
         leftCols.filterNot(c => c == key).map(col): _*)
 
-    val unioned = taggedRight.unionByName(taggedLeft)
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(col): _*)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
   }
 }

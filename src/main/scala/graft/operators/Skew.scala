@@ -19,13 +19,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Skew {
 
-  /** Salted exact count per key. The salt derives from a content hash, not
-    * rand(), so the plan stays deterministic and retry-safe (a rand() salt
-    * re-draws on task retry — fine for counts, wrong for samplers). */
-  def saltedCount(df: DataFrame, key: Column, buckets: Int): DataFrame = {
+  /** Salted exact count per key. The salt must derive from row CONTENT
+    * (`saltFrom` columns — ideally a unique id): a positional source like
+    * `monotonically_increasing_id()` or `rand()` re-draws when a task is
+    * recomputed after a fetch failure, routing recomputed rows to
+    * different reduce partitions than the original attempt — double
+    * counting some rows and losing others. Content hashes re-derive
+    * identically on retry. */
+  def saltedCount(df: DataFrame, key: Column, saltFrom: Seq[Column],
+                  buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(saltFrom.nonEmpty, "saltFrom must name at least one content column")
     val salted = df.groupBy(key.as("__key"),
-        pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).as("__salt"))
+        pmod(xxhash64(saltFrom: _*), lit(buckets.toLong)).as("__salt"))
       .agg(count(lit(1)).as("__partial"))
     salted.groupBy(col("__key"))
       .agg(sum(col("__partial")).as("n"))
@@ -33,11 +39,14 @@ object Skew {
   }
 
   /** Salted exact sum per key (same two-phase shape; sum is associative so
-    * partial-of-partials is exact). */
-  def saltedSum(df: DataFrame, key: Column, value: Column, buckets: Int): DataFrame = {
+    * partial-of-partials is exact; same content-salt contract as
+    * [[saltedCount]]). */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+                saltFrom: Seq[Column], buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(saltFrom.nonEmpty, "saltFrom must name at least one content column")
     val salted = df.groupBy(key.as("__key"),
-        pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).as("__salt"))
+        pmod(xxhash64(saltFrom: _*), lit(buckets.toLong)).as("__salt"))
       .agg(sum(value).as("__partial"))
     salted.groupBy(col("__key"))
       .agg(sum(col("__partial")).as("total"))

@@ -94,7 +94,8 @@ object EngineQueries {
     // plan returns exactly the single-phase answer (skew story: hot keys
     // spread over 16 reducers in phase 1)
     "q_eng_salted_count" -> ((s, d) =>
-      graft.operators.Skew.saltedCount(Tables.lineitem(s, d), col("l_returnflag"), 16)
+      graft.operators.Skew.saltedCount(Tables.lineitem(s, d), col("l_returnflag"),
+        Seq(col("l_orderkey"), col("l_linenumber")), 16)
         .select(col("__key").as("l_returnflag"), col("n"))
         .orderBy("l_returnflag")),
 

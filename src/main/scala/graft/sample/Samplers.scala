@@ -102,7 +102,13 @@ object Samplers {
     * but executed with k-bounded per-group heaps (O(n log k), no sort)
     * instead of WindowExec's full per-partition sort. The scale pick when
     * k is small and groups are huge. Registers the planner strategy on the
-    * session if absent. */
+    * session if absent.
+    *
+    * Ordering contract: `order.sortExprs` must be plain value expressions
+    * ranked ASCENDING (all built-in [[SampleOrder]]s qualify). A
+    * `Column.desc` sort-order wrapper is not a value expression — it fails
+    * analysis when projected; express descending intent by negating or
+    * inverting the expression instead. */
   def perGroupPlanned(df: DataFrame, groupCols: Seq[Column], k: Int,
                       order: SampleOrder): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -144,25 +150,25 @@ object Samplers {
     perGroup(df, Seq(stratumKey(stratCol)), k, order)
 
   /** Exact-n weighted sample without replacement (Efraimidis–Spirakis
-    * A-ES): each row gets priority u^(1/w) with u a content-hash uniform
-    * in (0,1); the n highest priorities form a sample where inclusion
-    * probability tracks weight — the standard quality-weighted corpus
-    * sampler. Plans as `TakeOrderedAndProject` like [[uniformExact]];
-    * reproducible independent of partition layout. Rows with weight <= 0
-    * are excluded. */
+    * A-ES): each row gets key ln(u)/w with u a content-hash uniform in
+    * (0,1); the n largest keys form a sample where inclusion probability
+    * tracks weight — the standard quality-weighted corpus sampler. The
+    * log-domain key is order-equivalent to the textbook u^(1/w) but never
+    * underflows (u^(1/w) hits 0.0 for small weights, which would silently
+    * drop valid rows). Plans as `TakeOrderedAndProject` like
+    * [[uniformExact]]; reproducible independent of partition layout. Rows
+    * with weight <= 0 are excluded. */
   def weightedExact(df: DataFrame, n: Int, weightCol: Column, seed: Long,
                     idCols: Seq[Column]): DataFrame = {
     require(n >= 0, s"sample size must be >= 0, got $n")
     val M = 1L << 40
     val u = (pmod(xxhash64(lit(seed) +: idCols: _*), lit(M)).cast("double") + 0.5) /
       lit(M.toDouble)
-    val priority = when(weightCol > 0, pow(u, lit(1.0) / weightCol))
-      .otherwise(lit(-1.0))
     val rn = Iterator.from(0).map(i => s"__wp$i")
       .find(nm => !df.columns.contains(nm)).get
-    df.withColumn(rn, priority)
-      .where(col(rn) > 0)
-      .orderBy(col(rn).desc)
+    df.where(weightCol > 0)
+      .withColumn(rn, log(u) / weightCol)
+      .orderBy(col(rn).desc, xxhash64(lit(seed) +: idCols: _*))
       .limit(n)
       .drop(rn)
   }

@@ -80,9 +80,9 @@ class EtlSpec extends SparkSpec {
   test("historical write: Hive Year=/MonthYear= layout, null keys dropped, done-markers") {
     val flat = s"$workDir/flat"
     val hist = s"$workDir/hist"
-    val (daily, histN, skipped) =
+    val (daily, histN, skipped, unknown) =
       Convert.run(spark, Seq(dailyTsv, yearlyTsv), flat, hist)
-    assert(daily == 1 && histN == 1 && skipped == 0)
+    assert(daily == 1 && histN == 1 && skipped == 0 && unknown == 0)
     // yearly file → Year= dirs; row 12 has null Year → dropped
     val histDf = spark.read.parquet(hist)
     assert(histDf.count() == 2)
@@ -91,9 +91,20 @@ class EtlSpec extends SparkSpec {
     assert(histDf.select("Year").as[Long].collect().toSet == Set(1979L))
     // flat read has the 3 well-formed daily rows (malformed dropped at write)
     assert(spark.read.parquet(flat).count() == 3)
-    // re-run: historical skipped via .done marker
-    val (_, h2, s2) = Convert.run(spark, Seq(dailyTsv, yearlyTsv), flat, hist)
-    assert(h2 == 0 && s2 == 1)
+    // re-run: BOTH inputs skipped via .done markers (flat appends, so a
+    // re-ingested daily file would duplicate rows) — flat count unchanged
+    val (d2, h2, s2, _) = Convert.run(spark, Seq(dailyTsv, yearlyTsv), flat, hist)
+    assert(d2 == 0 && h2 == 0 && s2 == 2)
+    assert(spark.read.parquet(flat).count() == 3)
+  }
+
+  test("unknown filenames are counted, reported, and never converted") {
+    val p = Paths.get(workDir, "notes.txt")
+    JFiles.write(p, "hello".getBytes)
+    val (d0, h0, s0, u0) = Convert.run(spark,
+      Seq(p.toString), s"$workDir/flat_u", s"$workDir/hist_u")
+    assert(d0 == 0 && h0 == 0 && s0 == 0 && u0 == 1)
+    assert(!JFiles.exists(Paths.get(s"$workDir/flat_u")))
   }
 
   test("monthly historical write: two-level Year=/MonthYear= Hive layout") {
@@ -102,7 +113,7 @@ class EtlSpec extends SparkSpec {
       tsvLine(20, "20060101", "1", "1.0", "A"),
       tsvLine(21, "20060115", "2", "2.0", "B")).getBytes)
     val hist = s"$workDir/hist_monthly"
-    val (d0, h, sk) = Convert.run(spark, Seq(p.toString), s"$workDir/flat_m", hist)
+    val (d0, h, sk, _) = Convert.run(spark, Seq(p.toString), s"$workDir/flat_m", hist)
     assert(d0 == 0 && h == 1 && sk == 0)
     assert(JFiles.exists(Paths.get(hist, "Year=2006", "MonthYear=200601")))
     val back = spark.read.parquet(hist)

@@ -29,4 +29,12 @@ class GraftFunctionsSpec extends SparkSpec {
     GraftFunctions.register(spark)
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0d))").collect())
   }
+
+  test("graft_dot rejects non-double arrays at analysis time") {
+    GraftFunctions.register(spark)
+    // int arrays would silently produce garbage via getDouble reinterpretation
+    intercept[Exception](spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect())
+    intercept[Exception](
+      spark.sql("SELECT graft_dot(CAST(array(1.0) AS ARRAY<FLOAT>), array(1.0d))").collect())
+  }
 }

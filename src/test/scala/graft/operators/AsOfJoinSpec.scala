@@ -33,6 +33,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L).contains(200.0))
   }
 
+  test("a genuinely-null payload field does not look through to older rows") {
+    // right rows: t=1 has (x=1, y=null); t=2 has (x=null, y=2). A left row
+    // at t=3 must get exactly the t=2 row (x=null, y=2) — per-column fill
+    // would stitch (x=1, y=2), a row that never existed.
+    val left = Seq((1L, "a", ts("10:03"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts("10:01"), Option(1.0), Option.empty[Double]),
+      ("a", ts("10:02"), Option.empty[Double], Option(2.0))
+    ).toDF("k", "rts", "x", "y")
+    val out = AsOfJoin.lastValueBefore(left, right, "k", "ts", "rts", Seq("x", "y"))
+      .select("x", "y").collect()(0)
+    assert(out.isNullAt(0), "x must be the t=2 row's null, not t=1's 1.0")
+    assert(out.getDouble(1) == 2.0)
+  }
+
   test("payload-name collision with left columns is rejected") {
     val l = Seq((1L, "a", ts("09:00"), 0.0)).toDF("id", "k", "ts", "cfg")
     val r = Seq(("a", ts("08:00"), 1.0)).toDF("k", "rts", "cfg")

@@ -14,7 +14,7 @@ class SkewSpec extends SparkSpec {
     val plain = ev.groupBy("event_type").count()
       .as[(String, Long)].collect().toMap
     for (buckets <- Seq(1, 4, 32)) {
-      val salted = Skew.saltedCount(ev, col("event_type"), buckets)
+      val salted = Skew.saltedCount(ev, col("event_type"), Seq(col("event_id")), buckets)
         .as[(String, Long)].collect().toMap
       assert(salted == plain, s"buckets=$buckets")
     }
@@ -23,7 +23,8 @@ class SkewSpec extends SparkSpec {
   test("saltedSum equals plain sum on an integral column") {
     val plain = ev.groupBy("event_type").agg(sum("user_id"))
       .as[(String, Long)].collect().toMap
-    val salted = Skew.saltedSum(ev, col("event_type"), col("user_id"), 8)
+    val salted = Skew.saltedSum(ev, col("event_type"), col("user_id"),
+      Seq(col("event_id")), 8)
       .as[(String, Long)].collect().toMap
     assert(salted == plain)
   }
