@@ -38,24 +38,30 @@ final case class ImageFeatures(media_id: Long, n_bytes: Long, mean_byte: Double,
   */
 object Multimodal {
 
-  /** Deterministic synthetic media table over `documents`: payload =
-    * `unhex(md5(text))` (16 opaque bytes), media_type cycles
-    * image/audio/video by id, dimensions/duration derive from id and
-    * n_chars. `payload_md5` carries the lowercase hex twin of the payload
-    * for portable key derivation (Spark's `hex()` is uppercase). */
+  /** PGM (P5) header for the synthetic 4×4 grayscale payloads. */
+  private val PgmHeader = "P5\n4 4\n255\n"
+
+  /** Deterministic synthetic media table over `documents`: the payload is
+    * a REAL binary image — a PGM (P5) 4×4 grayscale file whose 16 pixel
+    * bytes are `unhex(md5(text))` — so the decode stage parses an actual
+    * format, not a fake. media_type cycles image/audio/video by id,
+    * dimensions/duration derive from id and n_chars. `payload_md5`
+    * carries the lowercase pixel hex for portable key derivation (Spark's
+    * `hex()` is uppercase). */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       struct(
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
+        element_at(array(lit("pgm"), lit("wav"), lit("mp4")),
           (col("doc_id") % 3 + 1).cast("int")).as("format"),
         (lit(16) + (col("doc_id") % 16) * 8).cast("int").as("width_px"),
         (lit(16) + (col("doc_id") % 8) * 8).cast("int").as("height_px"),
         (col("n_chars") * 40).cast("long").as("duration_ms"),
         lit(16000).as("sample_rate_hz")).as("meta"),
-      unhex(md5(col("text"))).as("payload"),
+      concat(lit(PgmHeader.getBytes("US-ASCII")),
+        unhex(md5(col("text")))).as("payload"),
       md5(col("text")).as("payload_md5"))
 
   /** Narrow a media DataFrame to the typed record shape. */
@@ -65,28 +71,48 @@ object Multimodal {
     media.select("media_id", "meta", "payload").as[MediaRecord]
   }
 
-  /** Per-item image decode + feature extraction via typed mapPartitions.
-    *
-    * STUB: a real implementation decodes `payload` with an image codec
-    * (JPEG/PNG) here and computes features over pixels. No codecs exist in
-    * this container, so features derive deterministically from the raw
-    * payload bytes: mean byte value as the "mean luma" and a 16-bit
-    * byte-threshold signature as the "perceptual hash". The per-partition
-    * iterator shape (open codec once per partition, stream items) is
-    * exactly what a production decode stage uses. */
+  /** Per-item image decode + feature extraction via typed mapPartitions:
+    * a real, dependency-free PGM (P5) parser — reads the magic, dimensions
+    * and maxval from the ASCII header, then the raw grayscale pixels —
+    * followed by pixel-level features (mean luma, 16-bit threshold
+    * signature). Swapping in a JPEG/PNG codec changes only the parser
+    * body; the per-partition iterator shape (open codec once per
+    * partition, stream items, bounded memory) is the production decode
+    * stage. Malformed payloads raise — corrupt media must fail loudly,
+    * not produce silent features. */
   def decodeImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition setup would open the codec/library once here
+      // per-partition setup: a heavier codec would initialize once here
       it.map { r =>
-        val bytes = r.payload.map(b => (b & 0xff).toLong)
-        val mean = bytes.sum.toDouble / bytes.length
-        val phash = bytes.take(16).zipWithIndex
-          .map { case (b, i) => if (b > 127) 1L << i else 0L }.sum
-        ImageFeatures(r.media_id, bytes.length.toLong, mean, phash)
+        val (pixels, _, _) = decodePgm(r.payload)
+        val vals = pixels.map(b => (b & 0xff).toLong)
+        val mean = vals.sum.toDouble / vals.length
+        val phash = vals.take(16).zipWithIndex
+          .map { case (v, i) => if (v > 127) 1L << i else 0L }.sum
+        ImageFeatures(r.media_id, vals.length.toLong, mean, phash)
       }
     }
+  }
+
+  /** Minimal PGM (P5, single-byte maxval) decoder: returns (pixels, width,
+    * height). Whitespace-separated ASCII header, then width·height raw
+    * bytes. */
+  private[multimodal] def decodePgm(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    var pos = 0
+    def token(): String = {
+      while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P5", "not a P5 PGM payload")
+    val (w, h, maxVal) = (token().toInt, token().toInt, token().toInt)
+    require(maxVal >= 1 && maxVal <= 255, s"unsupported maxval $maxVal")
+    pos += 1 // single whitespace after maxval, per spec
+    require(bytes.length - pos >= w * h, "truncated PGM pixel data")
+    (bytes.slice(pos, pos + w * h), w, h)
   }
 
   /** Declarative frame sampling for video rows: one frame per second,

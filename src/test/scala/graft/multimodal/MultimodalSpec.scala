@@ -12,9 +12,13 @@ class MultimodalSpec extends SparkSpec {
   private lazy val media =
     Multimodal.mediaTable(graft.Tables.documents(spark, sf)).cache()
 
-  test("media table: binary payload is 16 bytes; meta struct is typed") {
-    val bad = media.where(length(col("payload")) =!= 16).count()
+  test("media table: payload is a real PGM file (11-byte header + 16 pixels)") {
+    val bad = media.where(length(col("payload")) =!= 27).count()
     assert(bad == 0)
+    // payload parses as P5 with 4x4 dims
+    val payload = media.select("payload").head().getAs[Array[Byte]](0)
+    val (pixels, w, h) = Multimodal.decodePgm(payload)
+    assert(w == 4 && h == 4 && pixels.length == 16)
     val schema = media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(schema.fieldNames.toSeq ==
       Seq("media_type", "format", "width_px", "height_px", "duration_ms", "sample_rate_hz"))
@@ -23,11 +27,18 @@ class MultimodalSpec extends SparkSpec {
   test("typed records round-trip through the encoder") {
     val recs = Multimodal.asRecords(media)
     val r = recs.head()
-    assert(r.payload.length == 16)
+    assert(r.payload.length == 27)
     assert(Set("image", "audio", "video").contains(r.meta.media_type))
   }
 
-  test("decode (stub) is deterministic and bounded") {
+  test("decodePgm rejects malformed payloads loudly") {
+    intercept[IllegalArgumentException](
+      Multimodal.decodePgm("P6\n4 4\n255\nxxxx".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePgm("P5\n4 4\n255\nxx".getBytes)) // truncated pixels
+  }
+
+  test("decode is deterministic and bounded") {
     val f1 = Multimodal.decodeImageFeatures(Multimodal.asRecords(media))
       .collect().map(f => f.media_id -> f).toMap
     val f2 = Multimodal.decodeImageFeatures(Multimodal.asRecords(media.repartition(7)))
