@@ -75,6 +75,25 @@ class SamplersSpec extends SparkSpec {
       s"weighted mean $weightedMean should exceed uniform mean $uniformMean")
   }
 
+  test("HashOf sampling is approximately uniform across strata (chi-square)") {
+    // deterministic: fixed seeds, fixed data — no flake. The sampled
+    // per-stratum proportions must track population proportions: chi²
+    // over event_type with df=4 stays under 13.28 (p≈0.01) for each seed.
+    val popCounts = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val total = popCounts.values.sum.toDouble
+    val n = 400
+    for (seed <- Seq(1L, 42L, 7L)) {
+      val sampled = Samplers.uniformExact(ev, n, SampleOrder.HashOf(seed, Seq($"event_id")))
+        .groupBy("event_type").count().as[(String, Long)].collect().toMap
+      val chi2 = popCounts.map { case (g, pop) =>
+        val expected = n * pop / total
+        val observed = sampled.getOrElse(g, 0L).toDouble
+        (observed - expected) * (observed - expected) / expected
+      }.sum
+      assert(chi2 < 13.28, s"seed=$seed chi2=$chi2 (sample skewed across strata)")
+    }
+  }
+
   test("perGroup leaves a pre-existing __rn column untouched") {
     val withRn = ev.withColumn("__rn", $"event_id" * 2)
     val s = Samplers.perGroup(withRn, Seq($"event_type"), 3,
