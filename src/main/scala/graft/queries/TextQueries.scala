@@ -65,6 +65,23 @@ object TextQueries {
           col("pii.n_phone").as("n_phone"))
         .orderBy("doc_id")),
 
+    // long-document chunking: 32-token windows, stride 24 (8-token overlap)
+    "q_text_chunks" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        posexplode(chunkTokens(col("text"), 32, 24)).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // content-stable train/val split: md5 bucket < 95 → train; the split
+    // never moves an example across runs or partitionings
+    "q_text_split" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        splitBucket(col("doc_id")).as("bucket"))
+        .withColumn("split", when(col("bucket") < 95, lit("train")).otherwise(lit("val")))
+        .orderBy("doc_id")),
+
     // corpus document frequency: tokens by number of documents containing
     // them, top 20 (deterministic tiebreak on the token)
     "q_text_docfreq" -> ((s, d) => {
@@ -147,6 +164,36 @@ object TextQueries {
                 len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
                 len(regexp_extract_all(text,
                     '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS n_phone
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+                  greatest(CAST(ceil(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT), 1)
+                    AS n_chunks
+           FROM t WHERE len(toks) > 0),
+         e AS (
+           SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c),
+         ch AS (
+           SELECT doc_id, i AS chunk_idx,
+                  array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk
+           FROM e)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                md5(chunk) AS chunk_md5,
+                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
+         FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_text_split" ->
+      """SELECT doc_id,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+                  AS bucket,
+                CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 95
+                     THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
 
     "q_text_docfreq" ->

@@ -109,7 +109,32 @@ object TextFunctions {
     when(hasCjk, lit("zh")).otherwise(best)
   }
 
-  // -------------------------------------------------------- redaction
+  // --------------------------------------------------------- chunking
+
+  /** Fixed-size token chunks with stride (overlap = chunkSize − stride) —
+    * the standard long-document splitter ahead of tokenization. Chunk i
+    * covers tokens [i·stride, i·stride + chunkSize); the last chunk may be
+    * short; empty docs yield no chunks. Pure array algebra: the explode
+    * happens downstream, so Catalyst sees one row per document here. */
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = tokens(text)
+    val n = size(toks)
+    // number of chunks: ceil(max(n - (chunkSize - stride), 0) / stride), min 1 for non-empty
+    val nChunks =
+      greatest(ceil((n - (chunkSize - stride)).cast("double") / stride).cast("int"), lit(1))
+    // sequence(0, -1) would count DOWN — guard the empty-doc case explicitly
+    when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")))
+  }
+
+  /** Deterministic train/val/test split bucket in [0, 100): md5-derived so
+    * the assignment is content-stable across runs, partitionings, and
+    * engines (reshuffling data never moves an example across splits). */
+  def splitBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
 
   /** PII masking patterns (RE2-safe: no lookarounds, shared verbatim with
     * the DuckDB oracle). Deliberately conservative — a production pipeline

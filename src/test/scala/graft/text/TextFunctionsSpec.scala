@@ -46,6 +46,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String]("xyzzy plugh", TextFunctions.langId) == "und")
   }
 
+  test("chunkTokens: stride windows, short last chunk, short/empty docs") {
+    def chunks(t: String, size: Int, stride: Int): Seq[String] =
+      Seq(t).toDF("t").select(TextFunctions.chunkTokens(col("t"), size, stride).as("c"))
+        .as[Seq[String]].collect()(0)
+    // 7 tokens, size 3 stride 2 → ceil((7-1)/2)=3 chunks: [a b c][c d e][e f g]
+    assert(chunks("a b c d e f g", 3, 2) == Seq("a b c", "c d e", "e f g"))
+    // exact fit, no overlap
+    assert(chunks("a b c d", 2, 2) == Seq("a b", "c d"))
+    // doc shorter than a chunk → one short chunk
+    assert(chunks("a b", 5, 5) == Seq("a b"))
+    assert(chunks("", 4, 2) == Seq.empty)
+  }
+
+  test("splitBucket: stable in [0,100), ~95/5 split on the fixture") {
+    val b = graft.Tables.documents(spark, sf)
+      .select(TextFunctions.splitBucket(col("doc_id")).as("b")).as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 100))
+    val trainFrac = b.count(_ < 95).toDouble / b.length
+    assert(trainFrac > 0.90 && trainFrac < 0.99, s"train fraction $trainFrac")
+  }
+
   test("redactPii masks emails, urls, and phone numbers") {
     val in = "mail bob@example.com or call +1-555-123-4567, see https://x.io/a?b=1 now"
     val out = one[String](in, TextFunctions.redactPii)
