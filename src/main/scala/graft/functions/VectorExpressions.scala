@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * interpreted HOF path costs a virtual call per element; this compiles to
   * a tight loop inside whole-stage codegen.
   *
-  * Contract: both inputs are non-null-element double arrays of equal
-  * length (embedding columns); null *arrays* propagate null.
+  * Contract: double arrays of equal length (embedding columns); a null
+  * *array* propagates null, and so does a null *element* — matching the
+  * built-in null-propagation semantics (`graft_dot` is exposed to
+  * arbitrary SQL via GraftExtensions, where a no-null-elements contract
+  * could not be enforced; silently reading a null slot as 0.0 would
+  * corrupt scores).
   */
 case class DotProductDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,13 +44,19 @@ case class DotProductDouble(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -55,10 +65,13 @@ case class DotProductDouble(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // the isNullAt branch is perfectly predicted on the (ubiquitous)
+      // all-non-null case, so the loop still vectorizes as a tight kernel
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

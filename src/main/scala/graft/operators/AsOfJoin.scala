@@ -37,6 +37,11 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payloadCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    val reserved = Seq("__ts", "__tag", "__payload")
+    val clashes = (leftCols ++ right.columns).filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"input columns ${clashes.mkString(",")} collide with reserved working names " +
+        s"${reserved.mkString(",")}")
 
     // The payload travels as ONE struct (non-null exactly on right rows),
     // so last(ignoreNulls) picks the latest right ROW atomically — a

@@ -162,15 +162,18 @@ object Samplers {
                     idCols: Seq[Column]): DataFrame = {
     require(n >= 0, s"sample size must be >= 0, got $n")
     val M = 1L << 40
-    val u = (pmod(xxhash64(lit(seed) +: idCols: _*), lit(M)).cast("double") + 0.5) /
-      lit(M.toDouble)
-    val rn = Iterator.from(0).map(i => s"__wp$i")
-      .find(nm => !df.columns.contains(nm)).get
+    val names = Iterator.from(0).map(i => s"__wp$i")
+      .filter(nm => !df.columns.contains(nm))
+    val (rn, wh) = (names.next(), names.next())
+    // the content hash feeds both the uniform key and the tiebreak — bind it
+    // to one column so it is evaluated once per row, not twice
+    val u = (pmod(col(wh), lit(M)).cast("double") + 0.5) / lit(M.toDouble)
     df.where(weightCol > 0)
+      .withColumn(wh, xxhash64(lit(seed) +: idCols: _*))
       .withColumn(rn, log(u) / weightCol)
-      .orderBy(col(rn).desc, xxhash64(lit(seed) +: idCols: _*))
+      .orderBy(col(rn).desc, col(wh))
       .limit(n)
-      .drop(rn)
+      .drop(rn, wh)
   }
 
   /** Filter-then-materialize (R3): predicate + projection, no sampling.

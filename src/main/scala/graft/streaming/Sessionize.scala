@@ -57,7 +57,12 @@ object Sessionize {
             }
             acc.foreach { a =>
               state.update(a)
-              state.setTimeoutTimestamp(a.end_ms + gapMs)
+              // a late-but-admitted event can compute end_ms + gapMs at or
+              // below the current watermark, which setTimeoutTimestamp
+              // rejects (killing the query) — clamp to just past the
+              // watermark so the session closes on the next trigger instead
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(a.end_ms + gapMs, floor))
             }
             out.iterator
           }

@@ -25,6 +25,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1) == Seq("graft_dot"))
   }
 
+  test("graft_dot propagates null array elements (codegen and interpreted)") {
+    GraftFunctions.register(spark)
+    // codegen path (projection over a literal-free plan)
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 1.0, 1.0)),
+      (Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](1.0, 1.0, 1.0))
+    ).toDF("a", "b")
+    val rows = df.selectExpr("graft_dot(a, b) AS d").collect()
+    assert(rows(0).isNullAt(0), "null element must propagate null")
+    assert(rows(1).getDouble(0) == 6.0)
+    // interpreted/constant-folded path
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS d")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("graft_dot arity is enforced") {
     GraftFunctions.register(spark)
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0d))").collect())

@@ -37,6 +37,12 @@ def values_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
+    ints = (int, np.integer)
+    # exact integer compare first: float() would collapse int64 values that
+    # differ only below the 53-bit double mantissa (e.g. 60-bit simhash sigs)
+    if isinstance(a, ints) and isinstance(b, ints) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        return int(a) == int(b)
     num = (int, float, np.integer, np.floating)
     if isinstance(a, num) and isinstance(b, num):
         fa, fb = float(a), float(b)
