@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,11 +15,21 @@ object Bench {
     // machinery) with the flagship query on the smallest SF so the first
     // measured query doesn't absorb one-time SQL-engine initialization
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // per-query: one untimed warmup (absorbs plan compilation + shared-cache
+    // materialization), then median of `iters` timed runs — single-iteration
+    // numbers charged JIT/first-touch to whichever query ran first and made
+    // rounds incomparable (round-2 review: 36.6s reported for a 0.7s query)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val times = Seq.fill(iters)(once()).sorted
+      name -> times(times.size / 2)
     }
+    graft.queries.QueryCaches.clear()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

