@@ -22,8 +22,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     hashes (one explode + one groupBy with 60 conditional sums — a single
   *     shuffle); near-dup pairs via 6-bit chunk banding (pigeonhole: any
   *     pair within Hamming ≤ 9 shares one of 10 chunks) + bit_count verify.
-  *   - **Embedding cosine**: sign-pattern banding over leading dimensions
-  *     (random-hyperplane LSH with axis-aligned planes), cosine verified
+  *   - **Embedding cosine**: seeded random-hyperplane sign-LSH banding
+  *     ([[graft.similarity.Similarity.signLshPairs]]), cosine verified
   *     only within buckets.
   *
   * Everything is Column algebra + relational joins — no UDFs, no driver
@@ -222,16 +222,4 @@ object Dedup {
       .select("ida", "idb", "ham")
   }
 
-  // ------------------------------------------- embedding sign-LSH bands
-
-  /** Sign-pattern band values over a double-array embedding: band b covers
-    * dims [b·w, b·w+w), its pattern the w-bit integer of per-dim signs.
-    * Axis-aligned random-hyperplane LSH; returns (band, pat) structs. */
-  def signBands(vec: Column, bands: Int, width: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until width).map(i =>
-          when(element_at(vec, b * width + i + 1) > 0, lit(1L << i))
-            .otherwise(lit(0L))).reduce(_ + _).as("pat"))
-    }: _*)
 }

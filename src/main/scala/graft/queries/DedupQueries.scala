@@ -214,18 +214,7 @@ object DedupQueries {
           ORDER BY ida, idb""",
 
     "q_dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         bands AS (
-           SELECT vec_id, b,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    [CASE WHEN v[4*b + i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END
-                     for i in range(0, 4)]),
-                    (x, y) -> x + y) AS pat
-           FROM e, range(0, 4) t(b)),
-         cand AS (
-           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.pat = b.pat AND a.vec_id < b.vec_id),
+      s"""WITH ${SimilarityQueries.lshCandCte},
          cos AS (
            SELECT va, vb,
              list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)

@@ -17,13 +17,53 @@ object SimilarityQueries {
 
   private val QuerySetMax = 10 // queries = vec_id < 10 (small, broadcast side)
 
+  // sign-LSH geometry for the fixture queries: seeded Rademacher planes
+  // over all 64 dims, 16 bands × 8 bits, multiprobe radius 1 — calibrated
+  // for ~95% recall at the queries' loose cos≥0.4 "near" threshold on
+  // 500–2000 vectors (the 100 TB shape wants width 16+; width is the knob
+  // that grows with corpus size, see Similarity.signLshPairs)
+  private[queries] val LshSeed = 42L
+  private[queries] val LshBands = 16
+  private[queries] val LshWidth = 8
+  private[queries] val LshMaxBucket = 1024
+
   /** Memoized sign-LSH candidate pair table — q_sim_ann_topk and
     * q_dedup_embed_cosine consume the identical pair generation, so they
     * share one cached materialization (lifecycle in [[QueryCaches]]). */
   private[queries] def lshPairTable(s: SparkSession, d: String): DataFrame =
     QueryCaches.memo(s, d, "sign_lsh_pairs") {
-      Similarity.signLshPairs(Tables.embeddings(s, d), 4, 4)
+      Similarity.signLshPairs(Tables.embeddings(s, d),
+        LshSeed, LshBands, LshWidth, LshMaxBucket)
     }
+
+  /** Shared oracle CTE bodies mirroring [[Similarity.signLshPairs]]'s
+    * candidate stage bitwise: identical md5-derived Rademacher planes,
+    * identical left-to-right IEEE dot accumulation, same bucket cap and
+    * 1-bit multiprobe. */
+  private[queries] def lshCandCte: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       pl AS (SELECT b, i,
+                [CASE WHEN substr(md5('$LshSeed:' || b || ':' || i || ':' || d), 1, 1) <= '7'
+                      THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS r
+              FROM range(0, $LshBands) tb(b), range(0, $LshWidth) ti(i)),
+       bits AS (SELECT e.vec_id, pl.b, pl.i,
+                  CASE WHEN list_reduce(list_prepend(0.0,
+                         [pl.r[d+1] * e.v[d+1] for d in range(0, 64)]),
+                         (p, q) -> p + q) > 0
+                       THEN (1::BIGINT << pl.i) ELSE 0::BIGINT END AS bit
+                FROM e, pl),
+       bands AS (SELECT vec_id, b, CAST(sum(bit) AS BIGINT) AS pat
+                 FROM bits GROUP BY 1, 2),
+       sizes AS (SELECT b, pat, count(*) AS c FROM bands GROUP BY 1, 2),
+       kept AS (SELECT bands.vec_id, bands.b, bands.pat
+                FROM bands JOIN sizes USING (b, pat) WHERE sizes.c <= $LshMaxBucket),
+       probes AS (SELECT vec_id, b, pat AS probe FROM kept
+                  UNION ALL
+                  SELECT vec_id, b, xor(pat, 1::BIGINT << j) AS probe
+                  FROM kept, range(0, $LshWidth) tj(j)),
+       cand AS (SELECT DISTINCT a.vec_id AS va, p.vec_id AS vb
+                FROM kept a JOIN probes p
+                  ON a.b = p.b AND a.pat = p.probe AND a.vec_id < p.vec_id)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact brute-force cosine top-5: broadcast query set × corpus scan
@@ -78,18 +118,7 @@ object SimilarityQueries {
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
 
     "q_sim_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          bands AS (
-            SELECT vec_id, b,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     [CASE WHEN v[4*b + i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END
-                      for i in range(0, 4)]),
-                     (x, y) -> x + y) AS pat
-            FROM e, range(0, 4) t(b)),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-            FROM bands a JOIN bands b
-              ON a.b = b.b AND a.pat = b.pat AND a.vec_id < b.vec_id),
+      s"""WITH $lshCandCte,
           cos AS (
             SELECT va, vb, $cosSql AS cos
             FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),

@@ -107,20 +107,61 @@ object Similarity {
       .select("qid", "nid", "rank", "cos")
   }
 
-  /** ANN candidate pairs via sign-pattern banding (see
-    * [[Dedup.signBands]]): all id-ordered pairs sharing any band pattern,
-    * with exact cosine attached. Callers filter/top-k downstream. */
-  def signLshPairs(vectors: DataFrame, bands: Int, width: Int): DataFrame = {
+  /** ANN candidate pairs via random-hyperplane sign-LSH with exact cosine
+    * attached; callers filter/top-k downstream.
+    *
+    * Geometry: `bands` independent bands of `width` seeded Rademacher
+    * hyperplanes over ALL `dims` dimensions ([[graft.functions.RademacherPlanes]]
+    * — not axis-aligned leading-dim signs, which degenerate to 2^width
+    * fixed buckets of the first dims). Two vectors are candidates iff, in
+    * at least one band, their width-bit sign patterns differ by at most one
+    * bit (multiprobe radius 1 when `probe1`, exact bucket match otherwise).
+    *
+    * Scale knobs, and how to set them at corpus size n:
+    *   - `width`: pattern space must grow with n — width ≥ log2(n / target
+    *     bucket size) keeps expected bucket occupancy flat (16–24 bits for
+    *     1e6–1e9 vectors). Candidate volume per band is Σ bucket²/2, so
+    *     doubling width quarters it.
+    *   - `bands` buys recall: P(candidate) = 1 − (1 − p_band)^bands with
+    *     p_band = (1−θ/π)^width (+ width·(θ/π)(1−θ/π)^{width−1} with
+    *     multiprobe).
+    *   - `maxBucket` is the skew guard: a bucket larger than the cap (a
+    *     degenerate direction — e.g. all-zero or boilerplate embeddings)
+    *     is excluded from candidate generation entirely, bounding any
+    *     single bucket's join contribution at maxBucket² (AQE's skew-join
+    *     split handles the rest). The cap is part of the operator's
+    *     semantics and mirrored by the oracle.
+    *
+    * The fixture queries run bands=16/width=8 (calibrated for recall at the
+    * fixture's loose cos≥0.4 "near" threshold over 500–2000 vectors); the
+    * 100 TB defaults are bands=8/width=16+. */
+  def signLshPairs(vectors: DataFrame, seed: Long, bands: Int, width: Int,
+                   maxBucket: Int, probe1: Boolean = true,
+                   dims: Int = 64): DataFrame = {
     // per-vector norm computed once on the (small) vector side, not once
     // per candidate pair — cos values are bitwise unchanged (same sqrt(dot))
     val v = vectors.select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val e = v.select(col("id"),
-      explode(Dedup.signBands(col("v"), bands, width)).as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.pat").as("pat"))
-    val cand = e.as("a").join(e.as("b"),
-        col("a.band") === col("b.band") && col("a.pat") === col("b.pat") &&
+        posexplode(graft.functions.VectorExpressions.signBandPatterns(
+          col("v"), seed, bands, width, dims)))
+      .select(col("id"), col("pos").as("band"), col("col").as("pat"))
+    // bucket-size cap on exact buckets: oversized buckets opt out of
+    // candidate generation on BOTH sides (they carry no discriminative
+    // signal, like hot shingles in ngramJaccardPairs)
+    val kept = e.join(
+      e.groupBy(col("band"), col("pat")).agg(count(lit(1)).as("c"))
+        .where(col("c") <= maxBucket).select("band", "pat"),
+      Seq("band", "pat"))
+    val probes =
+      if (probe1)
+        kept.select(col("id"), col("band"), explode(array(
+          (0 until width).map(j => col("pat").bitwiseXOR(lit(1L << j))) :+
+            col("pat"): _*)).as("probe"))
+      else kept.select(col("id"), col("band"), col("pat").as("probe"))
+    val cand = kept.as("a").join(probes.as("b"),
+        col("a.band") === col("b.band") && col("a.pat") === col("b.probe") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("va"), col("b.id").as("vb"))
       .distinct()

@@ -1,0 +1,91 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.functions.{RademacherPlanes, VectorExpressions}
+import org.apache.spark.sql.functions._
+
+/** Sign-LSH invariants: plane determinism/balance, bucket-occupancy bounds
+  * on the fixture (the round-2 review's scale criterion: pattern space must
+  * not degenerate to a handful of buckets), recall vs brute force at the
+  * query threshold, and null-element propagation of the pattern kernel. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Seed = 42L
+
+  test("Rademacher planes are deterministic and balanced") {
+    val a = RademacherPlanes.planes(Seed, 4, 8, 64)
+    val b = RademacherPlanes.planes(Seed, 4, 8, 64)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val flat = a.flatten
+    assert(flat.forall(x => x == 1.0 || x == -1.0))
+    // unbiased coin: 2048 coefficients, expect ~1024 positive (6 sigma ~ 136)
+    val pos = flat.count(_ == 1.0)
+    assert(math.abs(pos - flat.length / 2) < 140, s"biased planes: $pos/+ of ${flat.length}")
+    // different seeds give different planes
+    val c = RademacherPlanes.planes(Seed + 1, 4, 8, 64)
+    assert(c.map(_.toSeq).toSeq != a.map(_.toSeq).toSeq)
+  }
+
+  test("sign patterns spread vectors across the band's pattern space") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val pats = emb.select(col("vec_id"), posexplode(
+        VectorExpressions.signBandPatterns(
+          col("embedding").cast("array<double>"), Seed, 16, 8, 64)))
+      .select(col("pos").as("band"), col("col").as("pat"))
+    val occ = pats.groupBy("band", "pat").count()
+      .groupBy("band").agg(countDistinct(col("pat")).as("buckets"),
+        max(col("count")).as("biggest"))
+      .collect()
+    occ.foreach { r =>
+      val (buckets, biggest) = (r.getLong(1), r.getLong(2))
+      // 500 vectors over 256 possible 8-bit patterns: a genuine random
+      // projection fills a large fraction; axis-aligned leading-dim bands
+      // (the round-2 weak point) would collapse far below this
+      assert(buckets >= 64, s"band ${r.get(0)}: only $buckets distinct patterns")
+      assert(biggest <= 100, s"band ${r.get(0)}: degenerate bucket of $biggest")
+    }
+  }
+
+  test("LSH pairs recall >= 85% of brute-force cos>=0.4 pairs on fixture (seeded)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val v = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val truth = v.as("a").crossJoin(v.as("b"))
+      .where(col("a.id") < col("b.id"))
+      .where(Similarity.cosine(col("a.v"), col("b.v")) >= 0.4)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain cos>=0.4 pairs")
+    val found = Similarity.signLshPairs(emb, Seed, 16, 8, 1024)
+      .where(col("cos") >= 0.4)
+      .select(col("va"), col("vb")).as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), "LSH must never invent pairs (exact verify)")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall (${found.size}/${truth.size})")
+  }
+
+  test("bucket cap excludes oversized buckets from candidates") {
+    // 40 identical vectors land in one bucket per band; cap=8 must drop
+    // them all, a lone distinct pair (ids 100, 101) must survive
+    val dup = (0 until 40).map(i => (i.toLong, Array(1.0, 2.0, 3.0, 4.0)))
+    val near = Seq((100L, Array(-1.0, 5.0, -2.0, 1.0)), (101L, Array(-1.0, 5.0, -2.0, 1.1)))
+    val emb = (dup ++ near).toDF("vec_id", "embedding")
+    val pairs = Similarity.signLshPairs(emb, Seed, 8, 6, maxBucket = 8, dims = 4)
+      .select(col("va"), col("vb")).as[(Long, Long)].collect().toSet
+    assert(!pairs.exists { case (a, b) => a < 40 && b < 40 },
+      "capped bucket must generate no candidate pairs")
+    assert(pairs.contains((100L, 101L)), "uncapped near pair must survive")
+  }
+
+  test("signBandPatterns propagates null elements") {
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, null, 3.0)),
+      (2L, Array[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "v")
+    val r = df.select(col("id"), VectorExpressions.signBandPatterns(
+        col("v").cast("array<double>"), Seed, 2, 4, 3).as("p"))
+      .orderBy("id").collect()
+    assert(r(0).isNullAt(1))
+    assert(!r(1).isNullAt(1) && r(1).getSeq[Long](1).size == 2)
+  }
+}
