@@ -110,7 +110,9 @@ object Samplers {
     * analysis when projected; express descending intent by negating or
     * inverting the expression instead. */
   def perGroupPlanned(df: DataFrame, groupCols: Seq[Column], k: Int,
-                      order: SampleOrder): DataFrame = {
+                      order: SampleOrder,
+                      maxGroupsInMemory: Int = graft.plans.TopKPerGroup.DefaultMaxGroups)
+      : DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
     val spark = df.sparkSession
@@ -132,7 +134,7 @@ object Samplers {
     val node = graft.plans.TopKPerGroup(
       gNames.map(attr(_)),
       oNames.map(n => SortOrder(attr(n), Ascending)),
-      k, child)
+      k, child, maxGroupsInMemory)
     GraftColumnBridge.ofRows(spark, node).drop((gNames ++ oNames): _*)
   }
 

@@ -34,6 +34,22 @@ class TopKPerGroupSpec extends SparkSpec {
       s"must not sort:\n${plan.take(1500)}")
   }
 
+  test("falls back to the spillable sort path above the live-group threshold") {
+    // 50k distinct groups through a 1k-group ceiling: every task degrades
+    // to the UnsafeExternalRowSorter path; selection must stay identical
+    // to the window-rank reference (handoff losslessness)
+    val df = spark.range(0, 200000)
+      .select((col("id") % 50000).as("g"), col("id").as("v"))
+    val planned = Samplers.perGroupPlanned(df, Seq(col("g")), 2,
+        SampleOrder.By(Seq(col("v"))), maxGroupsInMemory = 1000)
+      .select("g", "v").as[(Long, Long)].collect().toSet
+    val window = Samplers.perGroup(df, Seq(col("g")), 2,
+        SampleOrder.By(Seq(col("v"))))
+      .select("g", "v").as[(Long, Long)].collect().toSet
+    assert(planned.size == 100000) // 4 rows per group, top 2 each
+    assert(planned == window)
+  }
+
   test("groups smaller than k return all rows; k=1 returns one per group") {
     val totals = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
     val k = 100000 // larger than any group
