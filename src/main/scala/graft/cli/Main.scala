@@ -14,10 +14,13 @@ import scala.util.Try
 /** CLI shell mirroring the reference's subcommand surface and error
   * contract (SURVEY.md §2.12; reference: main.py:163-247):
   *
-  *   scrape  --urls-file F [--start-date D] [--end-date D]
-  *           (the network-free part: date-range filtering of an URL list;
-  *            downloading is ops tooling, not an analytics operator — S1/S4)
-  *   convert --in TSV... --flat-out DIR --hist-out DIR
+  *   scrape  (--urls-file F | --html-file F [--base-url U])
+  *           [--start-date D] [--end-date D]
+  *           (network-free: link scan of a saved HTML listing (S1) and/or
+  *            date-range filtering of the URL list; the transport side of
+  *            downloading lives in sources.Downloader (S4) behind an
+  *            injected stream)
+  *   convert --in TSV|ZIP... --flat-out DIR --hist-out DIR
   *   filter  --in DIR... --out DIR [--check-cols c1,c2,...]
   *   sample  --in DIR --mode {indexed|filtered|daily} [-n N] [--seed S]
   *           [--per-day K] [--filter JSON] [--columns c1,c2,...]
@@ -43,9 +46,24 @@ object Main {
 
   // ------------------------------------------------------------ commands
 
+  /** Listing base of the reference's scraper (scraper.py:88). */
+  private val DefaultBaseUrl = "http://data.gdeltproject.org/events/"
+
   private def scrape(flags: Flags): Unit = {
-    val src = scala.io.Source.fromFile(flags.req("urls-file"))
-    val urls = try src.getLines().toSeq finally src.close()
+    def readAll(path: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().toSeq finally src.close()
+    }
+    val urls = (flags.get("urls-file"), flags.get("html-file")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "Provide either --urls-file or --html-file, not both")
+      case (Some(f), None) => readAll(f)
+      case (None, Some(h)) => // S1: static-HTML link scan (scraper.py:78-122)
+        Files.scanGdeltLinks(readAll(h).mkString("\n"),
+          flags.get("base-url").getOrElse(DefaultBaseUrl))
+      case (None, None) => throw new IllegalArgumentException(
+        "Missing required --urls-file or --html-file")
+    }
     val start = flags.get("start-date").map(parseDate("start-date"))
     val end = flags.get("end-date").map(parseDate("end-date"))
     for (s <- start; e <- end)

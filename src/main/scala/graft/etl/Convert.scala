@@ -91,24 +91,31 @@ object Convert {
     if (!JFiles.exists(p)) JFiles.createFile(p)
   }
 
-  /** Full stage over a set of extracted TSV files: route daily files to the
-    * flat dataset and monthly/yearly files to the Hive tree, honoring
-    * `.done` markers for every input (converter.py:146-155; daily inputs
-    * included — the flat sink appends, so re-ingesting a processed daily
-    * file would duplicate its rows). Unrecognized filenames are reported,
-    * never silently dropped.
+  /** Full stage over raw inputs — extracted TSVs or `.zip` archives —
+    * routing daily files to the flat dataset and monthly/yearly files to
+    * the Hive tree, honoring `.done` markers for every input
+    * (converter.py:146-155; daily inputs included — the flat sink appends,
+    * so re-ingesting a processed daily file would duplicate its rows).
+    * `.zip` inputs are extracted driver-side first ([[graft.sources.Zip]],
+    * utils/io.py:16-49) with the idempotency marker kept on the ARCHIVE,
+    * so a re-run skips extraction and conversion wholesale. Unrecognized
+    * filenames are reported, never silently dropped.
     * Returns (daily, historical, skipped, unknown) file counts. */
-  def run(spark: SparkSession, tsvFiles: Seq[String], flatDir: String,
+  def run(spark: SparkSession, inputs: Seq[String], flatDir: String,
           histDir: String,
           config: graft.util.GraftConfig = graft.util.Config.Default)
       : (Int, Int, Int, Int) = {
+    val (zips, plain) = inputs.partition(_.toLowerCase.endsWith(".zip"))
+    val (zipsDone, zipsTodo) = zips.partition(isDone)
+    val tsvFiles = plain ++
+      zipsTodo.flatMap(z => graft.sources.Zip.unzip(z).map(_.toString))
     val byType = tsvFiles.groupBy(p => Files.detectFileType(fileZipName(p)))
     val unknown = byType.getOrElse("unknown", Nil)
     unknown.foreach(p =>
       System.err.println(s"[convert] unrecognized file name, not converted: $p"))
     def coerceCfg(df: DataFrame): DataFrame =
       coerce(df, config.numericColumns, Gdelt.intColumns)
-    var skipped = 0
+    var skipped = zipsDone.size
     val (dailyDone, dailyTodo) = byType.getOrElse("daily", Nil).partition(isDone)
     skipped += dailyDone.size
     if (dailyTodo.nonEmpty) {
@@ -126,6 +133,7 @@ object Convert {
         hist += todo.size
       }
     }
+    zipsTodo.foreach(markDone)
     (dailyTodo.size, hist, skipped, unknown.size)
   }
 

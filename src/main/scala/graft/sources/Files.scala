@@ -50,6 +50,34 @@ object Files {
       }.toOption
     } else None
 
+  /** GDELT dataset links from a static HTML listing (SURVEY.md §2.1 S1;
+    * reference: scraping/scraper.py:78-122 minus the Selenium driver — the
+    * events listing is a static page, the browser there is incidental).
+    * Every `<a href>` is extracted, relative refs resolve against
+    * `baseUrl` (mirroring Selenium's absolute `get_attribute("href")`),
+    * names are filtered by the reference's three archive shapes
+    * (scraper.py:110-115: daily = `*.export.CSV.zip`; monthly = 6 leading
+    * digits and length 10; yearly = 4 leading digits and length 8 — pure
+    * length checks, faithfully mirrored), and https downgrades to http
+    * exactly once per URL (scraper.py:116). */
+  def scanGdeltLinks(html: String, baseUrl: String): Seq[String] = {
+    val hrefRe = """(?is)<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"']+))""".r
+    val base = java.net.URI.create(baseUrl)
+    hrefRe.findAllMatchIn(html).flatMap { m =>
+      val raw = Option(m.group(2)).orElse(Option(m.group(3)))
+        .orElse(Option(m.group(4))).getOrElse("")
+      Try(base.resolve(raw).toString).toOption
+    }.filter { url =>
+      val name = url.split('/').last
+      val daily = name.endsWith(".export.CSV.zip")
+      val monthly = name.length == 10 && name.take(6).forall(_.isDigit)
+      val yearly = name.length == 8 && name.take(4).forall(_.isDigit)
+      daily || monthly || yearly
+    }.map { u =>
+      if (u.startsWith("https://")) "http://" + u.stripPrefix("https://") else u
+    }.toSeq
+  }
+
   /** Interval-overlap test with open bounds (scraper.py:197-203). */
   def overlaps(fileStart: LocalDate, fileEnd: LocalDate,
                start: Option[LocalDate], end: Option[LocalDate]): Boolean =

@@ -102,4 +102,41 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException](Main.main(Array(
       "scrape", "--urls-file", f.toString, "--start-date", "not-a-date")))
   }
+
+  test("scrape: link scan of a saved HTML listing (S1) feeds the date filter") {
+    val h = Paths.get(workDir, "events.html")
+    JFiles.write(h,
+      """<a href="20150218.export.CSV.zip">x</a>
+        |<a href="https://data.gdeltproject.org/events/2014.zip">y</a>
+        |<a href="not-a-dataset.html">z</a>""".stripMargin.getBytes)
+    Main.main(Array("scrape", "--html-file", h.toString,
+      "--start-date", "2015-01-01", "--end-date", "2015-12-31"))
+    // exactly one input source must be given
+    intercept[IllegalArgumentException](Main.main(Array(
+      "scrape", "--html-file", h.toString, "--urls-file", h.toString)))
+    intercept[IllegalArgumentException](Main.main(Array("scrape")))
+  }
+
+  test("convert: .zip archives extract, convert, and honor the archive .done marker") {
+    import graft.schema.Gdelt
+    val dir = JFiles.createTempDirectory("graft_zip_cli").toString
+    val m = Map("GlobalEventID" -> "1", "Day" -> "20130401",
+      "MonthYear" -> "201304", "Year" -> "2013", "QuadClass" -> "1")
+    val line = Gdelt.columns.map(c => m.getOrElse(c, "x")).mkString("\t")
+    val zipPath = Paths.get(dir, "20130401.export.CSV.zip")
+    val zout = new java.util.zip.ZipOutputStream(JFiles.newOutputStream(zipPath))
+    zout.putNextEntry(new java.util.zip.ZipEntry("20130401.export.CSV"))
+    zout.write(line.getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    spark // pin shared session
+
+    Main.main(Array("convert", "--in", zipPath.toString,
+      "--flat-out", s"$dir/flat", "--hist-out", s"$dir/hist"))
+    assert(spark.read.parquet(s"$dir/flat").count() == 1)
+    assert(JFiles.exists(Paths.get(zipPath.toString + ".done")))
+    // second run: archive skipped wholesale, no duplicate rows appended
+    Main.main(Array("convert", "--in", zipPath.toString,
+      "--flat-out", s"$dir/flat", "--hist-out", s"$dir/hist"))
+    assert(spark.read.parquet(s"$dir/flat").count() == 1)
+  }
 }

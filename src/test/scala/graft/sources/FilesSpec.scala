@@ -22,6 +22,26 @@ class FilesSpec extends AnyFunSuite {
     assert(Files.parseFileDate("2015.tar.zip").isEmpty)
   }
 
+  test("scanGdeltLinks: filters archive names, resolves relative, downgrades https") {
+    val html =
+      """<html><body>
+        |<a href="20130401.export.CSV.zip">daily relative</a>
+        |<a href="https://data.gdeltproject.org/events/201302.zip">monthly https</a>
+        |<A HREF='http://data.gdeltproject.org/events/1983.zip'>yearly quoted</A>
+        |<a href=2004.zip>yearly unquoted</a>
+        |<a href="index.html">not a dataset</a>
+        |<a href="README.TXT">nor this</a>
+        |<a href="20130401.export.csv.zip">case-sensitive daily suffix (ref contract)</a>
+        |<a name="anchor-without-href">skip</a>
+        |</body></html>""".stripMargin
+    val urls = Files.scanGdeltLinks(html, "http://data.gdeltproject.org/events/")
+    assert(urls == Seq(
+      "http://data.gdeltproject.org/events/20130401.export.CSV.zip",
+      "http://data.gdeltproject.org/events/201302.zip",
+      "http://data.gdeltproject.org/events/1983.zip",
+      "http://data.gdeltproject.org/events/2004.zip"))
+  }
+
   test("detectFileType") {
     assert(Files.detectFileType("20150218.export.CSV.zip") == "daily")
     assert(Files.detectFileType("201502.zip") == "monthly")
