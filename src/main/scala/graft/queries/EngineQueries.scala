@@ -115,10 +115,14 @@ object EngineQueries {
       val events = Tables.events(s, d)
       val cfg = events.where(col("event_id") % 97 === 0)
         .select(col("event_type"), col("ts"), col("value").as("cfg_value"))
-      graft.operators.AsOfJoin.lastValueBefore(
+      // salted path: event_type is a low-cardinality key, so the plain
+      // variant's one-window-partition-per-key shape would straggle at
+      // scale; daily buckets spread the window work while the bucket-spine
+      // carry keeps results row-identical (spec'd against lastValueBefore)
+      graft.operators.AsOfJoin.lastValueBeforeSalted(
         events.select("event_id", "event_type", "ts"), cfg,
         key = "event_type", leftTs = "ts", rightTs = "ts",
-        payloadCols = Seq("cfg_value"))
+        payloadCols = Seq("cfg_value"), bucketMs = 86400L * 1000)
         .select("event_id", "event_type", "cfg_value")
         .orderBy("event_id")
     }),

@@ -48,6 +48,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getDouble(1) == 2.0)
   }
 
+  test("salted variant is row-identical to the plain one across bucket widths") {
+    // fixture: events joined to a sparse cfg subset of itself — ts spans
+    // force multi-bucket stitching (in-bucket hit, carry from an earlier
+    // bucket, and no-prior nulls all occur)
+    val events = graft.Tables.events(spark, sf)
+    val left = events.select("event_id", "event_type", "ts")
+    val cfg = events.where($"event_id" % 97 === 0)
+      .select($"event_type", $"ts", $"value".as("cfg_value"))
+    val plain = AsOfJoin.lastValueBefore(left, cfg,
+        "event_type", "ts", "ts", Seq("cfg_value"))
+      .select("event_id", "cfg_value")
+      .as[(Long, Option[Double])].collect().toMap
+    for (bucketMs <- Seq(1000L, 3600L * 1000, 30L * 86400 * 1000)) {
+      val salted = AsOfJoin.lastValueBeforeSalted(left, cfg,
+          "event_type", "ts", "ts", Seq("cfg_value"), bucketMs)
+        .select("event_id", "cfg_value")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(salted == plain, s"bucketMs=$bucketMs")
+    }
+    assert(plain.values.exists(_.isEmpty) && plain.values.exists(_.nonEmpty),
+      "fixture must exercise both matched and no-prior rows")
+  }
+
+  test("salted variant: numeric ts buckets in the column's own unit") {
+    val left = Seq((1L, "a", 5L), (2L, "a", 25L), (3L, "a", 99L)).toDF("id", "k", "t")
+    val right = Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.lastValueBeforeSalted(left, right, "k", "t", "rt", Seq("v"), 10L)
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).contains(2.0) && out(3L).contains(2.0))
+  }
+
   test("payload-name collision with left columns is rejected") {
     val l = Seq((1L, "a", ts("09:00"), 0.0)).toDF("id", "k", "ts", "cfg")
     val r = Seq(("a", ts("08:00"), 1.0)).toDF("k", "rts", "cfg")
