@@ -174,6 +174,48 @@ object Dedup {
       .select("ida", "idb", "shared", "jac")
   }
 
+  // ------------------------------------------------- duplicate clusters
+
+  /** Connected components over a near-duplicate PAIR graph: every document
+    * that appears in `pairs` is labeled with the minimum doc id reachable
+    * through pair edges (its cluster id) — the step that turns pairwise
+    * near-dup evidence into "keep one per cluster" decisions.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * (symmetric) edge list with current labels, takes the min neighbor
+    * label per node, and lowers labels that improve; convergence when no
+    * label changes. Rounds = graph diameter — near-dup components are
+    * near-cliques out of LSH banding, so 2–3 rounds in practice
+    * (production-hardening for adversarial long chains would add the
+    * star-contraction variants; the join/agg shape is identical). Each
+    * round is one shuffle on the node id; `localCheckpoint` truncates the
+    * growing lineage so round N's plan does not replay rounds 1..N-1.
+    * Deterministic for any input partitioning (min is order-insensitive).
+    *
+    * Returns (doc_id, cluster_id), one row per distinct doc in `pairs`. */
+  def duplicateClusters(pairs: DataFrame, idaCol: Column, idbCol: Column): DataFrame = {
+    val edges = pairs.select(idaCol.as("src"), idbCol.as("dst"))
+      .unionByName(pairs.select(idbCol.as("src"), idaCol.as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.where(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. Integer set
     * sizes divided as doubles — bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {

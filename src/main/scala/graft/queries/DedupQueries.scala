@@ -47,13 +47,10 @@ object DedupQueries {
       Dedup.simhash(withSig(s, d), col("doc_id"), col("shingles"))
     }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact dedup: hash-groupBy on the canonical md5 fingerprint
-    "q_dedup_exact" -> ((s, d) =>
-      Dedup.exactGroups(docs(s, d), col("doc_id"), col("text")).orderBy("keep_id")),
-
-    // MinHash + LSH banding → candidate pairs → exact-Jaccard verify
-    "q_dedup_minhash_lsh" -> ((s, d) => {
+  /** Memoized MinHash-LSH verified pair table (ida, idb, sig_matches, jac
+    * ≥ 0.8) — shared by q_dedup_minhash_lsh and q_dedup_clusters. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "minhash_pairs") {
       val sig = withSig(s, d)
       val cand = Dedup.lshCandidates(sig, col("doc_id"), col("sig"), BANDS, R)
       cand
@@ -67,8 +64,22 @@ object DedupQueries {
         .withColumn("jac", Dedup.jaccard(col("xa"), col("xb")))
         .where(col("jac") >= 0.8)
         .select("ida", "idb", "sig_matches", "jac")
-        .orderBy("ida", "idb")
-    }),
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy on the canonical md5 fingerprint
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d), col("doc_id"), col("text")).orderBy("keep_id")),
+
+    // MinHash + LSH banding → candidate pairs → exact-Jaccard verify
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      minhashPairs(s, d).orderBy("ida", "idb")),
+
+    // pair graph → connected components: the "keep one per cluster" step;
+    // iterative min-label propagation, oracle = DuckDB recursive CTE
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
+        .orderBy("doc_id")),
 
     // n-gram Jaccard via inverted-index join with a document-frequency
     // cutoff on the candidate stage (df <= MaxDf): hot stop-shingles cannot
@@ -169,6 +180,33 @@ object DedupQueries {
             JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)
           SELECT ida, idb, sig_matches, jac FROM j
           WHERE jac >= 0.8 ORDER BY ida, idb""",
+
+    // same candidate+verify chain as q_dedup_minhash_lsh, then transitive
+    // closure over the symmetric pair edges — cluster id = min reachable id
+    "q_dedup_clusters" ->
+      s"""${shCte.replaceFirst("WITH", "WITH RECURSIVE")},
+          $sigCte,
+          bands AS (
+            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+            FROM sig, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          p AS (
+            SELECT ida, idb
+            FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                    / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                       - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) >= 0.8),
+          edges AS (SELECT ida AS a, idb AS b FROM p
+                    UNION ALL SELECT idb, ida FROM p),
+          reach AS (
+            SELECT DISTINCT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_ngram_jaccard" ->
       s"""$shCte,

@@ -68,6 +68,19 @@ class DedupSpec extends SparkSpec {
     assert(loose == out, "cutoff must not change emitted pair values, only recall")
   }
 
+  test("duplicateClusters: min-label connected components, multi-hop chains") {
+    // component {1,2,3,4} as a chain (diameter 3 → several propagation
+    // rounds), pair {10,11}, and a long path 20..26 (min label must walk
+    // six hops before the loop may stop)
+    val pairs = (Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)) ++
+      (20L until 26L).map(i => (i, i + 1))).toDF("ida", "idb")
+    val out = Dedup.duplicateClusters(pairs, col("ida"), col("idb"))
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L) ++ (20L to 26L).map(_ -> 20L).toMap
+    assert(out == expected)
+  }
+
   test("simhash: deterministic and insensitive to feature order") {
     val a = Seq((1L, Seq("aa", "bb", "cc"))).toDF("doc_id", "f")
     val b = Seq((1L, Seq("cc", "aa", "bb"))).toDF("doc_id", "f")
