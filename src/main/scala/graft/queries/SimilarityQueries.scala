@@ -93,7 +93,45 @@ object SimilarityQueries {
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d),
         nCentroids = 8, queryMaxId = QuerySetMax, k = 3)
-        .orderBy("qid", "rank"))
+        .orderBy("qid", "rank")),
+
+    // unit normalization: scalar probes of the normalized array plus its
+    // recomputed norm (exercises every element bitwise)
+    "q_sim_normalize" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = Similarity.normalize(col("v"))
+      v.select(col("vec_id"),
+          element_at(n, 1).as("n1"),
+          element_at(n, 33).as("n33"),
+          Similarity.l2norm(n).as("renorm"))
+        .orderBy("vec_id")
+    }),
+
+    // symmetric int8 quantization (scale = max |x|, floor(x+0.5) round)
+    "q_sim_quantize" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qz = Similarity.quantizeInt8(col("v"))
+      v.select(col("vec_id"), qz.as("qz"))
+        .select(col("vec_id"),
+          col("qz.scale").as("scale"),
+          element_at(col("qz.q"), 1).as("q1"),
+          element_at(col("qz.q"), 33).as("q33"),
+          aggregate(col("qz.q"), lit(0L), (acc, x) => acc + x).as("qsum"))
+        .orderBy("vec_id")
+    }),
+
+    // seeded Rademacher random projection 64 → 8 dims (JL sketch)
+    "q_sim_rproj" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val p = Similarity.randomProjection(col("v"), seed = 7L, outDims = 8, dims = 64)
+      v.select(col("vec_id"),
+          element_at(p, 1).as("p1"),
+          element_at(p, 8).as("p8"))
+        .orderBy("vec_id")
+    })
   )
 
   private def dotSql(a: String, b: String): String =
@@ -131,6 +169,53 @@ object SimilarityQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM directed WHERE qid < $QuerySetMax)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "q_sim_normalize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT vec_id, v,
+                       sqrt(${dotSql("v", "v")}) AS nrm
+                FROM e),
+          u AS (SELECT vec_id,
+                       list_transform(v, x -> x / nrm) AS un
+                FROM n)
+          SELECT vec_id,
+                 un[1] AS n1,
+                 un[33] AS n33,
+                 sqrt(${dotSql("un", "un")}) AS renorm
+          FROM u ORDER BY vec_id""",
+
+    "q_sim_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS scale
+               FROM e),
+         q AS (SELECT vec_id, scale,
+                      CASE WHEN scale = 0
+                           THEN list_transform(v, x -> 0)
+                           ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+                      END AS qv
+               FROM s)
+         SELECT vec_id, scale,
+                qv[1] AS q1,
+                qv[33] AS q33,
+                list_reduce(list_prepend(0::BIGINT, list_transform(qv, x -> CAST(x AS BIGINT))),
+                  (a, b) -> a + b) AS qsum
+         FROM q ORDER BY vec_id""",
+
+    "q_sim_rproj" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pl AS (SELECT j,
+                  [CASE WHEN substr(md5('7:0:' || j || ':' || d), 1, 1) <= '7'
+                        THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS r
+                FROM range(0, 8) tj(j)),
+         p AS (SELECT e.vec_id, pl.j,
+                 list_reduce(list_prepend(0.0, [e.v[d+1] * pl.r[d+1] for d in range(0, 64)]),
+                   (x, y) -> x + y) AS pv
+               FROM e, pl)
+         SELECT vec_id,
+                max(CASE WHEN j = 0 THEN pv END) AS p1,
+                max(CASE WHEN j = 7 THEN pv END) AS p8
+         FROM p GROUP BY vec_id ORDER BY vec_id""",
 
     "q_sim_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -36,6 +36,43 @@ object Similarity {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Unit-normalized copy of a vector (each element divided by the L2
+    * norm). Elementwise ops on a shared scalar — bitwise reproducible
+    * cross-engine. Zero vectors normalize to NaNs (0/0), matching SQL
+    * division semantics in both engines. */
+  def normalize(vec: Column): Column = {
+    val n = l2norm(vec)
+    transform(vec, x => x / n)
+  }
+
+  /** Symmetric int8 quantization: scale = max |element|, each element maps
+    * to floor(x·127/scale + 0.5) ∈ [-127, 127] (floor(x+0.5) is
+    * round-half-up in BOTH engines — `round()` is not: Spark rounds
+    * half-up, DuckDB half-away — so the formula, not the builtin, is the
+    * cross-engine contract). Zero vectors quantize to zeros. Returns a
+    * struct (scale, q) — 8× smaller vectors for ANN candidate stages, with
+    * `scale` kept for dequantization. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x)))
+    val q = when(scale === 0.0,
+        transform(vec, _ => lit(0))) // all-zero vector: keep zeros, not 0/0
+      .otherwise(transform(vec, x => floor(x * lit(127.0) / scale + lit(0.5)).cast("int")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Johnson–Lindenstrauss-style random projection to `outDims` via the
+    * same seeded Rademacher planes as sign-LSH ([[graft.functions.RademacherPlanes]],
+    * band 0, bit j = output dim j): out[j] = dot(v, r_j), fixed-order IEEE
+    * accumulation through the codegen'd dot kernel — the oracle rebuilds
+    * identical planes from the shared md5 formula. E[‖out‖²] = outDims·‖v‖²
+    * (Rademacher rows have unit-variance entries); distances are preserved
+    * in expectation, at 64→outDims bytes the scale win for distance-based
+    * candidate generation. */
+  def randomProjection(vec: Column, seed: Long, outDims: Int, dims: Int): Column = {
+    val planes = graft.functions.RademacherPlanes.planes(seed, 1, outDims, dims)
+    array(planes.toIndexedSeq.map(p => dot(vec, typedlit(p.toSeq))): _*)
+  }
+
   /** Brute-force exact top-k by cosine: for each row of `queries`, the k
     * nearest `corpus` rows (excluding self-matches on id equality). The
     * query side is expected to be small — Spark broadcasts it, so the

@@ -77,6 +77,50 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((100L, 101L)), "uncapped near pair must survive")
   }
 
+  test("normalize: unit norm; quantizeInt8: bounds, round-trip error, zero guard") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = emb.select(Similarity.l2norm(Similarity.normalize(col("v"))).as("rn"))
+      .as[Double].collect()
+    assert(n.forall(x => math.abs(x - 1.0) < 1e-12))
+    val qz = emb.select(col("v"), Similarity.quantizeInt8(col("v")).as("z"))
+      .select(col("v"), col("z.scale").as("s"), col("z.q").as("q"))
+      .as[(Seq[Double], Double, Seq[Int])].collect()
+    qz.foreach { case (v, s, q) =>
+      assert(q.forall(x => x >= -127 && x <= 127))
+      // dequantized error bounded by half a quantization step per element
+      v.zip(q).foreach { case (x, xq) =>
+        assert(math.abs(x - xq * s / 127.0) <= s / 127.0 * 0.5 + 1e-12)
+      }
+    }
+    // zero vector: zeros, not NaNs
+    val z = Seq((1L, Array(0.0, 0.0, 0.0))).toDF("vec_id", "v")
+      .select(Similarity.quantizeInt8(col("v")).as("z"))
+      .select(col("z.q")).as[Seq[Int]].collect()(0)
+    assert(z == Seq(0, 0, 0))
+  }
+
+  test("randomProjection: deterministic, JL norm expectation on fixture") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val out = 8
+    val p = Similarity.randomProjection(col("v"), seed = 7L, outDims = out, dims = 64)
+    val df = emb.select(
+      Similarity.dot(col("v"), col("v")).as("n2"),
+      Similarity.dot(p, p).as("p2"))
+    // E[|Rv|^2] = outDims * |v|^2 for Rademacher rows — the fixture mean
+    // ratio must sit near outDims (loose band: JL is an expectation)
+    val ratio = df.select(avg(col("p2") / col("n2"))).as[Double].collect()(0)
+    assert(math.abs(ratio - out) < out * 0.35, s"mean |Rv|^2/|v|^2 = $ratio, want ~$out")
+    // deterministic: same seed → identical, different seed → different
+    val p1 = emb.select(element_at(p, 1)).as[Double].collect().toSeq
+    val p1b = emb.select(element_at(
+      Similarity.randomProjection(col("v"), 7L, out, 64), 1)).as[Double].collect().toSeq
+    val p1c = emb.select(element_at(
+      Similarity.randomProjection(col("v"), 8L, out, 64), 1)).as[Double].collect().toSeq
+    assert(p1 == p1b && p1 != p1c)
+  }
+
   test("signBandPatterns propagates null elements") {
     val df = Seq(
       (1L, Array[java.lang.Double](1.0, null, 3.0)),
