@@ -57,10 +57,15 @@ object Sessionize {
             }
             acc.foreach { a =>
               state.update(a)
-              // a late-but-admitted event can compute end_ms + gapMs at or
-              // below the current watermark, which setTimeoutTimestamp
-              // rejects (killing the query) — clamp to just past the
-              // watermark so the session closes on the next trigger instead
+              // setTimeoutTimestamp rejects (killing the query) any timeout
+              // not strictly later than the current watermark. Spark 4's
+              // FlatMapGroupsWithStateExec drops input rows older than the
+              // watermark before they reach this function (verified
+              // empirically), so end_ms + gapMs <= watermark needs the
+              // boundary case (event AT the watermark with a zero-ish gap)
+              // — clamp to watermark+1 so that case, and any future change
+              // to the late-row admission policy, degrades to "close on
+              // next trigger" instead of a query crash
               val floor = state.getCurrentWatermarkMs() + 1
               state.setTimeoutTimestamp(math.max(a.end_ms + gapMs, floor))
             }
