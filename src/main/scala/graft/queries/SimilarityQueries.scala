@@ -95,6 +95,14 @@ object SimilarityQueries {
         nCentroids = 8, queryMaxId = QuerySetMax, k = 3)
         .orderBy("qid", "rank")),
 
+    // trained IVF: 2 Lloyd iterations (exact integer-microunit centroid
+    // sums → partition-order-independent AND bitwise cross-engine), then
+    // nearest-centroid assignment
+    "q_sim_ivf_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cell"), col("dist2"))
+        .orderBy("vec_id")),
+
     // unit normalization: scalar probes of the normalized array plus its
     // recomputed norm (exercises every element bitwise)
     "q_sim_normalize" -> ((s, d) => {
@@ -169,6 +177,38 @@ object SimilarityQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM directed WHERE qid < $QuerySetMax)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "q_sim_ivf_kmeans" -> {
+      def dist2(v: String, cv: String) =
+        s"(${dotSql(v, v)} - 2.0 * ${dotSql(v, cv)}) + ${dotSql(cv, cv)}"
+      def step(n: Int, centsCte: String) =
+        s"""s$n AS (SELECT e.vec_id AS id, e.v, c.cid,
+                      ${dist2("e.v", "c.cv")} AS dist2
+                    FROM e CROSS JOIN $centsCte c),
+            a$n AS (SELECT id, v, cid, dist2 FROM (
+                      SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+                      FROM s$n) WHERE rn = 1),
+            m$n AS (SELECT cid, dim,
+                      CAST(sum(CAST(floor(v[dim+1] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / (CAST(count(*) AS DOUBLE) * 1000000.0) AS cval
+                    FROM a$n, range(0, 64) t(dim) GROUP BY 1, 2),
+            u$n AS (SELECT cid, list(cval ORDER BY dim) AS cv FROM m$n GROUP BY 1)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          ${step(1, "c0")},
+          c1 AS (SELECT c0.cid, coalesce(u1.cv, c0.cv) AS cv
+                 FROM c0 LEFT JOIN u1 USING (cid)),
+          ${step(2, "c1")},
+          c2 AS (SELECT c1.cid, coalesce(u2.cv, c1.cv) AS cv
+                 FROM c1 LEFT JOIN u2 USING (cid)),
+          sf AS (SELECT e.vec_id AS id, c.cid,
+                   ${dist2("e.v", "c.cv")} AS dist2
+                 FROM e CROSS JOIN c2 c),
+          af AS (SELECT id, cid, dist2 FROM (
+                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+                   FROM sf) WHERE rn = 1)
+          SELECT id AS vec_id, cid AS cell, dist2 FROM af ORDER BY vec_id"""
+    },
 
     "q_sim_normalize" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -82,6 +82,22 @@ object TextQueries {
         .withColumn("split", when(col("bucket") < 95, lit("train")).otherwise(lit("val")))
         .orderBy("doc_id")),
 
+    // chunk-level dedup: fingerprint every training chunk and keep the
+    // lowest (doc, idx) occurrence per duplicate group — the dedup
+    // granularity that actually matters for an LLM mix (boilerplate
+    // paragraphs recur across otherwise-distinct documents). Composite
+    // numeric keep_key = doc_id*1e6 + chunk_idx is the deterministic
+    // cross-engine "first wins" tiebreak.
+    "q_text_chunk_dedup" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          posexplode(chunkTokens(col("text"), 32, 24)).as(Seq("chunk_idx", "chunk")))
+        .groupBy(md5(col("chunk")).as("chunk_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id") * 1000000 + col("chunk_idx")).as("keep_key"))
+        .where(col("n_copies") > 1)
+        .orderBy("chunk_md5")),
+
     // corpus document frequency: tokens by number of documents containing
     // them, top 20 (deterministic tiebreak on the token)
     "q_text_docfreq" -> ((s, d) => {
@@ -187,6 +203,31 @@ object TextQueries {
                 md5(chunk) AS chunk_md5,
                 CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
          FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_text_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+                  greatest(CAST(ceil(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT), 1)
+                    AS n_chunks
+           FROM t WHERE len(toks) > 0),
+         e AS (
+           SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c),
+         ch AS (
+           SELECT doc_id, i AS chunk_idx,
+                  array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk
+           FROM e)
+         SELECT md5(chunk) AS chunk_md5,
+                CAST(count(*) AS BIGINT) AS n_copies,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                min(doc_id * 1000000 + chunk_idx) AS keep_key
+         FROM ch GROUP BY 1
+         HAVING count(*) > 1
+         ORDER BY chunk_md5""",
 
     "q_text_split" ->
       """SELECT doc_id,

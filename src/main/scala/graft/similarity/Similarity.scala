@@ -144,6 +144,69 @@ object Similarity {
       .select("qid", "nid", "rank", "cos")
   }
 
+  /** One Lloyd assignment step: each vector to its nearest centroid by
+    * squared L2 distance, ties → lowest cid. The dist2 expression keeps a
+    * fixed association order so the oracle reproduces it bitwise. */
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
+          dot(col("cv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid"), col("dist2"))
+  }
+
+  /** Lloyd k-means training for the IVF coarse quantizer, engineered for
+    * determinism at cluster scale: the centroid-mean numerators accumulate
+    * as exact BIGINT micro-units (`floor(x·10⁶ + 0.5)` per element —
+    * integer addition is associative, so the result is partition-order
+    * independent, unlike a double sum) and divide back out in one double
+    * division. The 10⁻⁶ input quantization is irrelevant for a coarse
+    * quantizer and buys bitwise cross-engine reproducibility — the DuckDB
+    * oracle mirrors the identical integer sums. Headroom: |x| ≤ 10³ over
+    * 10⁹ rows stays under 2⁶³.
+    *
+    * Init = the first k vectors by id (deterministic); empty cells keep
+    * their previous centroid; iters = 0 returns the init set.
+    * Returns (cid, cv). */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int,
+                      dims: Int = 64): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val v = vectors.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    var cents = v.where(col("id") < k).select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(v, cents)
+      val means = (0 until dims).map { d0 =>
+        (sum(floor(element_at(col("v"), d0 + 1) * 1e6 + lit(0.5)).cast("long"))
+          .cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6))).as(s"__c$d0")
+      }
+      val updated = assigned.groupBy(col("cid"))
+        .agg(means.head, means.tail: _*)
+        .select(col("cid"),
+          array((0 until dims).map(d0 => col(s"__c$d0")): _*).as("cv"))
+      cents = cents.select(col("cid"), col("cv").as("prev"))
+        .join(updated.select(col("cid"), col("cv").as("upd")), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("upd"), col("prev")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Trained-IVF cell assignment: k-means centroids ([[kmeansCentroids]])
+    * then one nearest-centroid pass. Returns (id, cell, dist2). */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
+                   dims: Int = 64): DataFrame = {
+    val v = vectors.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    assignCells(v, kmeansCentroids(vectors, k, iters, dims))
+      .select(col("id"), col("cid").as("cell"), col("dist2"))
+  }
+
   /** ANN candidate pairs via random-hyperplane sign-LSH with exact cosine
     * attached; callers filter/top-k downstream.
     *

@@ -121,6 +121,28 @@ class SimilaritySpec extends SparkSpec {
     assert(p1 == p1b && p1 != p1c)
   }
 
+  test("kmeans: SSE non-increasing over iterations, partition-layout independent") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def sse(iters: Int, repart: Int = 0): (Double, Map[Long, Long]) = {
+      val base = if (repart > 0) emb.repartition(repart) else emb
+      val a = Similarity.kmeansAssign(base, k = 8, iters = iters)
+        .select(col("id"), col("cell"), col("dist2"))
+        .as[(Long, Long, Double)].collect()
+      (a.map(_._3).sum, a.map(t => t._1 -> t._2).toMap)
+    }
+    val (sse0, _) = sse(0)
+    val (sse1, _) = sse(1)
+    val (sse2, asg2) = sse(2)
+    // Lloyd monotonicity (micro-unit quantization can cost at most ~1e-6
+    // per centroid element — drowned by the assertion margin)
+    assert(sse1 <= sse0 * 1.001, s"iter1 SSE $sse1 > init $sse0")
+    assert(sse2 <= sse1 * 1.001, s"iter2 SSE $sse2 > iter1 $sse1")
+    assert(sse2 < sse0, "training must actually improve the objective")
+    // integer-microunit sums make the result independent of partitioning
+    val (_, asg2b) = sse(2, repart = 7)
+    assert(asg2b == asg2)
+  }
+
   test("signBandPatterns propagates null elements") {
     val df = Seq(
       (1L, Array[java.lang.Double](1.0, null, 3.0)),
