@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+/** Contiguous sequence packing — assign documents to fixed token-budget
+  * bins (pretraining batch assembly; builder-prompt extension surface).
+  *
+  * Semantics: documents are laid out in `orderCol` order and cut into bins
+  * of `budget` tokens: a document's bin is `floor(exclusive_prefix_sum /
+  * budget)`. Contiguous packing trades perfect bin fill for a single
+  * deterministic pass (the greedy bin-covering alternative is inherently
+  * sequential and order-sensitive); oversized documents simply span their
+  * arithmetic share of the budget space.
+  *
+  * Scale shape mirrors [[StableIds]]: the naive
+  * `sum() OVER (ORDER BY …)` running total forces every row through ONE
+  * window partition — a non-starter at 100 TB. Instead: range-partition by
+  * the ordering key, per-partition token totals (one tiny job — #partitions
+  * longs to the driver), offsets broadcast back, then a map-side
+  * in-partition scan. Identical output to the window formulation for a
+  * unique ordering key, independent of partition boundaries (offsets
+  * compensate wherever the range cut lands).
+  */
+object Packing {
+
+  /** Append `binCol` = floor(exclusive running token total / budget) in
+    * `orderCol` order. `tokensCol` must be non-negative; `orderCol` unique
+    * for a deterministic layout. */
+  def packByBudget(df: DataFrame, orderCol: Column, tokensCol: Column,
+                   budget: Long, binCol: String = "bin"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains(binCol), s"column '$binCol' already exists")
+    val tok = "__pack_toks"
+    require(!df.columns.contains(tok), s"column '$tok' is reserved")
+    val spark = df.sparkSession
+    val sorted = df.withColumn(tok, tokensCol.cast("long"))
+      .repartitionByRange(orderCol)
+      .sortWithinPartitions(orderCol)
+    val tokIdx = sorted.schema.fieldIndex(tok)
+    // pass 1: per-partition token totals → exclusive partition offsets
+    val totals = sorted.select(col(tok)).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(0))
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    // pass 2: in-partition scan with the broadcast offset
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(binCol, LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val bin = run / budget
+        run += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    spark.createDataFrame(rows, outSchema).drop(tok)
+  }
+}

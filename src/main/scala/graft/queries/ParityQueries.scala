@@ -152,6 +152,19 @@ object ParityQueries {
         count(when(col("value") <= 0, 1)).as("n_nonpos"))
     }),
 
+    // mixture sampling: exact per-source targets (the dataset-mixing step
+    // of a training recipe); targets deliberately include an under-sized
+    // source (purchase: full take) and omitted sources (0 rows).
+    // Invariant oracle: per-source size = least(target, source size).
+    "q_sample_mix" -> ((s, d) => {
+      val sampled = Samplers.mixExact(ev(s, d), col("event_type"),
+        Map("click" -> 400, "view" -> 150, "purchase" -> 5000),
+        SampleOrder.HashOf(42, Seq(col("event_id"))))
+      sampled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy("event_type")
+    }),
+
     // Custom-plan path: exact-k per stratum through the TopKPerGroup
     // LogicalPlan/Strategy/Exec (k-bounded heaps, no group sort) — same
     // deterministic selection as q_sample_stratified's window form, so the
@@ -280,6 +293,17 @@ object ParityQueries {
       """SELECT LEAST(500, count(*) FILTER (value > 0)) AS n,
                 CAST(0 AS BIGINT) AS n_nonpos
          FROM events""",
+
+    "q_sample_mix" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+         t AS (SELECT event_type, cnt,
+                 CASE event_type WHEN 'click' THEN 400 WHEN 'view' THEN 150
+                      WHEN 'purchase' THEN 5000 ELSE 0 END AS tgt
+               FROM c)
+         SELECT event_type,
+                CAST(least(cnt, tgt) AS BIGINT) AS n,
+                CAST(least(cnt, tgt) AS BIGINT) AS n_distinct
+         FROM t WHERE least(cnt, tgt) > 0 ORDER BY event_type""",
 
     "q_sample_topk_planned" ->
       """SELECT event_id, user_id, event_type, value

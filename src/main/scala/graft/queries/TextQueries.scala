@@ -82,6 +82,18 @@ object TextQueries {
         .withColumn("split", when(col("bucket") < 95, lit("train")).otherwise(lit("val")))
         .orderBy("doc_id")),
 
+    // contiguous sequence packing: 256-token bins in doc_id order via the
+    // distributed two-phase prefix sum (no single-partition window) —
+    // exact-mirrored by the oracle's running-window formulation
+    "q_text_packing" -> ((s, d) => {
+      val withN = docs(s, d).select(col("doc_id"),
+        size(tokens(normalized(col("text")))).cast("long").as("n_tokens"))
+      graft.operators.Packing.packByBudget(withN, col("doc_id"),
+          col("n_tokens"), budget = 256L)
+        .select("doc_id", "n_tokens", "bin")
+        .orderBy("doc_id")
+    }),
+
     // chunk-level dedup: fingerprint every training chunk and keep the
     // lowest (doc, idx) occurrence per duplicate group — the dedup
     // granularity that actually matters for an LLM mix (boilerplate
@@ -203,6 +215,22 @@ object TextQueries {
                 md5(chunk) AS chunk_md5,
                 CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
          FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_text_packing" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+                       THEN 0
+                       ELSE len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'))
+                  END AS nt
+           FROM documents),
+         p AS (
+           SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                  coalesce(sum(CAST(nt AS BIGINT)) OVER
+                    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+           FROM n)
+         SELECT doc_id, n_tokens, pfx // 256 AS bin
+         FROM p ORDER BY doc_id""",
 
     "q_text_chunk_dedup" ->
       """WITH t AS (

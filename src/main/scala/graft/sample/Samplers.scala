@@ -178,6 +178,25 @@ object Samplers {
       .drop(rn, wh)
   }
 
+  /** Mixture sampling: exact per-source sample sizes — the dataset-mixing
+    * step of a training recipe ("40k from web, 10k from code, 1k from
+    * math"). One rank window partitioned by source, target looked up from
+    * a broadcast map literal; sources absent from `targets` contribute 0
+    * rows, sources smaller than their target contribute everything.
+    * Shuffle = the single hash exchange on the source column. */
+  def mixExact(df: DataFrame, sourceCol: Column, targets: Map[String, Int],
+               order: SampleOrder): DataFrame = {
+    require(targets.values.forall(_ >= 0), "targets must be >= 0")
+    val tmap = map(targets.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }.toSeq: _*)
+    val rn = Iterator.from(0).map(i => s"__mx$i")
+      .find(nm => !df.columns.contains(nm)).get
+    val w = Window.partitionBy(sourceCol).orderBy(order.sortExprs: _*)
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= coalesce(element_at(tmap, sourceCol.cast("string")), lit(0)))
+      .drop(rn)
+  }
+
   /** Filter-then-materialize (R3): predicate + projection, no sampling.
     * Catalyst pushes both into the scan. */
   def filterMaterialize(df: DataFrame, pred: Column,

@@ -44,6 +44,25 @@ class SamplersSpec extends SparkSpec {
     assert(naCount == 5)
   }
 
+  test("mixExact: per-source targets, undersized sources full-take, omitted drop") {
+    val ev = graft.Tables.events(spark, sf)
+    val sizes = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val targets = Map("click" -> 7, "view" -> 1000000, "signup" -> 0)
+    val mixed = Samplers.mixExact(ev, col("event_type"), targets,
+      SampleOrder.HashOf(42, Seq(col("event_id"))))
+    val got = mixed.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "click" -> math.min(7L, sizes("click")),
+      "view" -> sizes("view"))) // under-sized target → full take; 0/omitted → absent
+    // content-hash order ⇒ identical selection under any partitioning
+    val a = mixed.select("event_id").as[Long].collect().toSet
+    val b = Samplers.mixExact(ev.repartition(13), col("event_type"), targets,
+        SampleOrder.HashOf(42, Seq(col("event_id"))))
+      .select("event_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("HashOf sample is identical under different partitionings") {
     val order = SampleOrder.HashOf(42, Seq($"event_id"))
     val a = Samplers.uniformExact(ev.repartition(1), 50, order)
