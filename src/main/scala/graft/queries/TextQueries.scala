@@ -82,6 +82,32 @@ object TextQueries {
         .withColumn("split", when(col("bucket") < 95, lit("train")).otherwise(lit("val")))
         .orderBy("doc_id")),
 
+    // end-to-end corpus curation funnel, per source: quality gate →
+    // langid-vs-label gate → exact-dedup keep (min doc_id per
+    // fingerprint) — the composed pipeline a curation run actually
+    // executes, verified as one query
+    "q_text_curate" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+        .withColumn("quality", qualityScore(col("text")))
+        .withColumn("pred", langId(col("text")))
+      val surv = base.where(col("quality") >= 0.5 && col("pred") === col("lang"))
+        .withColumn("fp", fingerprintMd5(col("text")))
+      val kept = surv.withColumn("keep",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"))))
+        .where(col("doc_id") === col("keep"))
+      base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("quality") >= 0.5, 1)).as("n_quality"),
+          count(when(col("quality") >= 0.5 && col("pred") === col("lang"), 1)).as("n_lang"))
+        .join(kept.groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept", "kept_chars"))
+        .orderBy("source")
+    }),
+
     // contiguous sequence packing: 256-token bins in doc_id order via the
     // distributed two-phase prefix sum (no single-partition window) —
     // exact-mirrored by the oracle's running-window formulation
@@ -215,6 +241,61 @@ object TextQueries {
                 md5(chunk) AS chunk_md5,
                 CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
          FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_text_curate" ->
+      s"""WITH t AS (
+            SELECT doc_id, source, lang, n_chars, text,
+                   CAST(length(text) AS DOUBLE) AS chars,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS toksn,
+                   len(list_filter($sqlToks,
+                         t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS n_stop,
+                   len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}*#@&%/\\\\_-]')) AS n_punct,
+                   $sqlToks AS toks
+            FROM documents),
+          q AS (
+            SELECT *,
+                   0.4 * least(1.0, chars / 500.0)
+                 + 0.3 * least(1.0, 4.0 * (CAST(n_stop AS DOUBLE) / greatest(toksn, 1.0)))
+                 + 0.3 * (1.0 - least(1.0, 10.0 * (CAST(n_punct AS DOUBLE) / greatest(chars, 1.0)))) AS quality
+            FROM t),
+          sc AS (
+            SELECT *,
+                   ${sqlLangScore(Seq("the", "a", "of", "and", "to", "in", "is"))} AS s_en,
+                   ${sqlLangScore(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))} AS s_de,
+                   ${sqlLangScore(Seq("el", "los", "las", "es", "un", "una", "y"))} AS s_es,
+                   ${sqlLangScore(Seq("le", "la", "les", "et", "est", "une", "dans"))} AS s_fr
+            FROM q),
+          l AS (
+            SELECT *,
+                   CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+                        WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS pred
+            FROM sc),
+          surv AS (
+            SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM l WHERE quality >= 0.5 AND pred = lang),
+          kept AS (
+            SELECT * FROM (
+              SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM surv)
+            WHERE doc_id = keep),
+          funnel AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(CASE WHEN quality >= 0.5 THEN 1 END) AS BIGINT) AS n_quality,
+                   CAST(count(CASE WHEN quality >= 0.5 AND pred = lang THEN 1 END) AS BIGINT) AS n_lang
+            FROM l GROUP BY 1),
+          ka AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM kept GROUP BY 1)
+          SELECT funnel.source, n_total, n_quality, n_lang,
+                 coalesce(n_kept, 0) AS n_kept, coalesce(kept_chars, 0) AS kept_chars
+          FROM funnel LEFT JOIN ka ON funnel.source = ka.source
+          ORDER BY funnel.source""",
 
     "q_text_packing" ->
       """WITH n AS (
