@@ -31,6 +31,23 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot expects exactly 2 arguments")
         DotProductDouble(children.head, children(1))
+      }),
+    // graft_sign_bands(vec, seed, bands, width, dims): sign-LSH band
+    // patterns; the geometry arguments must be foldable integer literals
+    ("graft_sign_bands",
+      new ExpressionInfo(classOf[SignBandPatterns].getName, "graft_sign_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "graft_sign_bands expects (vec, seed, bands, width, dims)")
+        def lit(e: Expression, what: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_sign_bands: $what must be an integer literal, got $other")
+        }
+        SignBandPatterns(children.head, lit(children(1), "seed"),
+          lit(children(2), "bands").toInt, lit(children(3), "width").toInt,
+          lit(children(4), "dims").toInt)
       })
   )
 

@@ -145,6 +145,28 @@ object Multimodal {
         floor(col("window_idx") * windowMs / 1000.0 *
           col("sample_rate_hz").cast("double")).cast("long").as("start_sample"))
 
+  /** ViT-style patch statistics over the 4×4 synthetic grayscale image:
+    * 2×2 patches (4 per image) with integer pixel sums. Fully declarative
+    * — the pixel-index → patch-index algebra runs in Catalyst over the
+    * hex-encoded pixels (`payload_md5`), demonstrating that after the one
+    * imperative decode stage, patch extraction needs no UDF. Patch p
+    * covers rows [2·(p/2), +2) × cols [2·(p%2), +2) of the row-major
+    * grid. */
+  def patchSums(media: DataFrame): DataFrame = {
+    def px(i: Int) =
+      conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+    val patches = array((0 until 4).map { p =>
+      val (pr, pc) = (p / 2, p % 2)
+      val sum = (for { dr <- 0 to 1; dc <- 0 to 1 }
+        yield px((2 * pr + dr) * 4 + 2 * pc + dc)).reduce(_ + _)
+      struct(lit(p.toLong).as("patch_idx"), sum.as("patch_sum"))
+    }: _*)
+    media.where(col("meta.media_type") === "image")
+      .select(col("media_id"), explode(patches).as("p"))
+      .select(col("media_id"), col("p.patch_idx").as("patch_idx"),
+        col("p.patch_sum").as("patch_sum"))
+  }
+
   /** Metadata-level resize for image rows: fixed target width, height
     * scaled to preserve aspect ratio (integer floor division, min 1).
     * Payload re-encoding would happen in the decode stage; the metadata

@@ -33,7 +33,12 @@ object MultimodalQueries {
     // declarative 1s audio analysis windows with sample offsets
     "q_mm_audio_windows" -> ((s, d) =>
       Multimodal.audioWindows(media(s, d), 1000)
-        .orderBy("media_id", "window_idx"))
+        .orderBy("media_id", "window_idx")),
+
+    // declarative ViT-style 2×2 patch sums over the 4×4 grayscale pixels
+    "q_mm_patches" -> ((s, d) =>
+      Multimodal.patchSums(media(s, d))
+        .orderBy("media_id", "patch_idx"))
   )
 
   /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
@@ -98,6 +103,24 @@ object MultimodalQueries {
           SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
                  CAST(window_idx * 1000 AS BIGINT) AS start_ms,
                  CAST(floor(window_idx * 1000 / 1000.0 * 16000.0) AS BIGINT) AS start_sample
-          FROM w ORDER BY media_id, window_idx"""
+          FROM w ORDER BY media_id, window_idx""",
+
+    "q_mm_patches" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          p AS (
+            SELECT media_id, pi,
+                   bytes[((pi // 2) * 2 + 0) * 4 + (pi % 2) * 2 + 0 + 1]
+                 + bytes[((pi // 2) * 2 + 0) * 4 + (pi % 2) * 2 + 1 + 1]
+                 + bytes[((pi // 2) * 2 + 1) * 4 + (pi % 2) * 2 + 0 + 1]
+                 + bytes[((pi // 2) * 2 + 1) * 4 + (pi % 2) * 2 + 1 + 1] AS psum
+            FROM b, range(0, 4) t(pi))
+          SELECT media_id, CAST(pi AS BIGINT) AS patch_idx,
+                 CAST(psum AS BIGINT) AS patch_sum
+          FROM p ORDER BY media_id, patch_idx"""
   )
 }

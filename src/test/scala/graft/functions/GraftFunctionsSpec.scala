@@ -22,7 +22,24 @@ class GraftFunctionsSpec extends SparkSpec {
   test("extensions class injects without error and registers the same list") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-path smoke: no throw
-    assert(GraftFunctions.all.map(_._1) == Seq("graft_dot"))
+    assert(GraftFunctions.all.map(_._1) == Seq("graft_dot", "graft_sign_bands"))
+  }
+
+  test("graft_sign_bands usable from SQL; geometry must be literal") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_sign_bands(array(1.0d, -2.0d, 3.0d, 0.5d), 42L, 2, 4, 4) AS p")
+      .collect()(0).getSeq[Long](0)
+    assert(r.size == 2 && r.forall(p => p >= 0 && p < 16))
+    // matches the Column API for the same geometry
+    import spark.implicits._
+    val c = Seq(Tuple1(Array(1.0, -2.0, 3.0, 0.5))).toDF("v")
+      .select(graft.functions.VectorExpressions.signBandPatterns(
+        $"v".cast("array<double>"), 42L, 2, 4, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(r == c)
+    intercept[Exception](spark.sql(
+      "SELECT graft_sign_bands(array(1.0d), 42L, 2, 1 + 1, 4)").collect())
   }
 
   test("graft_dot propagates null array elements (codegen and interpreted)") {
