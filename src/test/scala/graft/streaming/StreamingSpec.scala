@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within the lag") {
+    val imps = MemoryStream[(Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    val joined = StreamJoin.intervalJoin(
+      imps.toDF().toDF("ad_id", "its").withWatermark("its", "1 minute"),
+      clicks.toDF().toDF("ad_id", "cts").withWatermark("cts", "1 minute"),
+      key = "ad_id", leftTs = "its", rightTs = "cts",
+      maxLagMs = 10 * 60 * 1000)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    imps.addData((1L, ts("10:00")), (2L, ts("10:00")))
+    clicks.addData(
+      (1L, ts("10:05")),  // within 10 min → attributed
+      (2L, ts("10:20")),  // outside the lag → dropped
+      (3L, ts("10:01")))  // no impression → dropped
+    q.processAllAvailable()
+    val rows = spark.table("attrib").select("ad_id", "its", "cts")
+      .as[(Long, Timestamp, Timestamp)].collect()
+    assert(rows.toSeq == Seq((1L, ts("10:00"), ts("10:05"))))
+    // a click BEFORE its impression must not match either
+    imps.addData((4L, ts("11:00")))
+    clicks.addData((4L, ts("10:59")))
+    q.processAllAvailable()
+    assert(spark.table("attrib").count() == 1)
+    q.stop()
+  }
+
   test("sessionize: gap closes a session; watermark timeout closes the last one") {
     val mem = MemoryStream[SessionEvent](spark)
     val sessions = Sessionize.sessions(
