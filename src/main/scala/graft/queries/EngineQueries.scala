@@ -172,7 +172,63 @@ object EngineQueries {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // batch gap-based sessionization (30-minute gap): one exchange on
+    // user_id feeds both the gap-lag and the running-sum windows; all gap
+    // math on exact integer microseconds
+    "q_eng_sessions" -> ((s, d) =>
+      graft.operators.Sessions.sessionize(
+          Tables.events(s, d).select("event_id", "user_id", "ts"),
+          col("user_id"), col("ts"), col("event_id"), gapUs = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_idx")),
+
+    // weekly cohort retention: cohort = user's first active week, matrix of
+    // distinct users per (cohort, week offset). Two shuffles on user_id
+    // (dedup + cohort agg), cohort table broadcast back
+    "q_eng_retention" -> ((s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / lit(7))
+            .cast("long").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // point-in-interval range join via bucket expansion (RangeJoin): line
+    // items shipped within 30 days of each urgent high-value order's date.
+    // The exploded interval side broadcasts, so the fact side never
+    // shuffles for the join; exact BETWEEN is the residual condition
+    "q_eng_range_join" -> ((s, d) => {
+      // date columns are parquet TIMESTAMP_NTZ; cast-to-timestamp under the
+      // UTC session makes unix_micros read the same naive micros DuckDB's
+      // epoch_us sees
+      val oi = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 450000)
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(30L * 86400 * 1000000))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_quantity"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("p_us"))
+      val matched = graft.operators.RangeJoin.pointInInterval(
+          pts, "p_us", oi, "s_us", "e_us",
+          bucketWidth = 32L * 86400 * 1000000, broadcastIntervals = true)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"), moneySum(col("l_quantity")).as("sum_qty"))
+      oi.select("o_orderkey").join(matched, Seq("o_orderkey"), "left")
+        .na.fill(0L, Seq("n_items")).na.fill(0.0, Seq("sum_qty"))
+        .orderBy("o_orderkey")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -251,6 +307,50 @@ object EngineQueries {
       """SELECT event_id, event_type,
                 CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS id
          FROM events ORDER BY event_id""",
+
+    "q_eng_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events),
+         o AS (SELECT user_id, us,
+                      CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS is_new,
+                      event_id
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT user_id, us,
+                      sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+               FROM o)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(us) AS start_us, max(us) AS end_us,
+                max(us) - min(us) AS dur_us
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    "q_eng_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+                     FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM uw JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q_eng_range_join" ->
+      s"""WITH oi AS (SELECT o_orderkey, epoch_us(o_orderdate) AS s_us,
+                             epoch_us(o_orderdate) + 2592000000000 AS e_us
+                      FROM orders
+                      WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 450000),
+          m AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                       ${sqlMoneySum("l_quantity")} AS sum_qty
+                FROM oi JOIN lineitem
+                  ON epoch_us(l_shipdate) >= s_us AND epoch_us(l_shipdate) <= e_us
+                GROUP BY 1)
+          SELECT oi.o_orderkey, coalesce(n_items, 0) AS n_items,
+                 coalesce(sum_qty, 0.0) AS sum_qty
+          FROM oi LEFT JOIN m USING (o_orderkey) ORDER BY o_orderkey""",
 
     "q_eng_pivot" ->
       """SELECT user_id % 10 AS bucket,
