@@ -274,4 +274,17 @@ object Dedup {
       .select("ida", "idb", "ham")
   }
 
+  /** Novelty filter against a reference corpus: keep only rows whose
+    * fingerprint does not occur in `ref` — dedup of an incoming batch
+    * against an already-ingested corpus, without materializing matches.
+    *
+    * LEFT ANTI is the right plan at 100 TB: no payload from `ref` moves,
+    * no duplication on multi-match, and Spark picks broadcast vs shuffled
+    * anti join from `ref`'s size (AQE re-plans at runtime). When `ref` is
+    * huge but the batch is small, the same call flips to a broadcast of
+    * the batch side automatically under AQE — nothing here hard-codes a
+    * strategy. */
+  def novelAgainst(batch: DataFrame, ref: DataFrame, fpCol: String): DataFrame =
+    batch.join(ref.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+
 }

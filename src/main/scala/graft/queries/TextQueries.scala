@@ -136,6 +136,70 @@ object TextQueries {
         .where(col("n_copies") > 1)
         .orderBy("chunk_md5")),
 
+    // benchmark decontamination: corpus docs sharing any token 3-gram with
+    // the eval slice (doc_id % 41 = 0). Eval n-grams broadcast; the corpus
+    // side never shuffles before the per-doc aggregation
+    "q_text_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Decontaminate.contamination(
+          all.where(col("doc_id") % 41 =!= 0), col("doc_id"), col("text"),
+          all.where(col("doc_id") % 41 === 0), col("doc_id"), col("text"),
+          n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // chunk-level novelty vs an already-ingested reference corpus
+    // (src0/src1): anti-join on chunk fingerprint — per source, how many
+    // training chunks are genuinely new
+    "q_dedup_novelty" -> ((s, d) => {
+      val chunks = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(chunkTokens(col("text"), 32, 24)).as("chunk"))
+        .select(col("doc_id"), col("source"), md5(col("chunk")).as("cmd5"))
+      val refSrc = Seq("src0", "src1")
+      val ref = chunks.where(col("source").isin(refSrc: _*))
+      val rest = chunks.where(!col("source").isin(refSrc: _*))
+      val novel = graft.dedup.Dedup.novelAgainst(rest, ref, "cmd5")
+      rest.groupBy("source").agg(count(lit(1)).as("n_chunks"))
+        .join(novel.groupBy("source").agg(count(lit(1)).as("n_novel")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_novel"))
+        .orderBy("source")
+    }),
+
+    // Gopher-style repetition signals: duplicate-token fraction, most
+    // frequent bigram and its share, mean token length — the repetition
+    // filters a pretraining pipeline runs per document
+    "q_text_gopher" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
+          col("toks"))
+      val bg = base.select(col("doc_id"), col("n_tokens"),
+          explode(when(size(col("toks")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+              i => concat_ws(" ", element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2))))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bg"))
+      val top = bg.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("bg").as("top_bigram"), col("cnt").as("top_cnt"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_token_frac"),
+          col("char_sum").cast("double")
+            ./(greatest(col("n_tokens"), lit(1L)).cast("double")).as("mean_tok_len"),
+          col("top_bigram"),
+          (col("top_cnt").cast("double") /
+            greatest(col("n_tokens") - 1, lit(1L)).cast("double")).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // corpus document frequency: tokens by number of documents containing
     // them, top 20 (deterministic tiebreak on the token)
     "q_text_docfreq" -> ((s, d) => {
@@ -345,6 +409,79 @@ object TextQueries {
                 CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 95
                      THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
+
+    "q_text_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, md5(array_to_string(toks[i+1 : i+3], ' ')) AS ng
+           FROM t, lateral unnest(range(0, greatest(len(toks) - 2, 0))) u(i)),
+         gd AS (SELECT DISTINCT doc_id, ng FROM g),
+         ev AS (SELECT doc_id AS eval_id, ng FROM gd WHERE doc_id % 41 = 0),
+         tr AS (SELECT doc_id, ng FROM gd WHERE doc_id % 41 != 0)
+         SELECT tr.doc_id,
+                CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_hits,
+                CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+         FROM tr JOIN ev USING (ng)
+         GROUP BY 1 ORDER BY doc_id""",
+
+    "q_dedup_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, toks,
+                  greatest(CAST(ceil(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT), 1)
+                    AS n_chunks
+           FROM t WHERE len(toks) > 0),
+         e AS (
+           SELECT doc_id, source,
+                  md5(array_to_string(toks[i*24 + 1 : i*24 + 32], ' ')) AS cmd5
+           FROM c, lateral unnest(range(0, n_chunks)) u(i)),
+         ref AS (SELECT DISTINCT cmd5 FROM e WHERE source IN ('src0', 'src1')),
+         rest AS (SELECT source, cmd5 FROM e WHERE source NOT IN ('src0', 'src1'))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(count(*) FILTER (cmd5 NOT IN (SELECT cmd5 FROM ref)) AS BIGINT)
+                  AS n_novel
+         FROM rest GROUP BY 1 ORDER BY source""",
+
+    "q_text_gopher" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                    (a, b) -> a + b) AS char_sum
+           FROM t),
+         bg AS (
+           SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bg
+           FROM t, lateral unnest(range(0, greatest(len(toks) - 1, 0))) u(i)),
+         bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, bg AS top_bigram, cnt AS top_cnt FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, bg) AS rn
+             FROM bc) WHERE rn = 1)
+         SELECT b.doc_id, n_tokens,
+                CAST(n_tokens - n_distinct AS DOUBLE)
+                  / CAST(greatest(n_tokens, 1) AS DOUBLE) AS dup_token_frac,
+                CAST(char_sum AS DOUBLE)
+                  / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_tok_len,
+                top_bigram,
+                CAST(top_cnt AS DOUBLE)
+                  / CAST(greatest(n_tokens - 1, 1) AS DOUBLE) AS top_bigram_frac
+         FROM b LEFT JOIN top USING (doc_id) ORDER BY b.doc_id""",
 
     "q_text_docfreq" ->
       """WITH t AS (

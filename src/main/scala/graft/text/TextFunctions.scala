@@ -130,6 +130,19 @@ object TextFunctions {
         i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")))
   }
 
+  /** Sliding token n-grams (stride 1), joined with single spaces — the
+    * unit of benchmark-decontamination checks and shingle-based overlap
+    * measures. A doc with fewer than `n` tokens yields no n-grams. Pure
+    * array algebra (one row per doc until the caller explodes). */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n > 0, s"n must be positive, got $n")
+    val toks = tokens(text)
+    val cnt = size(toks) - (n - 1)
+    when(cnt <= 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), cnt - 1),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
   /** Deterministic train/val/test split bucket in [0, 100): md5-derived so
     * the assignment is content-stable across runs, partitionings, and
     * engines (reshuffling data never moves an example across splits). */
