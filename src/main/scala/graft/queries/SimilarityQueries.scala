@@ -130,6 +130,15 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // product quantization: 8 subspaces × 8 dims, 16-centroid codebooks,
+    // ADC top-3 per query — corpus held as codes, queries exact, distance
+    // = sum of broadcast table lookups in exact integer micro-units
+    "q_sim_pq_adc" -> ((s, d) =>
+      graft.similarity.ProductQuantization.adcTopK(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        queryMaxId = QuerySetMax, m = 8, subDim = 8, ksub = 16, k = 3)
+        .orderBy("qid", "rank")),
+
     // seeded Rademacher random projection 64 → 8 dims (JL sketch)
     "q_sim_rproj" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
@@ -256,6 +265,35 @@ object SimilarityQueries {
                 max(CASE WHEN j = 0 THEN pv END) AS p1,
                 max(CASE WHEN j = 7 THEN pv END) AS p8
          FROM p GROUP BY vec_id ORDER BY vec_id""",
+
+    "q_sim_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT vec_id, m, v[m*8 + 1 : m*8 + 8] AS sv
+                 FROM e, range(0, 8) t(m)),
+         cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+         d AS (
+           SELECT s.vec_id AS id, s.m, cb.cid,
+                  CAST(floor(list_reduce(list_prepend(0.0,
+                         [(s.sv[i+1] - cb.cv[i+1]) * (s.sv[i+1] - cb.cv[i+1])
+                          for i in range(0, 8)]),
+                         (p, q) -> p + q) * 1000000.0 + 0.5) AS BIGINT) AS d2m
+           FROM sub s JOIN cb USING (m)),
+         codes AS (
+           SELECT id, m, cid AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY id, m
+                                          ORDER BY d2m, cid) AS rn
+             FROM d) WHERE rn = 1),
+         dt AS (SELECT id AS qid, m, cid, d2m FROM d WHERE id < 10),
+         adc AS (
+           SELECT dt.qid, c.id AS nid, sum(dt.d2m) AS adist_micro
+           FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.cid
+           WHERE c.id != dt.qid GROUP BY 1, 2),
+         r AS (SELECT qid, nid, adist_micro,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY adist_micro, nid) AS BIGINT) AS rank
+               FROM adc)
+         SELECT qid, nid, rank, adist_micro FROM r WHERE rank <= 3
+         ORDER BY qid, rank""",
 
     "q_sim_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -200,6 +200,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 sparse retrieval: first 10 docs as query bags, top-5 corpus
+    // matches each; per-term scores quantized to integer micro-units before
+    // the pair sum, so ranking never depends on float accumulation order
+    "q_text_bm25" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Bm25.topK(all, col("doc_id"), col("text"),
+          all.where(col("doc_id") < 10), col("doc_id"), col("text"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // corpus document frequency: tokens by number of documents containing
     // them, top 20 (deterministic tiebreak on the token)
     "q_text_docfreq" -> ((s, d) => {
@@ -482,6 +492,43 @@ object TextQueries {
                 CAST(top_cnt AS DOUBLE)
                   / CAST(greatest(n_tokens - 1, 1) AS DOUBLE) AS top_bigram_frac
          FROM b LEFT JOIN top USING (doc_id) ORDER BY b.doc_id""",
+
+    "q_text_bm25" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         p AS (
+           SELECT nid, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS nid, CAST(len(toks) AS BIGINT) AS dl,
+                    unnest(toks) AS tok
+             FROM t)
+           GROUP BY 1, 2, 3),
+         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sumdl
+                FROM t),
+         q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS tok
+               FROM t WHERE doc_id < 10),
+         sc AS (
+           SELECT q.qid, p.nid,
+                  CAST(floor(
+                    ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(p.tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE)
+                                / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))
+                    * 1000000.0 + 0.5) AS BIGINT) AS sm
+           FROM p JOIN dft USING (tok) JOIN q USING (tok), st
+           WHERE p.nid != q.qid),
+         ag AS (SELECT qid, nid, sum(sm) AS score_micro FROM sc GROUP BY 1, 2),
+         r AS (SELECT qid, nid, score_micro,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY score_micro DESC, nid) AS BIGINT) AS rank
+               FROM ag)
+         SELECT qid, nid, rank, score_micro FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
 
     "q_text_docfreq" ->
       """WITH t AS (

@@ -1,0 +1,80 @@
+package graft.similarity
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Product quantization (PQ) for approximate nearest-neighbor search:
+  * split each vector into `m` subvectors, quantize every subvector to its
+  * nearest codebook centroid, and answer queries with asymmetric distance
+  * computation (ADC) — the query stays exact, corpus vectors are
+  * represented by `m` small codes, and distance is a sum of `m` table
+  * lookups. This is the memory-side scale path: a 64-dim float vector
+  * (256 B) compresses to `m` = 8 single-byte codes, a 32× reduction that
+  * lets a 1000-executor cluster hold billions of vectors in memory.
+  *
+  * Codebooks here are training-free (the first `ksub` corpus vectors,
+  * sliced per subspace — same discipline as `Similarity.ivfTopK`'s coarse
+  * quantizer); swapping in k-means-trained centroids is the
+  * `Similarity.kmeansAssign` composition and changes nothing structural.
+  *
+  * Plan shape: the codebook (`m`·`ksub` rows) and the query distance
+  * tables (`|Q|`·`m`·`ksub` rows) BROADCAST; corpus encoding is one
+  * scan + a `(id, m)`-keyed argmin; the ADC scan joins codes to tables on
+  * `(m, code)` and aggregates `(query, doc)` — never a full-vector
+  * corpus×query product.
+  *
+  * Determinism: subspace distances are fixed-order IEEE folds quantized to
+  * integer micro-units at the leaf, so every downstream sum is exact
+  * integer math — partition-order-independent and bitwise identical in the
+  * DuckDB oracle. */
+object ProductQuantization {
+
+  /** Fixed-order ∑(aᵢ−bᵢ)² in integer micro-units. */
+  private def dist2Micro(a: Column, b: Column): Column =
+    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** (row, m, sv): explode a vector column into its `m` subvectors. */
+  private def subspaces(df: DataFrame, vec: Column, m: Int, subDim: Int): DataFrame =
+    df.select(col("*"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("m"), slice(vec, i * subDim + 1, subDim).as("sv"))): _*)).as("__e"))
+      .withColumn("m", col("__e.m")).withColumn("sv", col("__e.sv"))
+      .drop("__e")
+
+  /** ADC top-k: queries = corpus rows with id < queryMaxId (searched
+    * exactly), corpus represented by PQ codes. Output:
+    * (qid, nid, rank, adist_micro) — approximate squared L2 in 1e-6 units. */
+  def adcTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+              queryMaxId: Long, m: Int, subDim: Int, ksub: Int, k: Int): DataFrame = {
+    val base = emb.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+    val sub = subspaces(base, col("v"), m, subDim).select("id", "m", "sv")
+    val cb = sub.where(col("id") < ksub)
+      .select(col("id").as("cid"), col("m"), col("sv").as("cv"))
+
+    // per (vector, subspace): distance to every centroid of that subspace
+    val d = sub.join(broadcast(cb), "m")
+      .withColumn("d2m", dist2Micro(col("sv"), col("cv")))
+      .select(col("id"), col("m"), col("cid"), col("d2m"))
+
+    // corpus codes: argmin centroid per (id, m) — struct-min ties on cid
+    val codes = d.groupBy("id", "m")
+      .agg(min(struct(col("d2m"), col("cid"))).as("mn"))
+      .select(col("id"), col("m"), col("mn.cid").as("code"))
+
+    // query ADC tables: exact distances from each query subvector to every
+    // centroid (these broadcast — |Q|·m·ksub rows)
+    val dt = d.where(col("id") < queryMaxId)
+      .select(col("id").as("qid"), col("m"), col("cid"), col("d2m").as("qd2m"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("nid"))
+    codes.join(broadcast(dt),
+        codes("m") === dt("m") && codes("code") === dt("cid"))
+      .where(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("qd2m")).as("adist_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "adist_micro")
+  }
+}
