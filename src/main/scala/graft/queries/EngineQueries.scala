@@ -204,6 +204,39 @@ object EngineQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // integer PageRank (3 iterations) over the part↔supplier bipartite
+    // graph from lineitem: graph centrality as joins + aggregations; all
+    // arithmetic integral, so the oracle equality is exact
+    "q_eng_pagerank" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("pnode"), (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      val edges = ps.select(col("pnode").as("src"), col("snode").as("dst"))
+        .unionByName(ps.select(col("snode").as("src"), col("pnode").as("dst")))
+      graft.operators.PageRank.integerPageRank(edges, col("src"), col("dst"), iters = 3)
+        .orderBy(col("pr").desc, col("node")).limit(25)
+    }),
+
+    // 7-day rolling revenue: RANGE frame over the pre-aggregated daily
+    // table (cardinality = distinct days — tiny at any corpus scale, so
+    // the unpartitioned window is safe by construction); decimal
+    // accumulation keeps the rolling sum exact and order-independent
+    "q_eng_rolling" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_dec"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("day_i")).rangeBetween(-6, 0)
+      daily
+        .withColumn("day_i", datediff(col("day"), to_date(lit("1995-01-01"))))
+        .withColumn("rolling7_rev", sum(col("rev_dec")).over(w).cast("double"))
+        .withColumn("n_days_7", count(lit(1)).over(w))
+        .withColumn("day", col("day").cast("string"))
+        .select(col("day"), col("rev_dec").cast("double").as("rev"),
+          col("rolling7_rev"), col("n_days_7"), col("n_orders"))
+        .orderBy("day")
+    }),
+
     // point-in-interval range join via bucket expansion (RangeJoin): line
     // items shipped within 30 days of each urgent high-value order's date.
     // The exploded interval side broadcasts, so the fact side never
@@ -337,6 +370,47 @@ object EngineQueries {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q_eng_pagerank" -> {
+      def iter(k: Int, prev: String) =
+        s"""c$k AS (SELECT r.node, r.pr // d.deg AS c
+                    FROM $prev r JOIN deg d USING (node)),
+            s$k AS (SELECT e.dst AS node, CAST(sum(c.c) AS BIGINT) AS s
+                    FROM e JOIN c$k c ON e.src = c.node GROUP BY 1),
+            r$k AS (SELECT nodes.node,
+                           15 * (1000000000000 // n.n) // 100
+                             + 85 * coalesce(s$k.s, 0) // 100 AS pr
+                    FROM nodes LEFT JOIN s$k USING (node), n)"""
+      s"""WITH ps AS (SELECT DISTINCT l_partkey * 2 AS pnode,
+                             l_suppkey * 2 + 1 AS snode FROM lineitem),
+          e AS (SELECT pnode AS src, snode AS dst FROM ps
+                UNION ALL SELECT snode, pnode FROM ps),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                  FROM e GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          r0 AS (SELECT node, 1000000000000 // n.n AS pr FROM nodes, n),
+          ${iter(1, "r0")},
+          ${iter(2, "r1")},
+          ${iter(3, "r2")}
+          SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 25"""
+    },
+
+    "q_eng_rolling" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+         d2 AS (SELECT *, datediff('day', DATE '1995-01-01', day) AS day_i
+                FROM daily)
+         SELECT CAST(day AS VARCHAR) AS day, CAST(rev_dec AS DOUBLE) AS rev,
+                CAST(sum(rev_dec) OVER w AS DOUBLE) AS rolling7_rev,
+                CAST(count(*) OVER w AS BIGINT) AS n_days_7,
+                n_orders
+         FROM d2
+         WINDOW w AS (ORDER BY day_i RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
 
     "q_eng_range_join" ->
       s"""WITH oi AS (SELECT o_orderkey, epoch_us(o_orderdate) AS s_us,
