@@ -204,6 +204,41 @@ object EngineQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // fixed-width histogram: one map-side binning expression + single
+    // hash agg — the profile query a pipeline runs before choosing
+    // partition boundaries
+    "q_eng_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / lit(10000.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("bucket")),
+
+    // argmax without a window or self-join: lexicographic struct-max picks
+    // the priciest line item per return flag with a fully deterministic
+    // tiebreak — one partial-aggregating shuffle instead of a sort
+    "q_eng_argmax" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))).as("mx"))
+        .select(col("l_returnflag"),
+          col("mx.l_extendedprice").as("top_price"),
+          col("mx.l_orderkey").as("top_orderkey"),
+          col("mx.l_linenumber").as("top_linenumber"))
+        .orderBy("l_returnflag")),
+
+    // CUBE grouping sets: counts + exact money sums at every combination
+    // of (returnflag, linestatus) including both marginals and the total
+    "q_eng_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // integer PageRank (3 iterations) over the part↔supplier bipartite
     // graph from lineitem: graph centrality as joins + aggregations; all
     // arithmetic integral, so the oracle equality is exact
@@ -370,6 +405,29 @@ object EngineQueries {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q_eng_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                min(l_extendedprice) AS lo,
+                max(l_extendedprice) AS hi
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+
+    "q_eng_argmax" ->
+      """SELECT l_returnflag, l_extendedprice AS top_price,
+                l_orderkey AS top_orderkey, l_linenumber AS top_linenumber
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey DESC,
+                          l_linenumber DESC) AS rn
+               FROM lineitem)
+         WHERE rn = 1 ORDER BY l_returnflag""",
+
+    "q_eng_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                 ${sqlMoneySum("l_extendedprice")} AS revenue
+          FROM lineitem
+          GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     "q_eng_pagerank" -> {
       def iter(k: Int, prev: String) =
