@@ -32,11 +32,22 @@ object PageRank {
     * Σpr ≤ scale with equality up to truncation loss. */
   def integerPageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                       scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(src.as("__src"), dst.as("__dst"))
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
     val deg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("deg"))
+    prepared(nodes, deg, e, iters, scale)
+  }
+
+  /** Same recurrence over pre-derived inputs — callers running several
+    * iterations (always) should `.cache()`/memoize `nodes`, `deg`, and
+    * `edges` first: each iteration references them again, and without
+    * caching every reference re-runs the upstream scan + distinct.
+    * `nodes` has column `node`; `deg` has `(node, deg)` counting out-edges;
+    * `edges` has `(__src, __dst)`. */
+  def prepared(nodes: DataFrame, deg: DataFrame, e: DataFrame, iters: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     // every node with out-edges has deg >= 1; dangling nodes are absent
     // from `deg` and contribute nothing. The node count enters as a lazy
     // broadcast scalar — no driver-side action

@@ -52,4 +52,34 @@ object Skew {
       .agg(sum(col("__partial")).as("total"))
       .select(col("__key"), col("total"))
   }
+
+  /** Salted equi-join for a skewed LEFT side: each left row gets a
+    * content-derived salt in [0, buckets); the right side is REPLICATED
+    * once per salt value; the join runs on (key, salt). A left key holding
+    * 30% of the table spreads over `buckets` reducers instead of one
+    * straggler, at the cost of `buckets`× the (smaller) right side in the
+    * shuffle — the standard trade when the right side is too big to
+    * broadcast but far smaller than the skewed fact side.
+    *
+    * Row-identical to the plain join: every (left row, right row) pair
+    * with equal keys meets in exactly one salt bucket — the left row's.
+    * Same content-salt contract as [[saltedCount]] (retry-deterministic).
+    * Supports "inner" and "left" join types (right/outer would need the
+    * unmatched-right bookkeeping deduplicated across replicas). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFrom: Seq[Column], buckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(saltFrom.nonEmpty, "saltFrom must name at least one content column")
+    require(Seq("inner", "left").contains(joinType),
+      s"joinType must be inner or left, got $joinType")
+    val reserved = "__salt"
+    require(!left.columns.contains(reserved) && !right.columns.contains(reserved),
+      s"input columns clash with reserved name $reserved")
+    val l = left.withColumn(reserved,
+      pmod(xxhash64(saltFrom: _*), lit(buckets.toLong)))
+    val r = right.withColumn(reserved,
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    l.join(r, Seq(key, reserved), joinType).drop(reserved)
+  }
 }

@@ -99,6 +99,23 @@ object EngineQueries {
         .select(col("__key").as("l_returnflag"), col("n"))
         .orderBy("l_returnflag")),
 
+    // salted equi-join (16 salt buckets, right side replicated): the
+    // oracle runs the PLAIN join — equality proves the salted plan is
+    // row-identical while spreading each hot key over 16 reducers
+    "q_eng_salted_join" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount",
+            "l_orderkey", "l_linenumber"),
+          Tables.part(s, d).select("p_partkey", "p_brand")
+            .withColumnRenamed("p_partkey", "l_partkey"),
+          key = "l_partkey",
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")), buckets = 16)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("p_brand")),
+
     // HLL approximate distinct vs exact, asserted within 5% in-plan —
     // the boolean invariant is the cross-engine-checkable part
     "q_eng_approx_distinct" -> ((s, d) =>
@@ -243,6 +260,10 @@ object EngineQueries {
     // graph from lineitem: graph centrality as joins + aggregations; all
     // arithmetic integral, so the oracle equality is exact
     "q_eng_pagerank" -> ((s, d) => {
+      // deliberately uncached at harness scale: re-scanning 600k parquet
+      // rows per iteration reference beats InMemoryTableScan overhead on
+      // local[32] (measured 3.7 s vs 4.6 s cached). At cluster scale the
+      // calculus flips — use PageRank.prepared with persisted graph tables
       val ps = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("pnode"), (col("l_suppkey") * 2 + 1).as("snode"))
         .distinct()
@@ -343,6 +364,12 @@ object EngineQueries {
     "q_eng_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact, true AS within_5pct
          FROM lineitem""",
+
+    "q_eng_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+                 ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
 
     "q_eng_asof_join" ->
       """WITH cfg AS (

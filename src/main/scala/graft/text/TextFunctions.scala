@@ -119,15 +119,19 @@ object TextFunctions {
   def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
-    val toks = tokens(text)
-    val n = size(toks)
-    // number of chunks: ceil(max(n - (chunkSize - stride), 0) / stride), min 1 for non-empty
-    val nChunks =
-      greatest(ceil((n - (chunkSize - stride)).cast("double") / stride).cast("int"), lit(1))
-    // sequence(0, -1) would count DOWN — guard the empty-doc case explicitly
-    when(n === 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")))
+    // bind the token array as a lambda variable (array(…) + transform):
+    // inlining `tokens(text)` into the per-chunk lambda would re-run the
+    // regex split once per CHUNK — O(tokens·chunks) per row
+    flatten(transform(array(tokens(text)), ts => {
+      val n = size(ts)
+      // chunks: ceil(max(n - (chunkSize - stride), 0) / stride), min 1 for
+      // non-empty; sequence(0, -1) would count DOWN — guard empty explicitly
+      val nChunks =
+        greatest(ceil((n - (chunkSize - stride)).cast("double") / stride).cast("int"), lit(1))
+      when(n === 0, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ts, i * stride + 1, lit(chunkSize)), " ")))
+    }))
   }
 
   /** Sliding token n-grams (stride 1), joined with single spaces — the
@@ -136,11 +140,13 @@ object TextFunctions {
     * array algebra (one row per doc until the caller explodes). */
   def tokenNgrams(text: Column, n: Int): Column = {
     require(n > 0, s"n must be positive, got $n")
-    val toks = tokens(text)
-    val cnt = size(toks) - (n - 1)
-    when(cnt <= 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), cnt - 1),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    // token array bound as a lambda variable — see chunkTokens
+    flatten(transform(array(tokens(text)), ts => {
+      val cnt = size(ts) - (n - 1)
+      when(cnt <= 0, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), cnt - 1),
+          i => array_join(slice(ts, i + 1, lit(n)), " ")))
+    }))
   }
 
   /** Deterministic train/val/test split bucket in [0, 100): md5-derived so
