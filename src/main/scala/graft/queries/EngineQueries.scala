@@ -221,6 +221,26 @@ object EngineQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Z-order (Morton) clustering key over (customer, order-day): the
+    // write-side layout key that serves predicates on EITHER dimension;
+    // pure integer bit interleaving, verified exactly
+    "q_eng_zorder" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.etl.Layout.zorder2(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))))
+          .as("z"))
+        .orderBy("o_orderkey")),
+
+    // t-digest/GK approximate quantile vs exact, asserted within 1% —
+    // the invariant (not the sketch value) is the cross-engine contract
+    "q_eng_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        percentile(col("l_quantity"), lit(0.9)).as("p90_exact"),
+        approx_percentile(col("l_quantity"), lit(0.9), lit(10000)).as("__ap"))
+        .select(col("p90_exact"),
+          (abs(col("__ap") - col("p90_exact")) /
+            greatest(col("p90_exact"), lit(1.0)) <= 0.01).as("within_1pct"))),
+
     // fixed-width histogram: one map-side binning expression + single
     // hash agg — the profile query a pipeline runs before choosing
     // partition boundaries
@@ -432,6 +452,22 @@ object EngineQueries {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q_eng_zorder" ->
+      """SELECT o_orderkey,
+                list_reduce(list_prepend(0::BIGINT,
+                  [(((CAST(o_custkey AS BIGINT) >> i) & 1) << (2*i))
+                   + (((CAST(datediff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1)
+                      << (2*i + 1))
+                   for i in range(0, 32)]),
+                  (a, b) -> a + b) AS z
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_eng_approx_quantile" ->
+      """SELECT quantile_cont(l_quantity, 0.9) AS p90_exact,
+                true AS within_1pct
+         FROM lineitem""",
 
     "q_eng_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
