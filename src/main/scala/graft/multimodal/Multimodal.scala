@@ -171,6 +171,46 @@ object Multimodal {
     * scaled to preserve aspect ratio (integer floor division, min 1).
     * Payload re-encoding would happen in the decode stage; the metadata
     * transform is declarative. */
+  /** 16-bit perceptual hash (pHash-style, threshold-at-mean): bit i is set
+    * iff pixel i exceeds the image mean — compared as `px·16 > total` so
+    * everything stays integral (no division, no rounding edge). Two images
+    * whose pixel patterns agree above/below their own means collide
+    * regardless of global brightness — the invariance that makes pHash a
+    * dedup key where raw-byte md5 is not. */
+  def phash(media: DataFrame): DataFrame = {
+    def px(i: Int) =
+      conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+    val pixels = (0 until 16).map(px)
+    val total = pixels.reduce(_ + _)
+    val bits = (0 until 16).map(i =>
+      when(pixels(i) * 16 > total, lit(1L << i)).otherwise(lit(0L)))
+    media.where(col("meta.media_type") === "image")
+      .select(col("media_id"), bits.reduce(_ + _).as("phash"))
+  }
+
+  /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxHamming`,
+    * candidates via 4-bit nibble banding: ≤ 3 corrupted bits hit ≤ 3 of
+    * the 4 nibbles, leaving ≥ 1 intact — full recall for Hamming ≤ 3 by
+    * pigeonhole, with candidate volume O(images · 4 / 16-bucket) instead
+    * of all pairs. Same banding discipline as the SimHash text pairs. */
+  def phashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "1-of-4-nibble banding guarantees full recall only for Hamming <= 3")
+    val chunks = sig.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftright(col("phash"), 4 * c).bitwiseAND(lit(15L)).as("v"))): _*)).as("ch"))
+      .select(col("media_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("ham", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .where(col("ham") <= maxHamming)
+      .select("ida", "idb", "ham")
+  }
+
   def resizeMeta(media: DataFrame, targetWidth: Int): DataFrame =
     media.where(col("meta.media_type") === "image")
       .select(col("media_id"),

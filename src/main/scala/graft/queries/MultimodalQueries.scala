@@ -38,7 +38,19 @@ object MultimodalQueries {
     // declarative ViT-style 2×2 patch sums over the 4×4 grayscale pixels
     "q_mm_patches" -> ((s, d) =>
       Multimodal.patchSums(media(s, d))
-        .orderBy("media_id", "patch_idx"))
+        .orderBy("media_id", "patch_idx")),
+
+    // 16-bit threshold-at-mean perceptual hash per image (integral compare
+    // px·16 > total — no division edge)
+    "q_mm_phash" -> ((s, d) =>
+      Multimodal.phash(media(s, d)).orderBy("media_id")),
+
+    // near-dup image pairs: nibble-banded candidates + exact Hamming ≤ 3
+    // verify (full recall by pigeonhole; oracle checks ALL pairs — set
+    // equality proves the banding lost nothing)
+    "q_mm_phash_pairs" -> ((s, d) =>
+      Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3)
+        .orderBy("ida", "idb"))
   )
 
   /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
@@ -121,6 +133,48 @@ object MultimodalQueries {
             FROM b, range(0, 4) t(pi))
           SELECT media_id, CAST(pi AS BIGINT) AS patch_idx,
                  CAST(psum AS BIGINT) AS patch_sum
-          FROM p ORDER BY media_id, patch_idx"""
+          FROM p ORDER BY media_id, patch_idx""",
+
+    "q_mm_phash" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          t AS (
+            SELECT media_id, bytes,
+                   list_reduce(list_prepend(0::BIGINT, bytes), (a, b) -> a + b) AS total
+            FROM b)
+          SELECT media_id,
+                 CAST(list_reduce(list_prepend(0::BIGINT,
+                   [CASE WHEN bytes[i+1] * 16 > total THEN (1::BIGINT << i)
+                         ELSE 0::BIGINT END for i in range(0, 16)]),
+                   (a, b) -> a + b) AS BIGINT) AS phash
+          FROM t ORDER BY media_id""",
+
+    "q_mm_phash_pairs" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          t AS (
+            SELECT media_id, bytes,
+                   list_reduce(list_prepend(0::BIGINT, bytes), (a, b) -> a + b) AS total
+            FROM b),
+          ph AS (
+            SELECT media_id,
+                   CAST(list_reduce(list_prepend(0::BIGINT,
+                     [CASE WHEN bytes[i+1] * 16 > total THEN (1::BIGINT << i)
+                           ELSE 0::BIGINT END for i in range(0, 16)]),
+                     (a, b) -> a + b) AS BIGINT) AS phash
+            FROM t)
+          SELECT a.media_id AS ida, b.media_id AS idb,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
+          FROM ph a JOIN ph b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          ORDER BY ida, idb"""
   )
 }
