@@ -144,6 +144,23 @@ object EngineQueries {
         .orderBy("event_id")
     }),
 
+    // mergeable-sketch rollup: per-day HLL sketches union-merged into one
+    // estimate WITHOUT recounting raw rows — the pre-aggregation pattern
+    // that makes distinct-count rollups O(sketches) at 100 TB. Oracle
+    // contract = exact count + the 5% estimate invariant
+    "q_eng_hll_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .crossJoin(merged)
+        .select(col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("within_5pct"))
+    }),
+
     // exact median per group (integral quantities → interpolation exact in
     // both engines)
     "q_eng_median" -> ((s, d) =>
@@ -404,6 +421,10 @@ object EngineQueries {
     "q_eng_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_eng_hll_merge" ->
+      """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
+         FROM events""",
 
     "q_eng_rollup" ->
       """SELECT r_name, n_name, count(*) AS n

@@ -130,6 +130,13 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // hard-negative mining: top-3 most-similar DIFFERENT-label items per
+    // query — the contrastive-training counterpart of ANN search
+    "q_sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d),
+        queryMaxId = QuerySetMax, k = 3)
+        .orderBy("qid", "rank")),
+
     // product quantization: 8 subspaces × 8 dims, 16-centroid codebooks,
     // ADC top-3 per query — corpus held as codes, queries exact, distance
     // = sum of broadcast table lookups in exact integer micro-units
@@ -265,6 +272,20 @@ object SimilarityQueries {
                 max(CASE WHEN j = 0 THEN pv END) AS p1,
                 max(CASE WHEN j = 7 THEN pv END) AS p8
          FROM p GROUP BY vec_id ORDER BY vec_id""",
+
+    "q_sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT x.vec_id AS qid, x.label AS qlabel,
+                   y.vec_id AS nid, y.label AS nlabel, $cosSql AS cos
+            FROM e x JOIN e y ON x.label != y.label
+            WHERE x.vec_id < $QuerySetMax),
+          r AS (
+            SELECT qid, qlabel, nid, nlabel, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+            FROM scored)
+          SELECT qid, qlabel, nid, nlabel, rank, cos FROM r WHERE rank <= 3
+          ORDER BY qid, rank""",
 
     "q_sim_pq_adc" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -78,6 +78,30 @@ object Similarity {
     * query side is expected to be small — Spark broadcasts it, so the
     * corpus is scanned once with no shuffle. Deterministic tiebreak on
     * corpus id. Returns (qid, nid, rank, cos). */
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-cosine-similar corpus items with a DIFFERENT label — the
+    * "confusable but wrong" examples a retrieval/embedding trainer wants.
+    * Same broadcast-query scan shape as [[bruteForceTopK]] (the label
+    * inequality rides the join as a residual); swap the corpus for an LSH
+    * candidate table to scale past a full scan, exactly as ANN top-k does. */
+  def hardNegatives(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = emb.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("qlabel") =!= col("nlabel"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "qlabel", "nid", "nlabel", "rank", "cos")
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // norms precomputed per side: each corpus row scores against every
     // query, so folding the norm into the pair expression would recompute
