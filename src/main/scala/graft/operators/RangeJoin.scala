@@ -41,6 +41,11 @@ object RangeJoin {
     val reserved = "__bucket"
     require(!points.columns.contains(reserved) && !intervals.columns.contains(reserved),
       s"input columns clash with reserved name $reserved")
+    // the residual predicate resolves pointCol/startCol/endCol by bare
+    // name across the join — any shared column name would be ambiguous
+    val shared = points.columns.intersect(intervals.columns)
+    require(shared.isEmpty,
+      s"points and intervals must have disjoint column names; shared: ${shared.mkString(",")}")
 
     val p = points.withColumn(reserved, expr(s"`$pointCol` div $bucketWidth"))
     val iExpanded = intervals.withColumn(reserved,

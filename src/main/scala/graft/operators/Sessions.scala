@@ -31,7 +31,7 @@ object Sessions {
     */
   def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
                  gapUs: Long): DataFrame = {
-    val reserved = Seq("__us", "__new")
+    val reserved = Seq("__us", "__new", "session_idx")
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty, s"input columns clash with reserved names: ${clash.mkString(",")}")
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")

@@ -44,7 +44,11 @@ object ProductQuantization {
 
   /** ADC top-k: queries = corpus rows with id < queryMaxId (searched
     * exactly), corpus represented by PQ codes. Output:
-    * (qid, nid, rank, adist_micro) — approximate squared L2 in 1e-6 units. */
+    * (qid, nid, rank, adist_micro) — approximate squared L2 in 1e-6 units.
+    *
+    * Contract: every vector must have exactly m·subDim elements — a short
+    * vector's trailing subspaces would slice empty and contribute zero
+    * distance (silently inflating its similarity) rather than erroring. */
   def adcTopK(emb: DataFrame, idCol: Column, vecCol: Column,
               queryMaxId: Long, m: Int, subDim: Int, ksub: Int, k: Int): DataFrame = {
     val base = emb.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))

@@ -36,6 +36,10 @@ object Upsert {
     val spark = updates.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
+    val old = new Path(path + ".old")
+    // crash recovery: a failure between the two swap renames leaves the
+    // table at `.old` only — restore it before reading
+    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
     val existing =
       if (fs.exists(cur)) spark.read.parquet(path).select(updates.columns.map(col): _*)
       else updates.limit(0)
@@ -46,7 +50,6 @@ object Upsert {
       .where(col("__rn") === 1).drop("__rn")
 
     val tmp = new Path(path + ".tmp")
-    val old = new Path(path + ".old")
     merged.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(cur)) fs.rename(cur, old)
