@@ -210,6 +210,17 @@ object TextQueries {
         .orderBy("qid", "rank")
     }),
 
+    // fuzzy vocabulary linking: edit-distance ≤ 2 word pairs via FastSS
+    // deletion-neighborhood blocking + exact levenshtein verify. The
+    // oracle computes ALL pairs — set equality proves the blocking's
+    // full-recall theorem held
+    "q_text_fuzzy_join" -> ((s, d) => {
+      val vocab = docs(s, d)
+        .select(explode(tokens(lower(col("text")))).as("w")).distinct()
+      graft.text.FuzzyJoin.editDistancePairs2(vocab, col("w"))
+        .orderBy("wa", "wb")
+    }),
+
     // corpus document frequency: tokens by number of documents containing
     // them, top 20 (deterministic tiebreak on the token)
     "q_text_docfreq" -> ((s, d) => {
@@ -529,6 +540,18 @@ object TextQueries {
                FROM ag)
          SELECT qid, nid, rank, score_micro FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+
+    "q_text_fuzzy_join" ->
+      """WITH v AS (
+           SELECT DISTINCT unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END) AS w
+           FROM documents)
+         SELECT a.w AS wa, b.w AS wb,
+                CAST(levenshtein(a.w, b.w) AS BIGINT) AS ed
+         FROM v a JOIN v b ON a.w < b.w
+         WHERE levenshtein(a.w, b.w) <= 2
+         ORDER BY wa, wb""",
 
     "q_text_docfreq" ->
       """WITH t AS (
