@@ -130,6 +130,19 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // majority label propagation (2 synchronized rounds) over the sign-LSH
+    // near-dup graph: integer votes, ties to the smallest label — the
+    // semi-supervised labeling pass, exactly reproducible
+    "q_sim_label_prop" -> ((s, d) => {
+      val pairs = lshPairTable(s, d).where(col("cos") >= 0.4)
+      val edges = pairs.select(col("va").as("src"), col("vb").as("dst"))
+        .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst")))
+      graft.operators.LabelPropagation.propagate(
+          Tables.embeddings(s, d), col("vec_id"), col("label"),
+          edges, col("src"), col("dst"), iters = 2)
+        .orderBy("id")
+    }),
+
     // hard-negative mining: top-3 most-similar DIFFERENT-label items per
     // query — the contrastive-training counterpart of ANN search
     "q_sim_hard_negatives" -> ((s, d) =>
@@ -272,6 +285,32 @@ object SimilarityQueries {
                 max(CASE WHEN j = 0 THEN pv END) AS p1,
                 max(CASE WHEN j = 7 THEN pv END) AS p8
          FROM p GROUP BY vec_id ORDER BY vec_id""",
+
+    "q_sim_label_prop" -> {
+      def round(k: Int, prev: String) =
+        s"""v$k AS (SELECT ed.dst AS id, l.label FROM ed JOIN $prev l ON ed.src = l.id
+                    UNION ALL SELECT id, label FROM $prev),
+            c$k AS (SELECT id, label, count(*) AS cnt FROM v$k GROUP BY 1, 2),
+            l$k AS (SELECT id, label FROM (
+                      SELECT id, label,
+                             row_number() OVER (PARTITION BY id
+                               ORDER BY cnt DESC, label) AS rn
+                      FROM c$k) WHERE rn = 1)"""
+      s"""WITH $lshCandCte,
+          cosp AS (
+            SELECT va, vb,
+              list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
+              / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
+               * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
+            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
+          p AS (SELECT va, vb FROM cosp WHERE cos >= 0.4),
+          ed AS (SELECT va AS src, vb AS dst FROM p
+                 UNION ALL SELECT vb, va FROM p),
+          l0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
+          ${round(1, "l0")},
+          ${round(2, "l1")}
+          SELECT id, label FROM l2 ORDER BY id"""
+    },
 
     "q_sim_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
