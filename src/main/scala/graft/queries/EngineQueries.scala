@@ -238,6 +238,20 @@ object EngineQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // declarative data-quality report: six constraints evaluated in ONE
+    // aggregation pass (each check = one aggregate expression over the
+    // same scan), long-format exact-integer output
+    "q_eng_quality_report" -> ((s, d) => {
+      import graft.etl.QualityReport._
+      report(Tables.lineitem(s, d), Seq(
+        Complete("l_orderkey"), Complete("l_shipdate"),
+        Unique("l_orderkey"),
+        Bounds("l_quantity", 1.0, 50.0),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        InSet("l_linestatus", Seq("O"))))
+        .orderBy("check", "column")
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-day): the
     // write-side layout key that serves predicates on EITHER dimension;
     // pure integer bit interleaving, verified exactly
@@ -473,6 +487,28 @@ object EngineQueries {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q_eng_quality_report" ->
+      """WITH a AS (SELECT
+           CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS c0,
+           CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT) AS c1,
+           CAST(count(CASE WHEN l_orderkey IS NOT NULL THEN 1 END)
+                - count(DISTINCT l_orderkey) AS BIGINT) AS c2,
+           CAST(count(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 END) AS BIGINT) AS c3,
+           CAST(count(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS BIGINT) AS c4,
+           CAST(count(CASE WHEN l_linestatus IS NOT NULL
+                            AND l_linestatus NOT IN ('O') THEN 1 END) AS BIGINT) AS c5
+           FROM lineitem)
+         SELECT * FROM (
+           SELECT 'complete' AS "check", 'l_orderkey' AS "column",
+                  c0 AS violations, c0 = 0 AS pass FROM a
+           UNION ALL SELECT 'complete', 'l_shipdate', c1, c1 = 0 FROM a
+           UNION ALL SELECT 'unique', 'l_orderkey', c2, c2 = 0 FROM a
+           UNION ALL SELECT 'bounds', 'l_quantity', c3, c3 = 0 FROM a
+           UNION ALL SELECT 'in_set', 'l_returnflag', c4, c4 = 0 FROM a
+           UNION ALL SELECT 'in_set', 'l_linestatus', c5, c5 = 0 FROM a)
+         ORDER BY "check", "column"""",
 
     "q_eng_zorder" ->
       """SELECT o_orderkey,
