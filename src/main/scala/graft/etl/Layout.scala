@@ -36,6 +36,33 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction: bin-pack a parquet directory's files into
+    * ≈`targetBytes` outputs. The small-files problem is a read-side tax at
+    * scale (one scheduler task + one open per file; metadata pressure), so
+    * ingest pipelines compact after every append wave. `coalesce` (no
+    * shuffle) merges inputs; the result swaps in atomically via the same
+    * two-rename discipline as the streaming upsert sink. Returns
+    * (filesBefore, filesAfter); a no-op when already compact. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Fs.recover(fs, cur)
+    val files = fs.listStatus(cur).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (n >= files.length) return (files.length, files.length)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    graft.util.Fs.swapInto(fs, tmp, cur)
+    val after = fs.listStatus(cur).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** 64-bit Morton (Z-order) value of two non-negative dimensions that fit
     * in 32 bits: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
     * Deterministic integer algebra — bitwise identical cross-engine. */

@@ -36,10 +36,9 @@ object Upsert {
     val spark = updates.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
-    val old = new Path(path + ".old")
     // crash recovery: a failure between the two swap renames leaves the
     // table at `.old` only — restore it before reading
-    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
+    graft.util.Fs.recover(fs, cur)
     val existing =
       if (fs.exists(cur)) spark.read.parquet(path).select(updates.columns.map(col): _*)
       else updates.limit(0)
@@ -51,10 +50,7 @@ object Upsert {
 
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(cur)) fs.rename(cur, old)
-    fs.rename(tmp, cur)
-    fs.delete(old, true)
+    graft.util.Fs.swapInto(fs, tmp, cur)
   }
 
   /** Streaming writer: AvailableNow-drains `updates` into the keyed table.

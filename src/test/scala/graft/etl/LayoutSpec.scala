@@ -32,6 +32,20 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.map(_._3).sum == df.count())
   }
 
+  test("compact bin-packs small files, preserves rows, no-ops when compact") {
+    val dir = JFiles.createTempDirectory("graft_compact").toString + "/t"
+    val df = graft.Tables.lineitem(spark, sf)
+    df.repartition(16).write.parquet(dir)
+    val rows = df.count()
+    val bytes = spark.read.parquet(dir).inputFiles.length // 16 small files
+    assert(bytes >= 16)
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(before >= 16 && after == 1, s"before=$before after=$after")
+    assert(spark.read.parquet(dir).count() == rows)
+    // already compact → no rewrite
+    assert(Layout.compact(spark, dir, 512L * 1024 * 1024) == ((1, 1)))
+  }
+
   test("zorder2 interleaves bits (known values) and rejects nothing silently") {
     val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L),
         ((1L << 31) - 1, 0L))
