@@ -208,6 +208,23 @@ object EngineQueries {
         .na.fill(0L)
         .orderBy("bucket")),
 
+    // SCD2 dimension build: each user's event-value history as validity
+    // intervals [valid_from, valid_to) via one lead window — the
+    // point-in-time dimension an as-of join then reads. Open intervals
+    // carry valid_to = -1 (cross-engine null-free)
+    "q_eng_scd2" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("valid_to", coalesce(lead(col("us"), 1).over(w), lit(-1L)))
+        .select(col("user_id"), col("value"), col("us").as("valid_from"),
+          col("valid_to"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // batch gap-based sessionization (30-minute gap): one exchange on
     // user_id feeds both the gap-lag and the running-sum windows; all gap
     // math on exact integer microseconds
@@ -457,6 +474,16 @@ object EngineQueries {
       """SELECT event_id, event_type,
                 CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS id
          FROM events ORDER BY event_id""",
+
+    "q_eng_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events WHERE event_type = 'signup')
+         SELECT user_id, value, us AS valid_from,
+                coalesce(lead(us, 1) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id), -1) AS valid_to
+         FROM e ORDER BY user_id, valid_from""",
 
     "q_eng_sessions" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -210,6 +210,12 @@ object TextQueries {
         .orderBy("qid", "rank")
     }),
 
+    // unigram-LM surprisal (perplexity-proxy quality filter): per-token
+    // −ln p(t) in integer micro-nats summed per doc — order-independent
+    "q_text_surprisal" -> ((s, d) =>
+      graft.text.UnigramLm.surprisal(docs(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // fuzzy vocabulary linking: edit-distance ≤ 2 word pairs via FastSS
     // deletion-neighborhood blocking + exact levenshtein verify. The
     // oracle computes ALL pairs — set equality proves the blocking's
@@ -540,6 +546,21 @@ object TextQueries {
                FROM ag)
          SELECT qid, nid, rank, score_micro FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+
+    "q_text_surprisal" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM x)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                       * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS surprisal_micro
+         FROM x JOIN f USING (tok), tt
+         GROUP BY 1 ORDER BY doc_id""",
 
     "q_text_fuzzy_join" ->
       """WITH v AS (
