@@ -25,6 +25,8 @@ import scala.util.Try
   *   sample  --in DIR --mode {indexed|filtered|daily} [-n N] [--seed S]
   *           [--per-day K] [--filter JSON] [--columns c1,c2,...]
   *           [--stratify COL --n-per-group K] [--out PATH]
+  *   dedup   --in DIR... --by c1,c2 [--tiebreak col] --out DIR   (extension)
+  *   compact --in DIR [--target-bytes N]                         (extension)
   *
   * Error contract (main.py:49-57,118-156): invalid dates, start > end,
   * filtered mode without --filter, --stratify without --n-per-group, and
@@ -38,10 +40,13 @@ object Main {
     case "convert" :: rest => withSpark(s => convert(s, parseFlags(rest)))
     case "filter" :: rest  => withSpark(s => filter(s, parseFlags(rest)))
     case "sample" :: rest  => withSpark(s => sample(s, parseFlags(rest)))
+    // extension ops-tooling (beyond the reference surface):
+    case "dedup" :: rest   => withSpark(s => dedup(s, parseFlags(rest)))
+    case "compact" :: rest => withSpark(s => compactCmd(s, parseFlags(rest)))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
-          "(expected scrape | convert | filter | sample)")
+          "(expected scrape | convert | filter | sample | dedup | compact)")
   }
 
   // ------------------------------------------------------------ commands
@@ -130,6 +135,35 @@ object Main {
     result.select(projected.map(col): _*)
       .write.mode("overwrite").parquet(out)
     println(s"sample: wrote $out")
+  }
+
+  /** `dedup --in DIR... --by c1,c2 [--tiebreak col] --out DIR`: exact
+    * row-level dedup — keep one row per `--by` key, the one with the
+    * smallest `--tiebreak` value (default: first --by column) so re-runs
+    * are deterministic. One rank window over a hash exchange on the key. */
+  private def dedup(spark: SparkSession, flags: Flags): Unit = {
+    val df = spark.read.parquet(flags.reqList("in"): _*)
+    val by = flags.req("by").split(',').toSeq
+    val unknown = by.filterNot(df.columns.contains)
+    require(unknown.isEmpty, s"Unknown columns: ${unknown.mkString(", ")}")
+    val tiebreak = flags.get("tiebreak").getOrElse(by.head)
+    require(df.columns.contains(tiebreak), s"Unknown columns: $tiebreak")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*).orderBy(col(tiebreak))
+    val kept = df
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val out = flags.req("out")
+    kept.write.mode("overwrite").parquet(out)
+    println(s"dedup: wrote $out")
+  }
+
+  /** `compact --in DIR [--target-bytes N]`: bin-pack a parquet directory's
+    * small files (default target 128 MiB per output file). */
+  private def compactCmd(spark: SparkSession, flags: Flags): Unit = {
+    val target = flags.get("target-bytes").map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val (before, after) = graft.etl.Layout.compact(spark, flags.req("in"), target)
+    println(s"compact: files_before=$before files_after=$after")
   }
 
   /** Content-hash ordering on GlobalEventID when present (partition-layout

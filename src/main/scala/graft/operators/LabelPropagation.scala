@@ -23,7 +23,11 @@ object LabelPropagation {
 
   /** `nodes`: (id, label) — label integral. `edges`: directed (src, dst);
     * pass both directions for an undirected graph. Output: (id, label)
-    * after `iters` rounds. */
+    * after `iters` rounds.
+    *
+    * Contract: every edge endpoint must appear in `nodes` — an unknown
+    * `dst` would materialize as a phantom output row labeled only by its
+    * neighbors (an unknown `src` simply contributes no votes). */
   def propagate(nodes: DataFrame, id: Column, label: Column,
                 edges: DataFrame, src: Column, dst: Column,
                 iters: Int): DataFrame = {

@@ -42,7 +42,13 @@ object FuzzyJoin {
   }
 
   /** Word pairs with edit distance ≤ 2 from a single-column vocabulary
-    * DataFrame. Output: (wa, wb, ed) with wa < wb. */
+    * DataFrame. Output: (wa, wb, ed) with wa < wb.
+    *
+    * Skew note: very short words collapse into tiny variants ("" is a
+    * universal bucket for all length ≤ 2 words) — on corpus-scale
+    * vocabularies filter the vocab to length ≥ 3 first (shorter pairs are
+    * trivially within distance 2 of each other anyway), or let AQE split
+    * the hot buckets. */
   def editDistancePairs2(vocab: DataFrame, word: Column): DataFrame = {
     // two projections: aliasing `word` to "w" in the SAME select that
     // re-references it would resolve as a lateral column alias (explode

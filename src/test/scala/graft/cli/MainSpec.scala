@@ -139,4 +139,28 @@ class MainSpec extends SparkSpec {
       "--flat-out", s"$dir/flat", "--hist-out", s"$dir/hist"))
     assert(spark.read.parquet(s"$dir/flat").count() == 1)
   }
+
+  test("dedup: keeps the smallest-tiebreak row per key; validates columns") {
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft_dedup_cli").toString
+    Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
+      .toDF("k", "seq", "v").write.parquet(s"$dir/in")
+    Main.main(Array("dedup", "--in", s"$dir/in", "--by", "k",
+      "--tiebreak", "seq", "--out", s"$dir/out"))
+    val out = spark.read.parquet(s"$dir/out").select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "b", 2L -> "c"))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "dedup", "--in", s"$dir/in", "--by", "nope", "--out", s"$dir/x")))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "dedup", "--in", s"$dir/in", "--out", s"$dir/x")))
+  }
+
+  test("compact: merges small files through the CLI") {
+    val dir = JFiles.createTempDirectory("graft_compact_cli").toString
+    spark.range(1000).toDF("id").repartition(8).write.parquet(s"$dir/t")
+    Main.main(Array("compact", "--in", s"$dir/t"))
+    assert(spark.read.parquet(s"$dir/t").inputFiles.length == 1)
+    assert(spark.read.parquet(s"$dir/t").count() == 1000)
+  }
 }
