@@ -78,6 +78,48 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // TPC-H Q3-style shipping priority: urgent orders placed before the
+    // cutoff with lines still unshipped at the cutoff, top-10 by pending
+    // revenue — a 2-way fact join (orders filter pushed to its scan) + one
+    // aggregation + TakeOrdered, no global sort
+    "q_eng_shipping_priority" -> ((s, d) => {
+      val cutoff = "1998-06-01"
+      val o = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") < lit(cutoff).cast("timestamp_ntz"))
+        .select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, d)
+        .where(col("l_shipdate") > lit(cutoff).cast("timestamp_ntz"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q8-style market share: one supplier nation's slice of yearly
+    // revenue — conditional decimal sums (exact) with a single final
+    // double division; supplier/nation dimensions broadcast
+    "q_eng_market_share" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val dec = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_7", dec).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).cast("double").as("nation_rev"),
+          moneySum(dec).as("total_rev"))
+        .withColumn("share", col("nation_rev") / col("total_rev"))
+        .orderBy("o_year")
+    }),
+
     // top-3 orders per customer by totalprice: rank window, shuffle on
     // o_custkey only (no global sort)
     "q_eng_window_top_orders" -> ((s, d) => {
@@ -415,6 +457,34 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_shipping_priority" ->
+      s"""WITH o AS (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND o_orderdate < TIMESTAMP '1998-06-01'),
+          a AS (SELECT l_orderkey AS o_orderkey,
+                       ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+                FROM lineitem JOIN o ON l_orderkey = o.o_orderkey
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY 1)
+          SELECT o_orderkey, revenue FROM a
+          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q_eng_market_share" ->
+      s"""WITH sup AS (SELECT s_suppkey, n_name
+                       FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+          a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(sum(CAST(CASE WHEN n_name = 'NATION_7'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_rev,
+                       ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN sup ON l_suppkey = s_suppkey
+                GROUP BY 1)
+          SELECT o_year, nation_rev, total_rev,
+                 nation_rev / total_rev AS share
+          FROM a ORDER BY o_year""",
 
     "q_eng_window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn
