@@ -274,6 +274,27 @@ object Dedup {
       .select("ida", "idb", "ham")
   }
 
+  /** Cross-corpus LSH candidates: near-duplicate pairs BETWEEN two
+    * signature tables (an incoming batch vs the ingested catalog) — the
+    * incremental-dedup shape, where a self-join over batch ∪ catalog would
+    * waste the catalog×catalog quadrant that is already deduplicated.
+    * Same banding math as [[lshCandidates]]; the join is batch-bands ⋈
+    * catalog-bands on (band, hash), so the catalog side can be a
+    * pre-materialized (bucketed) band table that new batches probe. */
+  def lshCandidatesAcross(left: DataFrame, right: DataFrame,
+                          idCol: Column, sigCol: Column,
+                          bands: Int, r: Int): DataFrame = {
+    def bandsOf(df: DataFrame, idName: String, bhName: String) =
+      df.select(idCol.as(idName), explode(lshBands(sigCol, bands, r)).as("bd"))
+        .select(col(idName), col("bd.band").as(s"${bhName}_band"),
+          col("bd.bh").as(bhName))
+    val a = bandsOf(left, "ida", "bha")
+    val b = bandsOf(right, "idb", "bhb")
+    a.join(b, col("bha_band") === col("bhb_band") && col("bha") === col("bhb"))
+      .select(col("ida"), col("idb"))
+      .distinct()
+  }
+
   /** Novelty filter against a reference corpus: keep only rows whose
     * fingerprint does not occur in `ref` — dedup of an incoming batch
     * against an already-ingested corpus, without materializing matches.

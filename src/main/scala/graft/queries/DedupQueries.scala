@@ -112,7 +112,24 @@ object DedupQueries {
     "q_dedup_embed_cosine" -> ((s, d) =>
       SimilarityQueries.lshPairTable(s, d)
         .where(col("cos") >= 0.4)
-        .orderBy("va", "vb"))
+        .orderBy("va", "vb")),
+
+    // incremental dedup: LSH candidates BETWEEN an incoming batch (odd
+    // doc_ids) and the ingested catalog (even doc_ids) — never the
+    // catalog×catalog quadrant — then exact-Jaccard verified
+    "q_dedup_incremental" -> ((s, d) => {
+      val sig = withSig(s, d)
+      val cand = Dedup.lshCandidatesAcross(
+        sig.where(col("doc_id") % 2 === 1), sig.where(col("doc_id") % 2 === 0),
+        col("doc_id"), col("sig"), BANDS, R)
+      cand
+        .join(sig.select(col("doc_id").as("ida"), col("shingles").as("xa")), "ida")
+        .join(sig.select(col("doc_id").as("idb"), col("shingles").as("xb")), "idb")
+        .withColumn("jac", Dedup.jaccard(col("xa"), col("xb")))
+        .where(col("jac") >= 0.8)
+        .select("ida", "idb", "jac")
+        .orderBy("ida", "idb")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -230,6 +247,27 @@ object DedupQueries {
             FROM cand JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
           SELECT ida, idb, shared, jac FROM j
           WHERE jac >= 0.8 ORDER BY ida, idb""",
+
+    "q_dedup_incremental" ->
+      s"""$shCte,
+          $sigCte,
+          bands AS (
+            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+            FROM sig, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+          SELECT ida, idb,
+                 CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                      - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) AS jac
+          FROM cand
+          JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+          WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                  / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                     - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) >= 0.8
+          ORDER BY ida, idb""",
 
     "q_dedup_simhash_sig" ->
       s"""$shCte,
