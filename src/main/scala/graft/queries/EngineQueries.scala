@@ -379,7 +379,8 @@ object EngineQueries {
         .distinct()
       val edges = ps.select(col("pnode").as("src"), col("snode").as("dst"))
         .unionByName(ps.select(col("snode").as("src"), col("pnode").as("dst")))
-      graft.operators.PageRank.integerPageRank(edges, col("src"), col("dst"), iters = 3)
+      graft.operators.PageRank.integerPageRank(edges, col("src"), col("dst"),
+          iters = 3, broadcastRanks = true) // 2k vertices vs 160k edges
         .orderBy(col("pr").desc, col("node")).limit(25)
     }),
 
