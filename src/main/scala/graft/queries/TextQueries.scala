@@ -210,6 +210,26 @@ object TextQueries {
         .orderBy("qid", "rank")
     }),
 
+    // bigram next-token statistics: top-3 continuations per context token
+    // — the corpus-level conditional distribution a tokenizer/LM data
+    // audit inspects (and the n-gram LM building block)
+    "q_text_ngram_lm" -> ((s, d) => {
+      val t = docs(s, d).select(tokens(lower(col("text"))).as("toks"))
+      val pairs = t.select(explode(
+          when(size(col("toks")) < 2,
+            array().cast("array<struct<ctx:string,nxt:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("ctx"),
+              element_at(col("toks"), i + 2).as("nxt"))))).as("p"))
+        .select(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ctx")).orderBy(col("cnt").desc, col("nxt"))
+      pairs.groupBy("ctx", "nxt").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .orderBy("ctx", "rank")
+    }),
+
     // unigram-LM surprisal (perplexity-proxy quality filter): per-token
     // −ln p(t) in integer micro-nats summed per doc — order-independent
     "q_text_surprisal" -> ((s, d) =>
@@ -546,6 +566,23 @@ object TextQueries {
                FROM ag)
          SELECT qid, nid, rank, score_micro FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+
+    "q_text_ngram_lm" ->
+      """WITH t AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         bg AS (
+           SELECT toks[i+1] AS ctx, toks[i+2] AS nxt
+           FROM t, lateral unnest(range(0, greatest(len(toks) - 1, 0))) u(i)),
+         c AS (SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS cnt
+               FROM bg GROUP BY 1, 2),
+         r AS (SELECT ctx, nxt, cnt,
+                      CAST(row_number() OVER (PARTITION BY ctx
+                        ORDER BY cnt DESC, nxt) AS BIGINT) AS rank
+               FROM c)
+         SELECT ctx, nxt, cnt, rank FROM r WHERE rank <= 3
+         ORDER BY ctx, rank""",
 
     "q_text_surprisal" ->
       """WITH t AS (
