@@ -220,6 +220,15 @@ object EngineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
+    // left-anti join: parts never sold above the premium threshold — the
+    // complement of the semi join below, same no-payload-movement property
+    "q_eng_anti_join" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).where(col("l_extendedprice") > 90000),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")),
+
     // left-semi join: orders having at least one high-value line item —
     // the fact side is filtered without duplication or payload movement
     "q_eng_semi_join" -> ((s, d) =>
@@ -533,6 +542,13 @@ object EngineQueries {
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_eng_anti_join" ->
+      """SELECT p_partkey, p_brand
+         FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_partkey = p_partkey AND l_extendedprice > 90000)
+         ORDER BY p_partkey""",
 
     "q_eng_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus
