@@ -30,10 +30,15 @@ object Bench {
       name -> times(times.size / 2)
     }
     graft.queries.QueryCaches.clear()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the whole line ~2.5 KB for 91 queries — the
+    // driver's bounded tail capture truncated the r3 line (12-significant-
+    // digit doubles pushed it past 9 KB → "parsed": null)
+    def f3(v: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

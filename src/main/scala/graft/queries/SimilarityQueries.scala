@@ -152,7 +152,9 @@ object SimilarityQueries {
 
     // product quantization: 8 subspaces × 8 dims, 16-centroid codebooks,
     // ADC top-3 per query — corpus held as codes, queries exact, distance
-    // = sum of broadcast table lookups in exact integer micro-units
+    // = sum of broadcast table lookups. Elements quantize to integer
+    // micro-units at the leaf (audited site), so every distance is pure
+    // integer arithmetic — no cross-engine float surface at all
     "q_sim_pq_adc" -> ((s, d) =>
       graft.similarity.ProductQuantization.adcTopK(
         Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -327,32 +329,35 @@ object SimilarityQueries {
           ORDER BY qid, rank""",
 
     "q_sim_pq_adc" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding::DOUBLE[],
+                             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+                    FROM embeddings),
          sub AS (SELECT vec_id, m, v[m*8 + 1 : m*8 + 8] AS sv
                  FROM e, range(0, 8) t(m)),
          cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
          d AS (
            SELECT s.vec_id AS id, s.m, cb.cid,
-                  CAST(floor(list_reduce(list_prepend(0.0,
-                         [(s.sv[i+1] - cb.cv[i+1]) * (s.sv[i+1] - cb.cv[i+1])
-                          for i in range(0, 8)]),
-                         (p, q) -> p + q) * 1000000.0 + 0.5) AS BIGINT) AS d2m
+                  list_reduce(list_prepend(0::BIGINT,
+                    [(s.sv[i+1] - cb.cv[i+1]) * (s.sv[i+1] - cb.cv[i+1])
+                     for i in range(0, 8)]),
+                    (p, q) -> p + q) AS d2q
            FROM sub s JOIN cb USING (m)),
          codes AS (
            SELECT id, m, cid AS code FROM (
              SELECT *, row_number() OVER (PARTITION BY id, m
-                                          ORDER BY d2m, cid) AS rn
+                                          ORDER BY d2q, cid) AS rn
              FROM d) WHERE rn = 1),
-         dt AS (SELECT id AS qid, m, cid, d2m FROM d WHERE id < 10),
+         dt AS (SELECT id AS qid, m, cid, d2q FROM d WHERE id < 10),
          adc AS (
-           SELECT dt.qid, c.id AS nid, sum(dt.d2m) AS adist_micro
+           SELECT dt.qid, c.id AS nid, CAST(sum(dt.d2q) AS BIGINT) AS adist_micro2
            FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.cid
            WHERE c.id != dt.qid GROUP BY 1, 2),
-         r AS (SELECT qid, nid, adist_micro,
+         r AS (SELECT qid, nid, adist_micro2,
                       CAST(row_number() OVER (PARTITION BY qid
-                        ORDER BY adist_micro, nid) AS BIGINT) AS rank
+                        ORDER BY adist_micro2, nid) AS BIGINT) AS rank
                FROM adc)
-         SELECT qid, nid, rank, adist_micro FROM r WHERE rank <= 3
+         SELECT qid, nid, rank, adist_micro2 FROM r WHERE rank <= 3
          ORDER BY qid, rank""",
 
     "q_sim_ivf_topk" ->

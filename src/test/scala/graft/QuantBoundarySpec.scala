@@ -1,0 +1,74 @@
+package graft
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Cross-engine quantization-boundary audit (round-3 verdict): for every
+  * float→integer `floor(x·10⁶ + 0.5)` site that feeds the driver's
+  * DuckDB-compare gate, assert no fixture value lands near a floor
+  * boundary, so a driver-side engine build (different libm `ln`, FMA
+  * contraction, evaluation-order changes) can never flip a quantized
+  * integer.
+  *
+  * Thresholds by drift class:
+  *   - raw-element sites (PQ micro-quantization, k-means centroid sums):
+  *     two basic IEEE ops on the raw double — worst realistic divergence
+  *     is one FMA-contracted ulp, ~1e-9 at 10⁶ scale → require > 1e-7;
+  *   - transcendental sites (BM25 idf, unigram surprisal): a different
+  *     libm `ln` drifts a few ulps, ~1e-8 at 10⁶–10⁷ scale → require
+  *     > 1e-4 (the distinct df/count input sets are tiny, measured
+  *     margins ≥ 4e-3 on every fixture).
+  *
+  * Audited on sf0.001 and sf0.01 — the driver gate runs sf0.01. */
+class QuantBoundarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gateSfs = Seq(sf, "/root/testdata/sf0.01")
+
+  /** Min distance of (x·10⁶ + 0.5) to the nearest integer. */
+  private def minBoundaryDist(df: DataFrame, x: Column): Double = {
+    val v = x * lit(1000000.0) + lit(0.5)
+    val frac = v - floor(v)
+    df.select(least(frac, lit(1.0) - frac).as("d"))
+      .agg(min(col("d"))).as[Double].head()
+  }
+
+  test("embedding elements clear the micro-quantization boundary (PQ, k-means)") {
+    for (dir <- gateSfs) {
+      val elems = Tables.embeddings(spark, dir)
+        .select(explode(col("embedding").cast("array<double>")).as("x"))
+      val d = minBoundaryDist(elems, col("x"))
+      assert(d > 1e-7, s"$dir: embedding element within $d of a floor boundary")
+    }
+  }
+
+  test("BM25 idf values clear the micro-quantization boundary") {
+    for (dir <- gateSfs) {
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val nDocs = docs.count()
+      val dfs = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .select("df").distinct()
+      val idf = log((lit(nDocs) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val d = minBoundaryDist(dfs, idf)
+      assert(d > 1e-4, s"$dir: idf value within $d of a floor boundary")
+    }
+  }
+
+  test("unigram surprisal values clear the micro-quantization boundary") {
+    for (dir <- gateSfs) {
+      val toks = Tables.documents(spark, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val total = toks.count()
+      val cnts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select("cnt").distinct()
+      val sur = -log(col("cnt").cast("double") / lit(total).cast("double"))
+      val d = minBoundaryDist(cnts, sur)
+      assert(d > 1e-4, s"$dir: surprisal value within $d of a floor boundary")
+    }
+  }
+}

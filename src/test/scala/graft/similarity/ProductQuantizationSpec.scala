@@ -21,13 +21,14 @@ class ProductQuantizationSpec extends SparkSpec {
     queryMaxId = 1, m = 2, subDim = 4, ksub = 2, k = 3)
 
   test("ADC distances: same-codebook-cell docs score 0, far cell scores the table distance") {
-    val out = run().select("nid", "rank", "adist_micro")
+    val out = run().select("nid", "rank", "adist_micro2")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     // doc 2 encodes to centroid 0 (the query's own cell) → adist 0
     assert(out(2L)._2 == 0L)
-    // docs 1 and 3 encode to centroid 1 → adist = d2(query, centroid1) = 8·100
-    assert(out(1L)._2 == 800000000L)
-    assert(out(3L)._2 == 800000000L)
+    // docs 1 and 3 encode to centroid 1 → adist = d2(query, centroid1)
+    // = 8 · (10·10⁶ micro)² = 8·10¹⁴ micro²
+    assert(out(1L)._2 == 800000000000000L)
+    assert(out(3L)._2 == 800000000000000L)
     // rank: doc 2 first; 1 vs 3 tie on distance breaks on nid
     assert(out(2L)._1 == 1L && out(1L)._1 == 2L && out(3L)._1 == 3L)
   }

@@ -39,4 +39,29 @@ class Bm25Spec extends SparkSpec {
     val plan = run(3).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  // "common" has df 4 of n 5 (800‰); a 700‰ cutoff must drop it from the
+  // query side BEFORE the postings join
+  test("df cutoff drops stop-terms: docs sharing only a stop-term are unreachable") {
+    val rows = Bm25.topK(corpus, col("id"), col("text"),
+        corpus.where(col("id") === 0), col("id"), col("text"), k = 10,
+        maxDfPermille = 700)
+      .select("nid").as[Long].collect().toSet
+    assert(rows == Set(1L, 2L),
+      "only docs sharing a sub-cutoff term may appear")
+  }
+
+  test("a pure stop-term query generates zero candidates under the cutoff") {
+    val q = Seq((9L, "common")).toDF("id", "text")
+    val out = Bm25.topK(corpus, col("id"), col("text"),
+      q, col("id"), col("text"), k = 10, maxDfPermille = 700)
+    assert(out.count() == 0, "a stop-term query must not touch the corpus")
+  }
+
+  test("k1 and b outside the 1/20 grid are rejected") {
+    intercept[IllegalArgumentException] {
+      Bm25.topK(corpus, col("id"), col("text"),
+        corpus, col("id"), col("text"), k = 5, k1 = 1.23)
+    }
+  }
 }
