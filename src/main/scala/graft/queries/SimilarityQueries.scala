@@ -95,6 +95,13 @@ object SimilarityQueries {
         nCentroids = 8, queryMaxId = QuerySetMax, k = 3)
         .orderBy("qid", "rank")),
 
+    // multi-probe IVF (nprobe = 2): queries search their two nearest cells
+    // — the standard fix for single-probe's recall cliff at Voronoi edges
+    "q_sim_ivf_probes" -> ((s, d) =>
+      Similarity.ivfTopKProbes(Tables.embeddings(s, d),
+        nCentroids = 8, queryMaxId = QuerySetMax, k = 3, nprobe = 2)
+        .orderBy("qid", "rank")),
+
     // trained IVF: 2 Lloyd iterations (exact integer-microunit centroid
     // sums → partition-order-independent AND bitwise cross-engine), then
     // nearest-centroid assignment
@@ -359,6 +366,29 @@ object SimilarityQueries {
                FROM adc)
          SELECT qid, nid, rank, adist_micro2 FROM r WHERE rank <= 3
          ORDER BY qid, rank""",
+
+    "q_sim_ivf_probes" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          ranked AS (
+            SELECT id, v, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+            FROM (SELECT e.vec_id AS id, e.v, cid,
+                         ${dotSql("v", "cv")} AS score
+                  FROM e CROSS JOIN cents)),
+          c AS (SELECT id AS nid, v AS nv, cid AS cell FROM ranked WHERE rn = 1),
+          q AS (SELECT id AS qid, v AS qv, cid AS cell FROM ranked
+                WHERE rn <= 2 AND id < $QuerySetMax),
+          cos AS (
+            SELECT qid, nid,
+                   ${dotSql("qv", "nv")}
+                     / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv", "nv")})) AS cos
+            FROM q JOIN c USING (cell) WHERE qid != nid),
+          r AS (
+            SELECT qid, nid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+            FROM cos)
+          SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""",
 
     "q_sim_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -150,14 +150,36 @@ object Similarity {
     * depends on the quantizer — the engine contract is the deterministic
     * cell-restricted search. */
   def ivfTopK(vectors: DataFrame, nCentroids: Int, queryMaxId: Long,
-              k: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, nCentroids)
-    val q = assigned.where(col("id") < queryMaxId)
-      .select(col("id").as("qid"), col("v").as("qv"), col("cell"))
-      .withColumn("qn", l2norm(col("qv")))
-    val c = assigned
-      .select(col("id").as("nid"), col("v").as("nv"), col("cell"))
+              k: Int): DataFrame =
+    ivfTopKProbes(vectors, nCentroids, queryMaxId, k, nprobe = 1)
+
+  /** Multi-probe IVF top-k: each query searches its `nprobe` nearest cells
+    * instead of one — the standard fix for single-probe's recall cliff at
+    * cell boundaries (a true neighbor just across the Voronoi edge is
+    * invisible to nprobe = 1). Corpus vectors still live in exactly one
+    * cell, so each (query, neighbor) pair arises at most once — no dedup
+    * stage. Cost scales linearly in nprobe while the corpus side stays a
+    * single broadcast-joined scan; nprobe = nCentroids degenerates to
+    * brute force (the recall proof in SimilaritySpec). Returns
+    * (qid, nid, rank, cos). */
+  def ivfTopKProbes(vectors: DataFrame, nCentroids: Int, queryMaxId: Long,
+                    k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val v = vectors.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = v.where(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("cid"))
+    val ranked = v.crossJoin(broadcast(cents))
+      .withColumn("score", dot(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+    val c = ranked.where(col("rn") === 1)
+      .select(col("id").as("nid"), col("v").as("nv"), col("cid").as("cell"))
       .withColumn("nn", l2norm(col("nv")))
+    val q = ranked.where(col("id") < queryMaxId && col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid").as("cell"))
+      .withColumn("qn", l2norm(col("qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     broadcast(q).join(c, "cell")

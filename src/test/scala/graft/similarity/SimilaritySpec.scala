@@ -143,6 +143,26 @@ class SimilaritySpec extends SparkSpec {
     assert(asg2b == asg2)
   }
 
+  test("multi-probe IVF: candidate set grows with nprobe; all cells = brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(nprobe: Int) = Similarity
+      .ivfTopKProbes(emb, nCentroids = 8, queryMaxId = 10, k = 3, nprobe = nprobe)
+      .select(col("qid"), col("nid"), col("rank")).as[(Long, Long, Long)]
+      .collect().toSet
+    // probing every cell degenerates to exact brute force — the recall proof
+    val all = pairs(8)
+    val brute = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb, 3)
+      .select(col("qid"), col("nid"), col("rank")).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(all == brute, "nprobe = nCentroids must equal brute force")
+    // 2 probes recall at least as much of the exact answer as 1 probe
+    def hits(p: Set[(Long, Long, Long)]) = p.map(t => (t._1, t._2))
+      .intersect(brute.map(t => (t._1, t._2))).size
+    assert(hits(pairs(2)) >= hits(pairs(1)),
+      "nprobe=2 must not recall fewer exact neighbors than nprobe=1")
+  }
+
   test("signBandPatterns propagates null elements") {
     val df = Seq(
       (1L, Array[java.lang.Double](1.0, null, 3.0)),
