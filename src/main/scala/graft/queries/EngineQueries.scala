@@ -132,6 +132,23 @@ object EngineQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // window-function breadth over ONE exchange: quartile bucket (ntile),
+    // relative position (percent_rank), and gap to the previous order (lag)
+    // all share the (priority, price) sort — Catalyst folds the three into
+    // a single Window operator, no extra shuffle per function. percent_rank
+    // is (rank−1)/(n−1) on exact integers in both engines, bitwise safe
+    "q_eng_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("price_gap",
+          col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+        .orderBy("o_orderkey")
+    }),
+
     // two-phase salted aggregation — the oracle equality proves the salted
     // plan returns exactly the single-phase answer (skew story: hot keys
     // spread over 16 reducers in phase 1)
@@ -504,6 +521,16 @@ object EngineQueries {
                          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
                FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_eng_window_funcs" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                o_totalprice - lag(o_totalprice, 1) OVER w AS price_gap
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
 
     "q_eng_salted_count" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem

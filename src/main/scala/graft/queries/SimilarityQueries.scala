@@ -36,6 +36,13 @@ object SimilarityQueries {
         LshSeed, LshBands, LshWidth, LshMaxBucket)
     }
 
+  /** Memoized trained-IVF assignment (2 Lloyd iterations) — shared by
+    * q_sim_ivf_kmeans and q_sim_cell_sample. */
+  private def kmeansTable(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "kmeans_assign") {
+      Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+    }
+
   /** Shared oracle CTE bodies mirroring [[Similarity.signLshPairs]]'s
     * candidate stage bitwise: identical md5-derived Rademacher planes,
     * identical left-to-right IEEE dot accumulation, same bucket cap and
@@ -104,11 +111,26 @@ object SimilarityQueries {
 
     // trained IVF: 2 Lloyd iterations (exact integer-microunit centroid
     // sums → partition-order-independent AND bitwise cross-engine), then
-    // nearest-centroid assignment
+    // nearest-centroid assignment (cached — q_sim_cell_sample shares it)
     "q_sim_ivf_kmeans" -> ((s, d) =>
-      Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      kmeansTable(s, d)
         .select(col("id").as("vec_id"), col("cell"), col("dist2"))
         .orderBy("vec_id")),
+
+    // diversity (coverage) sampling: exact-5 per trained k-means cell in
+    // content-hash order — the cell-stratified stand-in for k-center
+    // selection (greedy k-center is inherently sequential; per-cell quotas
+    // keep every region of embedding space represented and scale as one
+    // window over the cell partitioning)
+    "q_sim_cell_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+      kmeansTable(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("cell"), col("rn"), col("id").as("vec_id"))
+        .orderBy("cell", "rn")
+    }),
 
     // unit normalization: scalar probes of the normalized array plus its
     // recomputed norm (exercises every element bitwise)
@@ -183,6 +205,40 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, [$a[i+1] * $b[i+1] for i in range(0, 64)]), (p, q) -> p + q)"
 
+  /** Shared oracle CTE chain mirroring [[Similarity.kmeansCentroids]] +
+    * final assignment (2 unrolled Lloyd iterations, integer-microunit
+    * centroid sums): ends at `af(id, cid, dist2)`. */
+  private def kmeansCtes: String = {
+    def dist2(v: String, cv: String) =
+      s"(${dotSql(v, v)} - 2.0 * ${dotSql(v, cv)}) + ${dotSql(cv, cv)}"
+    def step(n: Int, centsCte: String) =
+      s"""s$n AS (SELECT e.vec_id AS id, e.v, c.cid,
+                    ${dist2("e.v", "c.cv")} AS dist2
+                  FROM e CROSS JOIN $centsCte c),
+          a$n AS (SELECT id, v, cid, dist2 FROM (
+                    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+                    FROM s$n) WHERE rn = 1),
+          m$n AS (SELECT cid, dim,
+                    CAST(sum(CAST(floor(v[dim+1] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS cval
+                  FROM a$n, range(0, 64) t(dim) GROUP BY 1, 2),
+          u$n AS (SELECT cid, list(cval ORDER BY dim) AS cv FROM m$n GROUP BY 1)"""
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        ${step(1, "c0")},
+        c1 AS (SELECT c0.cid, coalesce(u1.cv, c0.cv) AS cv
+               FROM c0 LEFT JOIN u1 USING (cid)),
+        ${step(2, "c1")},
+        c2 AS (SELECT c1.cid, coalesce(u2.cv, c1.cv) AS cv
+               FROM c1 LEFT JOIN u2 USING (cid)),
+        sf AS (SELECT e.vec_id AS id, c.cid,
+                 ${dist2("e.v", "c.cv")} AS dist2
+               FROM e CROSS JOIN c2 c),
+        af AS (SELECT id, cid, dist2 FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+                 FROM sf) WHERE rn = 1)"""
+  }
+
   private val cosSql =
     """list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
        / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
@@ -216,37 +272,18 @@ object SimilarityQueries {
             FROM directed WHERE qid < $QuerySetMax)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""",
 
-    "q_sim_ivf_kmeans" -> {
-      def dist2(v: String, cv: String) =
-        s"(${dotSql(v, v)} - 2.0 * ${dotSql(v, cv)}) + ${dotSql(cv, cv)}"
-      def step(n: Int, centsCte: String) =
-        s"""s$n AS (SELECT e.vec_id AS id, e.v, c.cid,
-                      ${dist2("e.v", "c.cv")} AS dist2
-                    FROM e CROSS JOIN $centsCte c),
-            a$n AS (SELECT id, v, cid, dist2 FROM (
-                      SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
-                      FROM s$n) WHERE rn = 1),
-            m$n AS (SELECT cid, dim,
-                      CAST(sum(CAST(floor(v[dim+1] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                        / (CAST(count(*) AS DOUBLE) * 1000000.0) AS cval
-                    FROM a$n, range(0, 64) t(dim) GROUP BY 1, 2),
-            u$n AS (SELECT cid, list(cval ORDER BY dim) AS cv FROM m$n GROUP BY 1)"""
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-          ${step(1, "c0")},
-          c1 AS (SELECT c0.cid, coalesce(u1.cv, c0.cv) AS cv
-                 FROM c0 LEFT JOIN u1 USING (cid)),
-          ${step(2, "c1")},
-          c2 AS (SELECT c1.cid, coalesce(u2.cv, c1.cv) AS cv
-                 FROM c1 LEFT JOIN u2 USING (cid)),
-          sf AS (SELECT e.vec_id AS id, c.cid,
-                   ${dist2("e.v", "c.cv")} AS dist2
-                 FROM e CROSS JOIN c2 c),
-          af AS (SELECT id, cid, dist2 FROM (
-                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
-                   FROM sf) WHERE rn = 1)
-          SELECT id AS vec_id, cid AS cell, dist2 FROM af ORDER BY vec_id"""
-    },
+    "q_sim_ivf_kmeans" ->
+      s"""WITH $kmeansCtes
+          SELECT id AS vec_id, cid AS cell, dist2 FROM af ORDER BY vec_id""",
+
+    "q_sim_cell_sample" ->
+      s"""WITH $kmeansCtes,
+          r AS (SELECT id, cid,
+                       CAST(row_number() OVER (PARTITION BY cid
+                         ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS rn
+                FROM af)
+          SELECT cid AS cell, rn, id AS vec_id FROM r WHERE rn <= 5
+          ORDER BY cell, rn""",
 
     "q_sim_normalize" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -260,6 +260,48 @@ object TextQueries {
         .orderBy("wa", "wb")
     }),
 
+    // distributed BPE-trainer step: adjacent-symbol pair statistics over
+    // the word VOCABULARY weighted by word frequency — the argmax pair is
+    // the next BPE merge. Plan shape is the one that scales: corpus scan →
+    // word-count aggregation (map-side combine, one shuffle), then the
+    // char-pair explode runs over the vocabulary (thousands of rows), never
+    // over the corpus
+    "q_text_bpe_merges" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(tokens(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      // split(w, "") keeps a trailing "" (Java Pattern.split) that DuckDB's
+      // string_split drops — filter empties, as fingerprintRolling does
+      val chars = words.withColumn("cs",
+        filter(split(col("w"), ""), c => c =!= lit("")))
+      chars.select(col("wc"), explode(
+          when(size(col("cs")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("cs")) - 2),
+              i => concat(element_at(col("cs"), i + 1), lit(" "),
+                element_at(col("cs"), i + 2))))).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // temperature-based mixture reweighting (α = 0.5, the standard
+    // up-weight-the-tail exponent): per-source doc counts → weight n^α →
+    // share of the training mix. The cross-source weight total folds in
+    // SOURCE ORDER over a sorted array — a groupBy sum of doubles would be
+    // partition-order-dependent; this is the aggregate-level analogue of
+    // the project's fixed-order IEEE fold rule
+    "q_text_mix_weights" -> ((s, d) => {
+      val counts = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      counts
+        .agg(array_sort(collect_list(struct(col("source"), col("n_docs")))).as("a"))
+        .select(explode(col("a")).as("e"),
+          aggregate(col("a"), lit(0.0),
+            (acc, x) => acc + sqrt(x.getField("n_docs").cast("double"))).as("total"))
+        .select(col("e.source").as("source"), col("e.n_docs").as("n_docs"),
+          (sqrt(col("e.n_docs").cast("double")) / col("total")).as("share"))
+        .orderBy("source")
+    }),
+
     // corpus document frequency: tokens by number of documents containing
     // them, top 20 (deterministic tiebreak on the token)
     "q_text_docfreq" -> ((s, d) => {
@@ -628,6 +670,29 @@ object TextQueries {
          FROM v a JOIN v b ON a.w < b.w
          WHERE levenshtein(a.w, b.w) <= 2
          ORDER BY wa, wb""",
+
+    "q_text_bpe_merges" ->
+      """WITH t AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         w AS (SELECT unnest(toks) AS w FROM t),
+         wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM w GROUP BY 1),
+         cs AS (SELECT wc, string_split(w, '') AS cs FROM wc),
+         p AS (SELECT wc, cs[i+1] || ' ' || cs[i+2] AS pair
+               FROM cs, lateral unnest(range(0, greatest(len(cs) - 1, 0))) u(i))
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occ
+         FROM p GROUP BY 1 ORDER BY n_occ DESC, pair LIMIT 20""",
+
+    "q_text_mix_weights" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY 1),
+         t AS (SELECT list_reduce(list_prepend(0.0,
+                 list_transform(list(CAST(n_docs AS DOUBLE) ORDER BY source),
+                   x -> sqrt(x))),
+                 (p, q) -> p + q) AS total FROM c)
+         SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) / t.total AS share
+         FROM c, t ORDER BY source""",
 
     "q_text_docfreq" ->
       """WITH t AS (
