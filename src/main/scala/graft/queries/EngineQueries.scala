@@ -307,6 +307,18 @@ object EngineQueries {
         .withColumn("dur_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "session_idx")),
 
+    // time-series gap fill: each user's irregular events resampled to a
+    // daily last-observation-carried-forward series over the user's own
+    // date range (Resample.dailyLocf). Events reduce to one row per
+    // (user, day) before the calendar spine materializes, so cost is
+    // keys × days, not event volume
+    "q_eng_gap_fill" -> ((s, d) =>
+      graft.operators.Resample.dailyLocf(Tables.events(s, d),
+          col("user_id"), col("ts"), col("value"), col("event_id"))
+        .select(col("key").as("user_id"), col("day").cast("string").as("day"),
+          col("value"), col("observed"))
+        .orderBy("user_id", "day")),
+
     // weekly cohort retention: cohort = user's first active week, matrix of
     // distinct users per (cohort, week offset). Two shuffles on user_id
     // (dedup + cohort agg), cohort table broadcast back
@@ -618,6 +630,27 @@ object EngineQueries {
                 min(us) AS start_us, max(us) AS end_us,
                 max(us) - min(us) AS dur_us
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    "q_eng_gap_fill" ->
+      """WITH e AS (SELECT user_id AS key,
+                           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                           CAST(ts AS TIMESTAMP) AS uts, event_id, value
+                    FROM events),
+         obs AS (SELECT key, day, value FROM (
+                   SELECT *, row_number() OVER (PARTITION BY key, day
+                     ORDER BY uts DESC, event_id DESC) AS rn
+                   FROM e) WHERE rn = 1),
+         r AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+         spine AS (SELECT key, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM r),
+         f AS (SELECT spine.key, spine.day,
+                      obs.value IS NOT NULL AS observed,
+                      last_value(obs.value IGNORE NULLS) OVER (
+                        PARTITION BY spine.key ORDER BY spine.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+               FROM spine LEFT JOIN obs ON spine.key = obs.key AND spine.day = obs.day)
+         SELECT key AS user_id, CAST(day AS VARCHAR) AS day, value, observed
+         FROM f ORDER BY user_id, day""",
 
     "q_eng_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
