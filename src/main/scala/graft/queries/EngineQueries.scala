@@ -404,6 +404,20 @@ object EngineQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // explicit GROUPING SETS beyond cube/rollup's fixed lattices: the
+    // (priority, status) / (priority) / () sets in ONE pass — Spark
+    // expands the sets through a single Expand node feeding one hash
+    // aggregate, one shuffle total (vs three separate groupBys + union)
+    "q_eng_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("rev"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
     // integer PageRank (3 iterations) over the part↔supplier bipartite
     // graph from lineitem: graph centrality as joins + aggregations; all
     // arithmetic integral, so the oracle equality is exact
@@ -722,6 +736,15 @@ object EngineQueries {
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_eng_grouping_sets" ->
+      s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                 ${sqlMoneySum("o_totalprice")} AS rev
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                  (o_orderpriority), ())
+          ORDER BY o_orderpriority ASC NULLS FIRST,
+                   o_orderstatus ASC NULLS FIRST""",
 
     "q_eng_pagerank" -> {
       def iter(k: Int, prev: String) =

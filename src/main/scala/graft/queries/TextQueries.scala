@@ -260,6 +260,25 @@ object TextQueries {
         .orderBy("wa", "wb")
     }),
 
+    // inter-document repetition: per doc, the fraction of its distinct
+    // token 3-grams that occur in at least one OTHER document — the
+    // RefinedWeb/Gopher-style duplicated-n-gram signal at corpus scope.
+    // One shuffle builds the n-gram document frequencies; the per-doc
+    // aggregation rides the same (doc, ng) projection
+    "q_text_dup_ngrams" -> ((s, d) => {
+      val g = docs(s, d).select(col("doc_id"),
+          explode(array_distinct(tokenNgrams(col("text"), 3))).as("ng"))
+        .withColumn("ng", md5(col("ng")))
+      val ndocs = g.groupBy("ng").agg(countDistinct("doc_id").as("ndocs"))
+      g.join(ndocs, "ng")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          count(when(col("ndocs") >= 2, 1)).as("n_dup"))
+        .withColumn("dup_frac", col("n_dup").cast("double") /
+          greatest(col("n_ngrams"), lit(1L)).cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // distributed BPE-trainer step: adjacent-symbol pair statistics over
     // the word VOCABULARY weighted by word frequency — the argmax pair is
     // the next BPE merge. Plan shape is the one that scales: corpus scan →
@@ -670,6 +689,24 @@ object TextQueries {
          FROM v a JOIN v b ON a.w < b.w
          WHERE levenshtein(a.w, b.w) <= 2
          ORDER BY wa, wb""",
+
+    "q_text_dup_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, md5(array_to_string(toks[i+1 : i+3], ' ')) AS ng
+           FROM t, lateral unnest(range(0, greatest(len(toks) - 2, 0))) u(i)),
+         d AS (SELECT ng, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_ngrams,
+                CAST(count(CASE WHEN ndocs >= 2 THEN 1 END) AS BIGINT) AS n_dup,
+                CAST(count(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE)
+                  / CAST(greatest(count(*), 1) AS DOUBLE) AS dup_frac
+         FROM g JOIN d USING (ng)
+         GROUP BY 1 ORDER BY doc_id""",
 
     "q_text_bpe_merges" ->
       """WITH t AS (
