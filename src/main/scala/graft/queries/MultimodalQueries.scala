@@ -50,7 +50,17 @@ object MultimodalQueries {
     // equality proves the banding lost nothing)
     "q_mm_phash_pairs" -> ((s, d) =>
       Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3)
-        .orderBy("ida", "idb"))
+        .orderBy("ida", "idb")),
+
+    // near-dup image clusters: connected components over the verified
+    // phash pair graph — "keep one per cluster" for the image modality,
+    // reusing the text-dedup min-label propagation (oracle = recursive CTE)
+    "q_mm_phash_clusters" -> ((s, d) =>
+      graft.dedup.Dedup.duplicateClusters(
+          Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3),
+          col("ida"), col("idb"))
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+        .orderBy("media_id"))
   )
 
   /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
@@ -175,6 +185,36 @@ object MultimodalQueries {
                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
           FROM ph a JOIN ph b ON a.media_id < b.media_id
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
-          ORDER BY ida, idb"""
+          ORDER BY ida, idb""",
+
+    "q_mm_phash_clusters" ->
+      s"""${bytesCte.replaceFirst("WITH", "WITH RECURSIVE")},
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          t AS (
+            SELECT media_id, bytes,
+                   list_reduce(list_prepend(0::BIGINT, bytes), (a, b) -> a + b) AS total
+            FROM b),
+          ph AS (
+            SELECT media_id,
+                   CAST(list_reduce(list_prepend(0::BIGINT,
+                     [CASE WHEN bytes[i+1] * 16 > total THEN (1::BIGINT << i)
+                           ELSE 0::BIGINT END for i in range(0, 16)]),
+                     (a, b) -> a + b) AS BIGINT) AS phash
+            FROM t),
+          p AS (SELECT a.media_id AS ida, b.media_id AS idb
+                FROM ph a JOIN ph b ON a.media_id < b.media_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+          edges AS (SELECT ida AS a, idb AS b FROM p
+                    UNION ALL SELECT idb, ida FROM p),
+          reach AS (
+            SELECT DISTINCT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+          SELECT id AS media_id, min(r) AS cluster_id
+          FROM reach GROUP BY 1 ORDER BY 1"""
   )
 }
