@@ -404,6 +404,23 @@ object EngineQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // CDC snapshot diff: the minimal I/U/D changeset between a simulated
+    // previous snapshot (no keys divisible by 13) and a next snapshot
+    // (keys divisible by 17 removed, prices bumped for keys divisible by
+    // 11) — one full-outer join on the key, compared columns as a single
+    // struct
+    "q_eng_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prev = o.where(col("o_orderkey") % 13 =!= 0)
+      val next = o.where(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      graft.operators.ChangeData.snapshotDiff(prev, next, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // explicit GROUPING SETS beyond cube/rollup's fixed lattices: the
     // (priority, status) / (priority) / () sets in ONE pass — Spark
     // expands the sets through a single Expand node feeding one hash
@@ -736,6 +753,28 @@ object EngineQueries {
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_eng_snapshot_diff" ->
+      """WITH prev AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 13 != 0),
+         nxt AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 17 != 0),
+         j AS (
+           SELECT coalesce(prev.o_orderkey, nxt.o_orderkey) AS o_orderkey,
+                  CASE WHEN prev.o_orderkey IS NULL THEN 'I'
+                       WHEN nxt.o_orderkey IS NULL THEN 'D'
+                       WHEN NOT (prev.o_orderstatus IS NOT DISTINCT FROM nxt.o_orderstatus
+                                 AND prev.o_totalprice IS NOT DISTINCT FROM nxt.o_totalprice)
+                       THEN 'U' END AS op,
+                  nxt.o_orderstatus, nxt.o_totalprice
+           FROM prev FULL OUTER JOIN nxt
+             ON prev.o_orderkey = nxt.o_orderkey)
+         SELECT o_orderkey, op, o_orderstatus, o_totalprice
+         FROM j WHERE op IS NOT NULL ORDER BY o_orderkey""",
 
     "q_eng_grouping_sets" ->
       s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
