@@ -27,6 +27,7 @@ import scala.util.Try
   *           [--stratify COL --n-per-group K] [--out PATH]
   *   dedup   --in DIR... --by c1,c2 [--tiebreak col] --out DIR   (extension)
   *   compact --in DIR [--target-bytes N]                         (extension)
+  *   diff    --prev DIR --next DIR --key K --compare c1,c2 --out DIR (extension)
   *
   * Error contract (main.py:49-57,118-156): invalid dates, start > end,
   * filtered mode without --filter, --stratify without --n-per-group, and
@@ -43,10 +44,11 @@ object Main {
     // extension ops-tooling (beyond the reference surface):
     case "dedup" :: rest   => withSpark(s => dedup(s, parseFlags(rest)))
     case "compact" :: rest => withSpark(s => compactCmd(s, parseFlags(rest)))
+    case "diff" :: rest    => withSpark(s => diffCmd(s, parseFlags(rest)))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
-          "(expected scrape | convert | filter | sample | dedup | compact)")
+          "(expected scrape | convert | filter | sample | dedup | compact | diff)")
   }
 
   // ------------------------------------------------------------ commands
@@ -164,6 +166,23 @@ object Main {
     val target = flags.get("target-bytes").map(_.toLong).getOrElse(128L * 1024 * 1024)
     val (before, after) = graft.etl.Layout.compact(spark, flags.req("in"), target)
     println(s"compact: files_before=$before files_after=$after")
+  }
+
+  /** `diff --prev DIR --next DIR --key K --compare c1,c2 --out DIR`:
+    * CDC changeset (I/U/D rows) between two keyed parquet snapshots
+    * (ChangeData.snapshotDiff). */
+  private def diffCmd(spark: SparkSession, flags: Flags): Unit = {
+    val prev = spark.read.parquet(flags.req("prev"))
+    val next = spark.read.parquet(flags.req("next"))
+    val key = flags.req("key")
+    val compare = flags.req("compare").split(',').toSeq
+    val unknown = (key +: compare).filterNot(c =>
+      prev.columns.contains(c) && next.columns.contains(c))
+    require(unknown.isEmpty, s"Unknown columns: ${unknown.mkString(", ")}")
+    val out = flags.req("out")
+    graft.operators.ChangeData.snapshotDiff(prev, next, key, compare)
+      .write.mode("overwrite").parquet(out)
+    println(s"diff: wrote $out")
   }
 
   /** Content-hash ordering on GlobalEventID when present (partition-layout

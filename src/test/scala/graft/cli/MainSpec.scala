@@ -163,4 +163,22 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").inputFiles.length == 1)
     assert(spark.read.parquet(s"$dir/t").count() == 1000)
   }
+
+  test("diff: writes the I/U/D changeset; validates columns") {
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft_diff_cli").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$dir/prev")
+    Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v").write.parquet(s"$dir/next")
+    Main.main(Array("diff", "--prev", s"$dir/prev", "--next", s"$dir/next",
+      "--key", "k", "--compare", "v", "--out", s"$dir/out"))
+    val out = spark.read.parquet(s"$dir/out").select("k", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "U", 3L -> "I"))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "diff", "--prev", s"$dir/prev", "--next", s"$dir/next",
+      "--key", "nope", "--compare", "v", "--out", s"$dir/x")))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "diff", "--prev", s"$dir/prev", "--next", s"$dir/next",
+      "--key", "k", "--out", s"$dir/x")))
+  }
 }
