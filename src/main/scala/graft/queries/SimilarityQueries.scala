@@ -190,6 +190,16 @@ object SimilarityQueries {
         queryMaxId = QuerySetMax, m = 8, subDim = 8, ksub = 16, k = 3)
         .orderBy("qid", "rank")),
 
+    // IVF-PQ: coarse cells (nprobe = 2) restrict candidates, PQ codes
+    // supply the distances — the FAISS IndexIVFPQ composition, fully
+    // integer past the audited leaf quantization
+    "q_sim_ivfpq_topk" -> ((s, d) =>
+      graft.similarity.ProductQuantization.ivfPqTopK(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        nCells = 8, nprobe = 2, queryMaxId = QuerySetMax,
+        m = 8, subDim = 8, ksub = 16, k = 3)
+        .orderBy("qid", "rank")),
+
     // seeded Rademacher random projection 64 → 8 dims (JL sketch)
     "q_sim_rproj" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
@@ -238,6 +248,32 @@ object SimilarityQueries {
                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
                  FROM sf) WHERE rn = 1)"""
   }
+
+  /** Shared oracle CTE chain mirroring [[ProductQuantization.encode]]:
+    * micro-quantized vectors → subspaces → codebook → per-centroid
+    * distances → corpus codes + query ADC tables. Ends at
+    * `codes(id, m, code)` and `dt(qid, m, cid, d2q)`. */
+  private def pqCtes: String =
+    s"""e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+              FROM embeddings),
+       sub AS (SELECT vec_id, m, v[m*8 + 1 : m*8 + 8] AS sv
+               FROM e, range(0, 8) t(m)),
+       cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+       d AS (
+         SELECT s.vec_id AS id, s.m, cb.cid,
+                list_reduce(list_prepend(0::BIGINT,
+                  [(s.sv[i+1] - cb.cv[i+1]) * (s.sv[i+1] - cb.cv[i+1])
+                   for i in range(0, 8)]),
+                  (p, q) -> p + q) AS d2q
+         FROM sub s JOIN cb USING (m)),
+       codes AS (
+         SELECT id, m, cid AS code FROM (
+           SELECT *, row_number() OVER (PARTITION BY id, m
+                                        ORDER BY d2q, cid) AS rn
+           FROM d) WHERE rn = 1),
+       dt AS (SELECT id AS qid, m, cid, d2q FROM d WHERE id < $QuerySetMax)"""
 
   private val cosSql =
     """list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
@@ -373,30 +409,38 @@ object SimilarityQueries {
           ORDER BY qid, rank""",
 
     "q_sim_pq_adc" ->
-      """WITH e AS (SELECT vec_id,
-                           list_transform(embedding::DOUBLE[],
-                             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
-                    FROM embeddings),
-         sub AS (SELECT vec_id, m, v[m*8 + 1 : m*8 + 8] AS sv
-                 FROM e, range(0, 8) t(m)),
-         cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
-         d AS (
-           SELECT s.vec_id AS id, s.m, cb.cid,
-                  list_reduce(list_prepend(0::BIGINT,
-                    [(s.sv[i+1] - cb.cv[i+1]) * (s.sv[i+1] - cb.cv[i+1])
-                     for i in range(0, 8)]),
-                    (p, q) -> p + q) AS d2q
-           FROM sub s JOIN cb USING (m)),
-         codes AS (
-           SELECT id, m, cid AS code FROM (
-             SELECT *, row_number() OVER (PARTITION BY id, m
-                                          ORDER BY d2q, cid) AS rn
-             FROM d) WHERE rn = 1),
-         dt AS (SELECT id AS qid, m, cid, d2q FROM d WHERE id < 10),
+      s"""WITH $pqCtes,
          adc AS (
            SELECT dt.qid, c.id AS nid, CAST(sum(dt.d2q) AS BIGINT) AS adist_micro2
            FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.cid
            WHERE c.id != dt.qid GROUP BY 1, 2),
+         r AS (SELECT qid, nid, adist_micro2,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY adist_micro2, nid) AS BIGINT) AS rank
+               FROM adc)
+         SELECT qid, nid, rank, adist_micro2 FROM r WHERE rank <= 3
+         ORDER BY qid, rank""",
+
+    "q_sim_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+         er AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS ccid, v AS cv FROM er WHERE vec_id < 8),
+         ranked AS (
+           SELECT id, ccid,
+                  row_number() OVER (PARTITION BY id ORDER BY score DESC, ccid) AS rn
+           FROM (SELECT er.vec_id AS id, ccid, ${dotSql("er.v", "cents.cv")} AS score
+                 FROM er CROSS JOIN cents)),
+         cells AS (SELECT id AS nid, ccid AS cell FROM ranked WHERE rn = 1),
+         probes AS (SELECT id AS qid, ccid AS cell FROM ranked
+                    WHERE rn <= 2 AND id < $QuerySetMax),
+         cand AS (SELECT probes.qid, cells.nid
+                  FROM probes JOIN cells USING (cell)
+                  WHERE probes.qid != cells.nid),
+         adc AS (
+           SELECT cand.qid, cand.nid, CAST(sum(dt.d2q) AS BIGINT) AS adist_micro2
+           FROM cand JOIN codes c ON c.id = cand.nid
+           JOIN dt ON dt.qid = cand.qid AND dt.m = c.m AND dt.cid = c.code
+           GROUP BY 1, 2),
          r AS (SELECT qid, nid, adist_micro2,
                       CAST(row_number() OVER (PARTITION BY qid
                         ORDER BY adist_micro2, nid) AS BIGINT) AS rank

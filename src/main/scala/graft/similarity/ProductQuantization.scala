@@ -50,6 +50,31 @@ object ProductQuantization {
       .withColumn("m", col("__e.m")).withColumn("sv", col("__e.sv"))
       .drop("__e")
 
+  /** Corpus PQ codes and query ADC distance tables.
+    * Returns (codes(id, m, code), dt(qid, m, cid, qd2q)) — codes is one
+    * scan + an (id, m)-keyed argmin; dt is |Q|·m·ksub rows (broadcast by
+    * callers). */
+  private def encode(emb: DataFrame, idCol: Column, vecCol: Column,
+                     queryMaxId: Long, m: Int, subDim: Int,
+                     ksub: Int): (DataFrame, DataFrame) = {
+    val base = emb.select(idCol.as("id"),
+      microVec(vecCol.cast("array<double>")).as("v"))
+    val sub = subspaces(base, col("v"), m, subDim).select("id", "m", "sv")
+    val cb = sub.where(col("id") < ksub)
+      .select(col("id").as("cid"), col("m"), col("sv").as("cv"))
+    // per (vector, subspace): distance to every centroid of that subspace
+    val d = sub.join(broadcast(cb), "m")
+      .withColumn("d2q", dist2Micro2(col("sv"), col("cv")))
+      .select(col("id"), col("m"), col("cid"), col("d2q"))
+    // corpus codes: argmin centroid per (id, m) — struct-min ties on cid
+    val codes = d.groupBy("id", "m")
+      .agg(min(struct(col("d2q"), col("cid"))).as("mn"))
+      .select(col("id"), col("m"), col("mn.cid").as("code"))
+    val dt = d.where(col("id") < queryMaxId)
+      .select(col("id").as("qid"), col("m"), col("cid"), col("d2q").as("qd2q"))
+    (codes, dt)
+  }
+
   /** ADC top-k: queries = corpus rows with id < queryMaxId (searched
     * exactly), corpus represented by PQ codes. Output:
     * (qid, nid, rank, adist_micro2) — approximate squared L2 in 1e-12
@@ -60,32 +85,61 @@ object ProductQuantization {
     * distance (silently inflating its similarity) rather than erroring. */
   def adcTopK(emb: DataFrame, idCol: Column, vecCol: Column,
               queryMaxId: Long, m: Int, subDim: Int, ksub: Int, k: Int): DataFrame = {
-    val base = emb.select(idCol.as("id"),
-      microVec(vecCol.cast("array<double>")).as("v"))
-    val sub = subspaces(base, col("v"), m, subDim).select("id", "m", "sv")
-    val cb = sub.where(col("id") < ksub)
-      .select(col("id").as("cid"), col("m"), col("sv").as("cv"))
-
-    // per (vector, subspace): distance to every centroid of that subspace
-    val d = sub.join(broadcast(cb), "m")
-      .withColumn("d2q", dist2Micro2(col("sv"), col("cv")))
-      .select(col("id"), col("m"), col("cid"), col("d2q"))
-
-    // corpus codes: argmin centroid per (id, m) — struct-min ties on cid
-    val codes = d.groupBy("id", "m")
-      .agg(min(struct(col("d2q"), col("cid"))).as("mn"))
-      .select(col("id"), col("m"), col("mn.cid").as("code"))
-
-    // query ADC tables: exact distances from each query subvector to every
-    // centroid (these broadcast — |Q|·m·ksub rows)
-    val dt = d.where(col("id") < queryMaxId)
-      .select(col("id").as("qid"), col("m"), col("cid"), col("d2q").as("qd2q"))
-
+    val (codes, dt) = encode(emb, idCol, vecCol, queryMaxId, m, subDim, ksub)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro2"), col("nid"))
     codes.join(broadcast(dt),
         codes("m") === dt("m") && codes("code") === dt("cid"))
       .where(col("qid") =!= col("id"))
       .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("qd2q")).as("adist_micro2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "adist_micro2")
+  }
+
+  /** IVF-PQ top-k — the production ANN composition (FAISS IndexIVFPQ
+    * shape): a coarse quantizer restricts each query to its `nprobe`
+    * nearest cells, and distances within the probed cells come from PQ
+    * codes via ADC. The two compressions multiply: cells cut candidates
+    * by ~nprobe/nCells, codes cut per-candidate cost to `m` table
+    * lookups — the layout that serves billion-vector corpora.
+    *
+    * Plan shape: the query→cell probe table, the candidate pair table,
+    * and the per-query ADC tables all BROADCAST; corpus codes and cell
+    * assignments are scanned once and never shuffle for the join.
+    * Output (qid, nid, rank, adist_micro2), ranked over the probed
+    * candidates. */
+  def ivfPqTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+                nCells: Int, nprobe: Int, queryMaxId: Long,
+                m: Int, subDim: Int, ksub: Int, k: Int): DataFrame = {
+    require(nprobe > 0 && nprobe <= nCells,
+      s"need 0 < nprobe <= nCells, got nprobe=$nprobe nCells=$nCells")
+    // coarse cells on the RAW vectors (dot-product argmax, ties → low
+    // cid — the identical quantizer to Similarity.ivfTopKProbes)
+    val raw = emb.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+    val cents = raw.where(col("id") < nCells)
+      .select(col("id").as("ccid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("ccid"))
+    val ranked = raw.crossJoin(broadcast(cents))
+      .withColumn("score",
+        graft.functions.VectorExpressions.dotNative(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+    val cells = ranked.where(col("rn") === 1)
+      .select(col("id").as("nid"), col("ccid").as("cell"))
+    val probes = ranked.where(col("id") < queryMaxId && col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("ccid").as("cell"))
+    // candidates: query × members of its probed cells (each corpus vector
+    // lives in one cell → no duplicate pairs)
+    val cand = broadcast(probes).join(cells, "cell")
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val (codes, dt) = encode(emb, idCol, vecCol, queryMaxId, m, subDim, ksub)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro2"), col("nid"))
+    broadcast(cand)
+      .join(codes.withColumnRenamed("id", "nid"), "nid")
+      .join(broadcast(dt.withColumnRenamed("cid", "code")), Seq("qid", "m", "code"))
+      .groupBy("qid", "nid")
       .agg(sum(col("qd2q")).as("adist_micro2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -37,4 +37,20 @@ class ProductQuantizationSpec extends SparkSpec {
     val plan = run().queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  // the IVF-PQ recall proof: probing every coarse cell degenerates to
+  // plain ADC over the whole corpus — cell restriction loses nothing
+  test("IVF-PQ with all cells probed equals plain ADC") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "nid", "rank", "adist_micro2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ivfpq = collect(ProductQuantization.ivfPqTopK(
+      emb, col("vec_id"), col("embedding"), nCells = 8, nprobe = 8,
+      queryMaxId = 10, m = 8, subDim = 8, ksub = 16, k = 3))
+    val adc = collect(ProductQuantization.adcTopK(
+      emb, col("vec_id"), col("embedding"),
+      queryMaxId = 10, m = 8, subDim = 8, ksub = 16, k = 3))
+    assert(ivfpq == adc)
+  }
 }
