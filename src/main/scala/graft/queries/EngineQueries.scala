@@ -404,6 +404,32 @@ object EngineQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // winsorization audit: per event type, exact rank-selected p05/p95
+    // bounds (percentile_disc-style — value at ceil(q·n), deterministic
+    // integer rank math, no interpolation) and how many values each
+    // clip bound would touch. One sort-window pass computes the ranks;
+    // the 5-row bounds table broadcasts back
+    "q_eng_winsorize" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "event_type", "value")
+      val wR = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val wN = Window.partitionBy("event_type")
+      val r = e.withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+      val b = r.groupBy("event_type").agg(
+        max(when(col("rn") ===
+          greatest(lit(1L), ceil(col("n") * lit(0.05)).cast("long")),
+          col("value"))).as("p05"),
+        max(when(col("rn") === ceil(col("n") * lit(0.95)).cast("long"),
+          col("value"))).as("p95"))
+      e.join(broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+          count(when(col("value") < col("p05"), 1)).as("n_lo"),
+          count(when(col("value") > col("p95"), 1)).as("n_hi"))
+        .orderBy("event_type")
+    }),
+
     // CDC snapshot diff: the minimal I/U/D changeset between a simulated
     // previous snapshot (no keys divisible by 13) and a next snapshot
     // (keys divisible by 17 removed, prices bumped for keys divisible by
@@ -753,6 +779,25 @@ object EngineQueries {
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_eng_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+         r AS (SELECT *,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+         b AS (SELECT event_type,
+                      max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.05) AS BIGINT))
+                               THEN value END) AS p05,
+                      max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                               THEN value END) AS p95
+               FROM r GROUP BY 1)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, b.p05, b.p95,
+                CAST(count(CASE WHEN value < p05 THEN 1 END) AS BIGINT) AS n_lo,
+                CAST(count(CASE WHEN value > p95 THEN 1 END) AS BIGINT) AS n_hi
+         FROM e JOIN b USING (event_type)
+         GROUP BY 1, 3, 4 ORDER BY event_type""",
 
     "q_eng_snapshot_diff" ->
       """WITH prev AS (
