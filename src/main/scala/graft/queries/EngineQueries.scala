@@ -404,6 +404,18 @@ object EngineQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // semi-structured extraction: parse the JSON props column with
+    // Spark's JSON path (codegen'd get_json_object — no UDF) and
+    // aggregate; the oracle extracts the same field with an RE2-safe
+    // regex, so the check does not depend on DuckDB's JSON extension
+    "q_eng_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // winsorization audit: per event type, exact rank-selected p05/p95
     // bounds (percentile_disc-style — value at ceil(q·n), deterministic
     // integer rank math, no interpolation) and how many values each
@@ -779,6 +791,13 @@ object EngineQueries {
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_eng_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
+                max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY event_type""",
 
     "q_eng_winsorize" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),

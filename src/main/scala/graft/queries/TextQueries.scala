@@ -260,6 +260,25 @@ object TextQueries {
         .orderBy("wa", "wb")
     }),
 
+    // tokenizer-vocabulary coverage: per doc, the fraction of tokens
+    // outside the corpus top-100 vocabulary (OOV rate) — the coverage
+    // audit run when sizing a vocabulary. The vocab is tiny and
+    // BROADCAST; empty docs contribute no rows (no token instances)
+    "q_text_oov_rate" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(100)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__in").isNull, 1)).as("n_oov"))
+        .withColumn("oov_frac", col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // inter-document repetition: per doc, the fraction of its distinct
     // token 3-grams that occur in at least one OTHER document — the
     // RefinedWeb/Gopher-style duplicated-n-gram signal at corpus scope.
@@ -689,6 +708,24 @@ object TextQueries {
          FROM v a JOIN v b ON a.w < b.w
          WHERE levenshtein(a.w, b.w) <= 2
          ORDER BY wa, wb""",
+
+    "q_text_oov_rate" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         v AS (SELECT tok, 1 AS inv FROM (
+                 SELECT tok, count(*) AS cnt FROM x GROUP BY 1
+                 ORDER BY cnt DESC, tok LIMIT 100)),
+         j AS (SELECT x.doc_id, v.inv FROM x LEFT JOIN v USING (tok))
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(CASE WHEN inv IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+                CAST(count(CASE WHEN inv IS NULL THEN 1 END) AS DOUBLE)
+                  / CAST(greatest(count(*), 1) AS DOUBLE) AS oov_frac
+         FROM j GROUP BY 1 ORDER BY doc_id""",
 
     "q_text_dup_ngrams" ->
       """WITH t AS (
