@@ -260,6 +260,22 @@ object TextQueries {
         .orderBy("wa", "wb")
     }),
 
+    // count-min sketch: 4×1024 integer-counter sketch of the token
+    // stream, point estimates for the 20 most frequent tokens next to
+    // their true counts — md5-derived buckets and exact counters make
+    // the sketch itself bitwise cross-engine, not just within ε
+    "q_text_countmin" -> ((s, d) => {
+      val toks = docs(s, d).select(explode(tokens(lower(col("text")))).as("tok"))
+      val sk = graft.operators.CountMin.sketch(toks, col("tok"), d = 4, w = 1024)
+      val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok")).limit(20)
+      val est = graft.operators.CountMin.estimate(
+        sk, truth.select(col("tok")), col("tok"), d = 4, w = 1024)
+      truth.join(est.withColumnRenamed("v", "tok"), "tok")
+        .select("tok", "true_cnt", "est")
+        .orderBy(col("true_cnt").desc, col("tok"))
+    }),
+
     // tokenizer-vocabulary coverage: per doc, the fraction of tokens
     // outside the corpus top-100 vocabulary (OOV rate) — the coverage
     // audit run when sizing a vocabulary. The vocab is tiny and
@@ -708,6 +724,32 @@ object TextQueries {
          FROM v a JOIN v b ON a.w < b.w
          WHERE levenshtein(a.w, b.w) <= 2
          ORDER BY wa, wb""",
+
+    "q_text_countmin" ->
+      """WITH t AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT unnest(toks) AS tok FROM t),
+         sk AS (
+           SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT r,
+                    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)
+                      AS BIGINT) % 1024 AS bucket
+             FROM x, range(0, 4) u(r))
+           GROUP BY 1, 2),
+         truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+                   FROM x GROUP BY 1 ORDER BY true_cnt DESC, tok LIMIT 20),
+         probe AS (
+           SELECT tok, r,
+                  CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)
+                    AS BIGINT) % 1024 AS bucket
+           FROM truth, range(0, 4) u(r)),
+         e AS (SELECT probe.tok, min(coalesce(sk.cnt, 0)) AS est
+               FROM probe LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+         SELECT truth.tok, true_cnt, est
+         FROM truth JOIN e USING (tok)
+         ORDER BY true_cnt DESC, tok""",
 
     "q_text_oov_rate" ->
       """WITH t AS (
