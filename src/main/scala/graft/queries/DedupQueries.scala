@@ -114,6 +114,16 @@ object DedupQueries {
         .where(col("cos") >= 0.4)
         .orderBy("va", "vb")),
 
+    // SemDeDup-style embedding dedup: connected components over the
+    // cosine near-dup graph (cached sign-LSH pairs) — "keep one per
+    // semantic cluster" for embedded corpora
+    "q_dedup_embed_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+          SimilarityQueries.lshPairTable(s, d).where(col("cos") >= 0.4),
+          col("va"), col("vb"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")),
+
     // incremental dedup: LSH candidates BETWEEN an incoming batch (odd
     // doc_ids) and the ingested catalog (even doc_ids) — never the
     // catalog×catalog quadrant — then exact-Jaccard verified
@@ -288,6 +298,24 @@ object DedupQueries {
           SELECT ida, idb, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS ham
           FROM cand WHERE bit_count(xor(sha, shb)) <= 8
           ORDER BY ida, idb""",
+
+    "q_dedup_embed_clusters" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.lshCandCte},
+         cosp AS (
+           SELECT va, vb,
+             list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
+             / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
+              * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
+           FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
+         p AS (SELECT va, vb FROM cosp WHERE cos >= 0.4),
+         edges AS (SELECT va AS a, vb AS b FROM p
+                   UNION ALL SELECT vb, va FROM p),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS r FROM edges
+           UNION
+           SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id)
+         SELECT id AS vec_id, min(r) AS cluster_id
+         FROM reach GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_embed_cosine" ->
       s"""WITH ${SimilarityQueries.lshCandCte},
