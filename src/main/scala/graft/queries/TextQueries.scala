@@ -125,6 +125,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // end-of-pipeline sequence assembly: concatenate each packed bin's
+    // documents (doc_id order, newline-joined) into the actual training
+    // sequence — emitted as md5 + stats so the oracle verifies the exact
+    // assembled bytes without shipping them. In-bin order is made
+    // deterministic by sorting the collected (doc_id, text) structs
+    "q_text_pack_assemble" -> ((s, d) => {
+      val withN = docs(s, d).select(col("doc_id"), col("text"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packByBudget(withN, col("doc_id"),
+          col("n_tokens"), budget = 256L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            e => e.getField("text")), "\n")).as("seq_md5"))
+        .orderBy("bin")
+    }),
+
     // chunk-level dedup: fingerprint every training chunk and keep the
     // lowest (doc, idx) occurrence per duplicate group — the dedup
     // granularity that actually matters for an LLM mix (boilerplate
@@ -531,6 +550,24 @@ object TextQueries {
            FROM n)
          SELECT doc_id, n_tokens, pfx // 256 AS bin
          FROM p ORDER BY doc_id""",
+
+    "q_text_pack_assemble" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS nt
+           FROM documents),
+         p AS (
+           SELECT doc_id, text, CAST(nt AS BIGINT) AS n_tokens,
+                  coalesce(sum(CAST(nt AS BIGINT)) OVER
+                    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+           FROM n),
+         b AS (SELECT doc_id, text, n_tokens, pfx // 256 AS bin FROM p)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
+         FROM b GROUP BY 1 ORDER BY bin""",
 
     "q_text_chunk_dedup" ->
       """WITH t AS (

@@ -106,9 +106,12 @@ object ProductQuantization {
     *
     * Plan shape: the query→cell probe table, the candidate pair table,
     * and the per-query ADC tables all BROADCAST; corpus codes and cell
-    * assignments are scanned once and never shuffle for the join.
-    * Output (qid, nid, rank, adist_micro2), ranked over the probed
-    * candidates. */
+    * assignments are scanned once and never shuffle for the join. The
+    * candidate broadcast sizes as |Q|·nprobe·(corpus/nCells) — right for
+    * the interactive few-queries case; for bulk query sets drop the
+    * broadcast hint on `cand` and let the codes join shuffle on nid
+    * instead. Output (qid, nid, rank, adist_micro2), ranked over the
+    * probed candidates. */
   def ivfPqTopK(emb: DataFrame, idCol: Column, vecCol: Column,
                 nCells: Int, nprobe: Int, queryMaxId: Long,
                 m: Int, subDim: Int, ksub: Int, k: Int): DataFrame = {
