@@ -187,10 +187,16 @@ object Dedup {
     * label changes. Rounds = graph diameter — near-dup components are
     * near-cliques out of LSH banding, so 2–3 rounds in practice
     * (production-hardening for adversarial long chains would add the
-    * star-contraction variants; the join/agg shape is identical). Each
-    * round is one shuffle on the node id; `localCheckpoint` truncates the
-    * growing lineage so round N's plan does not replay rounds 1..N-1.
-    * Deterministic for any input partitioning (min is order-insensitive).
+    * star-contraction variants; the join/agg shape is identical). The
+    * propagation DOUBLE-steps between convergence checks: at local[32]
+    * scale each checkpoint/count is a fixed-overhead job and the label
+    * table is tiny, so halving the number of materialization rounds — not
+    * the number of edge joins — is what moves wall-clock; the fixpoint is
+    * unchanged (labels decrease monotonically, and an extra step at the
+    * fixpoint is the identity). Each step is one shuffle on the node id;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N-1. Deterministic for any input
+    * partitioning (min is order-insensitive).
     *
     * Returns (doc_id, cluster_id), one row per distinct doc in `pairs`. */
   def duplicateClusters(pairs: DataFrame, idaCol: Column, idbCol: Column): DataFrame = {
@@ -198,20 +204,24 @@ object Dedup {
       .unionByName(pairs.select(idbCol.as("src"), idaCol.as("dst")))
       .distinct()
       .localCheckpoint()
+    def step(l: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(l.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      l.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
-        .localCheckpoint()
-      changed = updated.where(col("next") < col("label")).count()
-      labels = updated.select(col("id"), col("next").as("label"))
+      val next = step(step(labels)).localCheckpoint()
+      changed = labels.select(col("id"), col("label").as("__old"))
+        .join(next, "id")
+        .where(col("__old") =!= col("label")).count()
+      labels = next
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
