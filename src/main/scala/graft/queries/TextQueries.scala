@@ -317,17 +317,21 @@ object TextQueries {
     // inter-document repetition: per doc, the fraction of its distinct
     // token 3-grams that occur in at least one OTHER document — the
     // RefinedWeb/Gopher-style duplicated-n-gram signal at corpus scope.
-    // One shuffle builds the n-gram document frequencies; the per-doc
-    // aggregation rides the same (doc, ng) projection
+    // Plan shape: most n-grams are unique, so instead of joining every
+    // (doc, ng) row against the full df table, only the (small) set of
+    // n-grams with df ≥ 2 joins back — broadcastable, the "hot set"
+    // pattern that keeps the corpus side map-side at 100 TB
     "q_text_dup_ngrams" -> ((s, d) => {
       val g = docs(s, d).select(col("doc_id"),
           explode(array_distinct(tokenNgrams(col("text"), 3))).as("ng"))
         .withColumn("ng", md5(col("ng")))
-      val ndocs = g.groupBy("ng").agg(countDistinct("doc_id").as("ndocs"))
-      g.join(ndocs, "ng")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_ngrams"),
-          count(when(col("ndocs") >= 2, 1)).as("n_dup"))
+      val dupSet = g.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+        .where(col("ndocs") >= 2).select("ng")
+      val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+      val dup = g.join(broadcast(dupSet), "ng")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      counts.join(dup, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup"))
         .withColumn("dup_frac", col("n_dup").cast("double") /
           greatest(col("n_ngrams"), lit(1L)).cast("double"))
         .orderBy("doc_id")
