@@ -98,6 +98,33 @@ object EngineQueries {
         .limit(10)
     }),
 
+    // TPC-H Q5-style local-supplier volume: the six-table join chain
+    // (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
+    // the same-nation residual on the supplier join. Every dimension
+    // broadcasts and the date selection prunes orders at its scan, so the
+    // fact table flows through one pipeline without shuffling for any
+    // join — the canonical star-join plan at warehouse scale
+    "q_eng_local_supplier" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      Tables.lineitem(s, d)
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // TPC-H Q8-style market share: one supplier nation's slice of yearly
     // revenue — conditional decimal sums (exact) with a single final
     // double division; supplier/nation dimensions broadcast
@@ -565,6 +592,21 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_local_supplier" ->
+      s"""SELECT n_name,
+                 ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name""",
 
     "q_eng_shipping_priority" ->
       s"""WITH o AS (SELECT o_orderkey FROM orders
