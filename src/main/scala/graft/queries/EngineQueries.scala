@@ -98,6 +98,25 @@ object EngineQueries {
         .limit(10)
     }),
 
+    // SQL-surface demonstration: correlated scalar subquery + correlated
+    // EXISTS through spark.sql — Catalyst decorrelates both into joins
+    // (a left aggregate join and a semi join), so the "subquery per row"
+    // never executes per row. The same text runs in DuckDB verbatim
+    "q_eng_sql_correlated" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM orders_v o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT') AS n_urgent
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    }),
+
     // TPC-H Q5-style local-supplier volume: the six-table join chain
     // (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
     // the same-nation residual on the supplier join. Every dimension
@@ -592,6 +611,17 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_sql_correlated" ->
+      """SELECT c_custkey, c_name,
+                (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT') AS n_urgent
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
 
     "q_eng_local_supplier" ->
       s"""SELECT n_name,
