@@ -86,8 +86,10 @@ object Bm25 {
     val qterms = queries.select(qId.as("qid"),
       explode(array_distinct(TextFunctions.tokens(lower(qText)))).as("tok"))
     // query terms + their idf/stats, stop-terms cut by the integer df rule
-    // — this tiny table is the ONLY thing the postings join against
-    val qdf = qterms.join(dft, "tok")
+    // — this tiny table is the ONLY thing the postings join against. The
+    // tiny side broadcasts INTO the vocabulary join too, so the df table
+    // never shuffles either
+    val qdf = dft.join(broadcast(qterms), "tok")
       .where(col("df") * lit(1000L) <= col("n") * lit(maxDfPermille.toLong))
       .select("qid", "tok", "idf_micro", "n", "sumdl")
 
