@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.text.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -277,6 +278,26 @@ object TextQueries {
         .select(explode(tokens(lower(col("text")))).as("w")).distinct()
       graft.text.FuzzyJoin.editDistancePairs2(vocab, col("w"))
         .orderBy("wa", "wb")
+    }),
+
+    // exact corpus length quantiles WITHOUT a global sort: aggregate to a
+    // count-per-value histogram (domain-bounded — distinct token counts,
+    // not rows), one running sum over the tiny ordered domain, then pick
+    // the smallest value whose cumulative count reaches ceil(q·N)
+    // (percentile_disc). The scale pattern for exact order statistics
+    // over 100 TB: rows aggregate map-side; only the value domain sorts
+    "q_text_len_quantiles" -> ((s, d) => {
+      val n = docs(s, d).select(tokenCount(col("text")).cast("long").as("v"))
+      val hist = n.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def pick(q: Double, name: String) =
+        min(when(col("cum") >= ceil(col("total") * lit(q)).cast("long"),
+          col("v"))).as(name)
+      hist.withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(n.agg(count(lit(1)).as("total"))))
+        .agg(pick(0.1, "p10"), pick(0.5, "p50"),
+          pick(0.9, "p90"), pick(0.99, "p99"))
     }),
 
     // count-min sketch: 4×1024 integer-counter sketch of the token
@@ -765,6 +786,22 @@ object TextQueries {
          FROM v a JOIN v b ON a.w < b.w
          WHERE levenshtein(a.w, b.w) <= 2
          ORDER BY wa, wb""",
+
+    "q_text_len_quantiles" ->
+      """WITH n AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  END AS v
+           FROM documents),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM n GROUP BY 1),
+         c AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+               FROM h),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM n)
+         SELECT min(CASE WHEN cum >= CAST(ceil(total * 0.1) AS BIGINT) THEN v END) AS p10,
+                min(CASE WHEN cum >= CAST(ceil(total * 0.5) AS BIGINT) THEN v END) AS p50,
+                min(CASE WHEN cum >= CAST(ceil(total * 0.9) AS BIGINT) THEN v END) AS p90,
+                min(CASE WHEN cum >= CAST(ceil(total * 0.99) AS BIGINT) THEN v END) AS p99
+         FROM c, t""",
 
     "q_text_countmin" ->
       """WITH t AS (
