@@ -28,6 +28,7 @@ import scala.util.Try
   *   dedup   --in DIR... --by c1,c2 [--tiebreak col] --out DIR   (extension)
   *   compact --in DIR [--target-bytes N]                         (extension)
   *   diff    --prev DIR --next DIR --key K --compare c1,c2 --out DIR (extension)
+  *   prepare --in DIR... --out DIR [--min-quality Q] [--budget N]      (extension)
   *
   * Error contract (main.py:49-57,118-156): invalid dates, start > end,
   * filtered mode without --filter, --stratify without --n-per-group, and
@@ -45,10 +46,11 @@ object Main {
     case "dedup" :: rest   => withSpark(s => dedup(s, parseFlags(rest)))
     case "compact" :: rest => withSpark(s => compactCmd(s, parseFlags(rest)))
     case "diff" :: rest    => withSpark(s => diffCmd(s, parseFlags(rest)))
+    case "prepare" :: rest => withSpark(s => prepare(s, parseFlags(rest)))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
-          "(expected scrape | convert | filter | sample | dedup | compact | diff)")
+          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare)")
   }
 
   // ------------------------------------------------------------ commands
@@ -183,6 +185,35 @@ object Main {
     graft.operators.ChangeData.snapshotDiff(prev, next, key, compare)
       .write.mode("overwrite").parquet(out)
     println(s"diff: wrote $out")
+  }
+
+  /** `prepare --in DIR... --out DIR [--min-quality Q] [--budget N]`:
+    * the training-data curation pipeline as one command — quality gate
+    * (TextFunctions.qualityScore), exact dedup on the normalized-text
+    * fingerprint (keep min doc_id), contiguous sequence packing into
+    * token-budget bins (Packing.packByBudget). Output = surviving docs
+    * with `n_tokens` and `bin` columns. */
+  private def prepare(spark: SparkSession, flags: Flags): Unit = {
+    import graft.text.TextFunctions
+    val df = spark.read.parquet(flags.reqList("in"): _*)
+    Seq("doc_id", "text").foreach(c =>
+      require(df.columns.contains(c), s"prepare requires a '$c' column"))
+    val minQ = flags.get("min-quality").map(_.toDouble).getOrElse(0.5)
+    val budget = flags.get("budget").map(_.toLong).getOrElse(256L)
+    val surviving = df
+      .withColumn("__q", TextFunctions.qualityScore(org.apache.spark.sql.functions.col("text")))
+      .where(col("__q") >= minQ).drop("__q")
+      .withColumn("__fp", TextFunctions.fingerprintMd5(col("text")))
+    val kept = surviving
+      .withColumn("__keep", org.apache.spark.sql.functions.min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .where(col("doc_id") === col("__keep")).drop("__fp", "__keep")
+    val withN = kept.withColumn("n_tokens",
+      TextFunctions.tokenCount(col("text")).cast("long"))
+    val out = flags.req("out")
+    graft.operators.Packing.packByBudget(withN, col("doc_id"), col("n_tokens"), budget)
+      .write.mode("overwrite").parquet(out)
+    println(s"prepare: wrote $out")
   }
 
   /** Content-hash ordering on GlobalEventID when present (partition-layout

@@ -164,6 +164,29 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 1000)
   }
 
+  test("prepare: quality gate, dedup keep-min, token-budget bins") {
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft_prepare_cli").toString
+    val good = "the quick brown fox and the lazy dog of a farm in town " * 10
+    Seq(
+      (1L, good),          // survives, keeps the duplicate group
+      (2L, good),          // exact duplicate of 1 → dropped
+      (3L, good + "extra"),// distinct → survives
+      (4L, "x!!!")         // low quality → dropped
+    ).toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.main(Array("prepare", "--in", s"$dir/in", "--out", s"$dir/out",
+      "--budget", "64"))
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_tokens", "bin").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), "dedup keeps min doc_id; quality gate drops noise")
+    assert(out.map(_._2).toSeq == Seq(130L, 131L))
+    // 130-token prefix over a 64-token budget: doc 3 lands in bin 2
+    assert(out.map(_._3).toSeq == Seq(0L, 2L))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "prepare", "--in", s"$dir/in")))
+  }
+
   test("diff: writes the I/U/D changeset; validates columns") {
     import spark.implicits._
     val dir = JFiles.createTempDirectory("graft_diff_cli").toString
