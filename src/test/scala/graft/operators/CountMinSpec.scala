@@ -30,6 +30,25 @@ class CountMinSpec extends SparkSpec {
     assert(est("hot") == 50L && est("warm") == 10L)
   }
 
+  test("streaming sketch: counters accumulate across micro-batches to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[String](spark)
+    val q = CountMin.sketch(mem.toDF().toDF("v"), col("v"), D, W)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "c")
+    q.processAllAvailable()
+    val streamed = spark.table("cm_stream")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = CountMin.sketch(Seq("a", "a", "b", "a", "c").toDF("v"),
+      col("v"), D, W).as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "the streaming sketch state must equal the batch sketch of all data")
+    q.stop()
+  }
+
   test("sketches of disjoint slices merge by union + re-sum") {
     val a = items.limit(60)
     val b = items.exceptAll(a)
