@@ -573,7 +573,7 @@ object TextQueries {
                   coalesce(sum(CAST(nt AS BIGINT)) OVER
                     (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
            FROM n)
-         SELECT doc_id, n_tokens, pfx // 256 AS bin
+         SELECT doc_id, n_tokens, CAST(pfx // 256 AS BIGINT) AS bin
          FROM p ORDER BY doc_id""",
 
     "q_text_pack_assemble" ->
@@ -588,7 +588,7 @@ object TextQueries {
                   coalesce(sum(CAST(nt AS BIGINT)) OVER
                     (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
            FROM n),
-         b AS (SELECT doc_id, text, n_tokens, pfx // 256 AS bin FROM p)
+         b AS (SELECT doc_id, text, n_tokens, CAST(pfx // 256 AS BIGINT) AS bin FROM p)
          SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5

@@ -56,6 +56,16 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     s, o = canon(spark_df), canon(oracle_df)
     if list(s.columns) != list(o.columns):
         return f"SCHEMA MISMATCH spark={list(s.columns)} oracle={list(o.columns)}"
+    # the driver's gate hashes stringified values, so int64 vs float64 drift
+    # ("6" vs "6.0") fails there even when numerically equal — e.g. a DuckDB
+    # HUGEINT (sum(BIGINT), uncast) converting to float64 in pandas. Catch the
+    # class locally: integer column on one side, float on the other → FAIL.
+    for c in s.columns:
+        sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+        if {sk, ok_} == {"i", "f"} or {sk, ok_} == {"u", "f"}:
+            return (f"DTYPE DRIFT col={c}: spark={s[c].dtype} oracle="
+                    f"{o[c].dtype} (driver stringify would hash-mismatch; "
+                    f"CAST the oracle column to BIGINT/DOUBLE explicitly)")
     if len(s) != len(o):
         return f"ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}"
     for c in s.columns:
