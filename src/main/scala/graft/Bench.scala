@@ -30,15 +30,20 @@ object Bench {
       name -> times(times.size / 2)
     }
     graft.queries.QueryCaches.clear()
-    // 3-decimal seconds keep the whole line ~2.5 KB for 91 queries — the
-    // driver's bounded tail capture truncated the r3 line (12-significant-
-    // digit doubles pushed it past 9 KB → "parsed": null)
     def f3(v: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def jmap(kv: Iterable[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last ~4 KB of output, and at 111 queries
+    // the full per-query map alone exceeds that (BENCH_r03/r04 "parsed":
+    // null — the line was cut from the front). So: full map first on a line
+    // the driver's {"metric" match skips, then a size-bounded parseable
+    // final line — total + the 20 slowest queries (the ones perf review
+    // reads) + the suite count. ~800 B regardless of suite growth.
+    println(s"""{"full_queries":${jmap(results)},"sf":"$sfDir"}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
