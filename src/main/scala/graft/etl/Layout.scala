@@ -63,6 +63,38 @@ object Layout {
     (files.length, after)
   }
 
+  /** Per-file min/max manifest of `keyCol` over a parquet directory — the
+    * table-format (Delta/Iceberg-style) file-skipping index, derived from
+    * the data itself: one distributed aggregate keyed by
+    * `input_file_name()`. Column pruning means the scan reads ONLY the key
+    * column; the manifest is O(#files), pure metadata. */
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String,
+               keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).cast("long").as("n_rows"))
+
+  /** Range read with FILE-level skipping: consult the manifest, open only
+    * files whose [min,max] overlaps [lo,hi], then apply the exact predicate
+    * (row-group pruning inside the surviving files still applies). The
+    * manifest collect is metadata (#files rows), not data — the same
+    * driver-side planning any table format performs. Equals
+    * `read(path).where(key between lo and hi)` row-for-row; after
+    * [[writeSorted]] on the key it touches only the overlapping fraction
+    * of files. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 keyCol: String, lo: Any, hi: Any): DataFrame = {
+    val keep = manifest(spark, path, keyCol)
+      .where(!(col("max_key") < lit(lo) || col("min_key") > lit(hi)))
+      .select("file").collect().map(_.getString(0))
+    val pred = col(keyCol).between(lit(lo), lit(hi))
+    if (keep.isEmpty)
+      spark.read.parquet(path).where(pred).limit(0)
+    else
+      spark.read.parquet(keep: _*).where(pred)
+  }
+
   /** 64-bit Morton (Z-order) value of two non-negative dimensions that fit
     * in 32 bits: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
     * Deterministic integer algebra — bitwise identical cross-engine. */

@@ -139,6 +139,23 @@ object DedupQueries {
         .where(col("jac") >= 0.8)
         .select("ida", "idb", "jac")
         .orderBy("ida", "idb")
+    }),
+
+    // canonical-representative selection: for each near-dup cluster keep
+    // the longest document (ties → highest doc_id) — the "keep one per
+    // cluster" policy actually applied after clustering; single struct-max
+    // aggregate, no window/self-join
+    "q_dedup_keep_best" -> ((s, d) => {
+      val clusters = Dedup.duplicateClusters(
+        minhashPairs(s, d), col("ida"), col("idb"))
+      clusters
+        .join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          max(struct(col("n_chars"), col("doc_id"))).as("mx"))
+        .select(col("cluster_id"), col("n_docs"),
+          col("mx.doc_id").as("keep_id"), col("mx.n_chars").as("keep_chars"))
+        .orderBy("cluster_id")
     })
   )
 
@@ -325,6 +342,43 @@ object DedupQueries {
              / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
               * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb)
-         SELECT va, vb, cos FROM cos WHERE cos >= 0.4 ORDER BY va, vb"""
+         SELECT va, vb, cos FROM cos WHERE cos >= 0.4 ORDER BY va, vb""",
+
+    // clusters CTE chain as in q_dedup_clusters, then per-cluster argmax
+    // by (n_chars, doc_id) — row_number mirror of Spark's struct-max
+    "q_dedup_keep_best" ->
+      s"""${shCte.replaceFirst("WITH", "WITH RECURSIVE")},
+          $sigCte,
+          bands AS (
+            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+            FROM sig, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          p AS (
+            SELECT ida, idb
+            FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                    / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                       - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) >= 0.8),
+          edges AS (SELECT ida AS a, idb AS b FROM p
+                    UNION ALL SELECT idb, ida FROM p),
+          reach AS (
+            SELECT DISTINCT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+          cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY 1),
+          m AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+                FROM cl JOIN documents d USING (doc_id)),
+          rk AS (SELECT cluster_id, doc_id, n_chars,
+                        row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id DESC) AS rn,
+                        count(*) OVER (PARTITION BY cluster_id) AS n_docs
+                 FROM m)
+          SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+                 doc_id AS keep_id, n_chars AS keep_chars
+          FROM rk WHERE rn = 1 ORDER BY cluster_id"""
   )
 }

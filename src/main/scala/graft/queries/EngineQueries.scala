@@ -581,6 +581,43 @@ object EngineQueries {
       oi.select("o_orderkey").join(matched, Seq("o_orderkey"), "left")
         .na.fill(0L, Seq("n_items")).na.fill(0.0, Seq("sum_qty"))
         .orderBy("o_orderkey")
+    }),
+
+    // bloom-filter semi-join reduction: the fact side is pre-filtered by a
+    // distributed Bloom sketch of the dim keys BEFORE any join exchange;
+    // the real join afterwards removes false positives, so the result
+    // equals the plain join (the oracle is that plain join — equality IS
+    // the exactness proof, as with the salted operators)
+    "q_eng_bloom_join" -> ((s, d) => {
+      val dim = Tables.part(s, d)
+        .where(col("p_size") <= 4).select(col("p_partkey"), col("p_brand"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val pruned = graft.operators.BloomPrune.prune(
+        fact, col("l_partkey"), dim, col("p_partkey"),
+        expectedItems = 100000L, numBits = 1L * 1024 * 1024)
+      pruned.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("p_brand")
+    }),
+
+    // exact equi-depth (10-quantile) binning of order totals WITHOUT a
+    // single-partition global window: distributed global rank (range
+    // partition + in-partition sort + zipWithIndex offsets — StableIds),
+    // then bin = floor(rank·10 / total); DuckDB mirrors with row_number
+    "q_eng_equidepth" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val total = o.count() // metadata-scale action: one long
+      val ranked = graft.operators.StableIds.assignIds(
+        o, Seq(col("o_totalprice"), col("o_orderkey")), idCol = "rk")
+      ranked
+        .withColumn("bin", floor(col("rk") * lit(10) / lit(total.toDouble)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy("bin")
     })
   )
 
@@ -983,6 +1020,30 @@ object EngineQueries {
                 count(*) FILTER (event_type = 'purchase') AS purchase,
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'view') AS view
-         FROM events GROUP BY 1 ORDER BY bucket"""
+         FROM events GROUP BY 1 ORDER BY bucket""",
+
+    // the PLAIN join — Spark runs bloom-prune + join; equality proves the
+    // reduction is lossless (bloom has no false negatives)
+    "q_eng_bloom_join" ->
+      s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+                 ${sqlMoneySum("l_extendedprice")} AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size <= 4
+          GROUP BY p_brand ORDER BY p_brand""",
+
+    // row_number mirror of the distributed StableIds rank; both sides
+    // floor an exact-integer double division (rk·10 and total are far
+    // below 2^53, and quotients land ≥ 1/total away from integers except
+    // at exact multiples, which divide exactly)
+    "q_eng_equidepth" ->
+      """WITH r AS (
+           SELECT o_orderkey, o_totalprice,
+                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rk,
+                  count(*) OVER () AS total
+           FROM orders)
+         SELECT CAST(floor(rk * 10 / CAST(total AS DOUBLE)) AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM r GROUP BY 1 ORDER BY bin"""
   )
 }

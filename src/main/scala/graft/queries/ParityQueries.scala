@@ -204,6 +204,22 @@ object ParityQueries {
         .toDF("stratum", "ids")
         .select(col("stratum"), size(col("ids")).cast("long").as("n"))
         .orderBy("stratum")
+    }),
+
+    // leakage-free GROUP-level train/val/test split: the md5 bucket is
+    // computed on the GROUP key (customer), so every row of a group lands
+    // in the same split — the discipline that keeps near-dup/same-entity
+    // examples out of eval. Content-stable (survives repartitioning),
+    // verified by counts per split
+    "q_sample_group_split" -> ((s, d) => {
+      val b = graft.text.TextFunctions.splitBucket(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("split",
+          when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test")))
+        .groupBy("split")
+        .agg(countDistinct(col("o_custkey")).as("n_groups"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("split")
     })
   )
 
@@ -319,6 +335,18 @@ object ParityQueries {
                          '%Y-%m-%d') AS day_str,
                 strftime(last_day(CAST(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d') AS DATE)),
                          '%Y-%m-%d') AS month_end
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    "q_sample_group_split" ->
+      """WITH b AS (
+           SELECT o_custkey,
+                  CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS BIGINT) % 100
+                    AS bucket
+           FROM orders)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM b GROUP BY 1 ORDER BY split"""
   )
 }

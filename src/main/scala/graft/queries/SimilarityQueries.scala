@@ -145,6 +145,27 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // per-dimension min-max feature scaling to [0, 1e6] — integer-exact:
+    // elements quantize to micro-units at the leaf, the per-dim min/max
+    // table (64 rows) broadcasts, and the rescale is one integer floor
+    // division, so there is no float surface in the cross-engine contract
+    "q_sim_minmax_scale" -> ((s, d) => {
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+        .withColumn("xm", floor(col("x") * 1000000d + 0.5))
+      val st = x.groupBy("d").agg(min("xm").as("mn"), max("xm").as("mx"))
+      x.join(broadcast(st), "d")
+        .withColumn("sc", when(col("mx") === col("mn"), 0L)
+          .otherwise(call_function("div",
+            (col("xm") - col("mn")) * 1000000L, col("mx") - col("mn"))))
+        .groupBy("vec_id")
+        .agg(sum("sc").cast("long").as("ssum"),
+          max(when(col("d") === 0, col("sc"))).cast("long").as("s1"),
+          max(when(col("d") === 32, col("sc"))).cast("long").as("s33"))
+        .orderBy("vec_id")
+    }),
+
     // symmetric int8 quantization (scale = max |x|, floor(x+0.5) round)
     "q_sim_quantize" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
@@ -334,6 +355,20 @@ object SimilarityQueries {
                  un[33] AS n33,
                  sqrt(${dotSql("un", "un")}) AS renorm
           FROM u ORDER BY vec_id""",
+
+    "q_sim_minmax_scale" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT vec_id, d, CAST(floor(v[d+1] * 1000000 + 0.5) AS BIGINT) AS xm
+               FROM e, range(0, 64) r(d)),
+         st AS (SELECT d, min(xm) AS mn, max(xm) AS mx FROM x GROUP BY d),
+         sc AS (SELECT vec_id, x.d,
+                       CASE WHEN mx = mn THEN 0::BIGINT
+                            ELSE ((xm - mn) * 1000000) // (mx - mn) END AS s
+                FROM x JOIN st ON st.d = x.d)
+         SELECT vec_id, CAST(sum(s) AS BIGINT) AS ssum,
+                CAST(max(CASE WHEN d = 0 THEN s END) AS BIGINT) AS s1,
+                CAST(max(CASE WHEN d = 32 THEN s END) AS BIGINT) AS s33
+         FROM sc GROUP BY vec_id ORDER BY vec_id""",
 
     "q_sim_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -408,7 +408,21 @@ object TextQueries {
       toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
         .orderBy(col("df").desc, col("tok"))
         .limit(20)
-    })
+    }),
+
+    // exact phrase search over the positional inverted index: per-term
+    // postings pre-filtered by literal (pushdown), pos-adjacency equi-joins
+    "q_text_phrase" -> ((s, d) =>
+      graft.text.InvertedIndex.phraseCounts(
+          docs(s, d), col("doc_id"), col("text"), Seq("fast", "table"))
+        .orderBy("doc_id")),
+
+    // corpus-duplicated trigram span removal: tokens covered by any 3-gram
+    // occurring >1 time anywhere are dropped, survivors reassembled
+    "q_text_span_removal" -> ((s, d) =>
+      graft.text.SpanDedup.removeDuplicatedSpans(
+          docs(s, d), col("doc_id"), col("text"), n = 3)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-side score expression for one language profile. */
@@ -909,6 +923,55 @@ object TextQueries {
                               list_transform(string_split(norm, ''),
                                 ch -> CAST(ord(ch) AS BIGINT))),
                             (a, b) -> (a * 31 + b) % 1000000007) END AS fp_roll
-         FROM n ORDER BY doc_id"""
+         FROM n ORDER BY doc_id""",
+
+    // positional unnest: generate_subscripts expands in lockstep with
+    // unnest (1-based → pos-1 matches Spark's 0-based posexplode)
+    "q_text_phrase" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS term,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM t)
+         SELECT a.doc_id,
+                CAST(count(*) AS BIGINT) AS n_hits,
+                CAST(min(a.pos) AS BIGINT) AS first_pos
+         FROM tok a JOIN tok b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE a.term = 'fast' AND b.term = 'table'
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+
+    "q_text_span_removal" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM t),
+         g AS (
+           SELECT doc_id, pos,
+                  tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g,
+                  lead(tok, 2) OVER w IS NOT NULL AS ok
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         starts AS (SELECT doc_id, pos, g FROM g WHERE ok),
+         dup AS (SELECT g FROM starts GROUP BY g HAVING count(*) > 1),
+         cov AS (
+           SELECT DISTINCT s.doc_id, s.pos + r.d AS pos
+           FROM starts s JOIN dup USING (g), range(0, 3) r(d)),
+         kept AS (
+           SELECT tok.doc_id, tok.pos, tok.tok
+           FROM tok LEFT JOIN cov
+             ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+           WHERE cov.doc_id IS NULL)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+         FROM kept GROUP BY doc_id ORDER BY doc_id"""
   )
 }
