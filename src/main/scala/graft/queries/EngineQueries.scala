@@ -618,6 +618,25 @@ object EngineQueries {
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
         .orderBy("bin")
+    }),
+
+    // ordered 3-step funnel (view → click → purchase, strictly increasing
+    // event time per user): each stage is a min-aggregate after a
+    // user-key join with its predecessor's first-completion time —
+    // 3 key-partitioned aggregates, no window over the full event stream
+    "q_eng_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
     })
   )
 
@@ -1044,6 +1063,19 @@ object EngineQueries {
          SELECT CAST(floor(rk * 10 / CAST(total AS DOUBLE)) AS BIGINT) AS bin,
                 CAST(count(*) AS BIGINT) AS n,
                 min(o_totalprice) AS lo, max(o_totalprice) AS hi
-         FROM r GROUP BY 1 ORDER BY bin"""
+         FROM r GROUP BY 1 ORDER BY bin""",
+
+    "q_eng_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN c ON c.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+                (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
+                (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after"""
   )
 }

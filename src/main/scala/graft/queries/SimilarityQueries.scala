@@ -145,6 +145,24 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // retrieval-quality evaluation: per-query hit count of single-probe
+    // IVF against the EXACT brute-force top-3 — the "measure, don't
+    // guess" harness every ANN deployment needs (recall@k = n_hit / k);
+    // both arms are existing operators, the join is pairs-level equality
+    "q_sim_recall_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = Similarity.ivfTopK(emb, nCentroids = 8,
+        queryMaxId = QuerySetMax, k = 3).select(col("qid"), col("nid"))
+      val bf = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < QuerySetMax), emb, 3)
+        .select(col("qid"), col("nid"))
+      val hits = bf.join(ivf, Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      bf.select("qid").distinct()
+        .join(hits, Seq("qid"), "left").na.fill(0L, Seq("n_hit"))
+        .orderBy("qid")
+    }),
+
     // per-dimension min-max feature scaling to [0, 1e6] — integer-exact:
     // elements quantize to micro-units at the leaf, the per-dim min/max
     // table (64 rows) broadcasts, and the rescale is one integer floor
@@ -355,6 +373,44 @@ object SimilarityQueries {
                  un[33] AS n33,
                  sqrt(${dotSql("un", "un")}) AS renorm
           FROM u ORDER BY vec_id""",
+
+    "q_sim_recall_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id AS id, e.v, cid, ${dotSql("v", "cv")} AS score
+            FROM e CROSS JOIN cents),
+          assigned AS (
+            SELECT id, v, cid AS cell
+            FROM (SELECT id, v, cid,
+                         row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+                  FROM scored)
+            WHERE rn = 1),
+          q AS (SELECT id AS qid, v AS qv, cell FROM assigned WHERE id < $QuerySetMax),
+          c AS (SELECT id AS nid, v AS nv, cell FROM assigned),
+          icos AS (
+            SELECT qid, nid,
+                   ${dotSql("qv", "nv")}
+                     / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv", "nv")})) AS cos
+            FROM q JOIN c USING (cell) WHERE qid != nid),
+          i3 AS (SELECT qid, nid
+                 FROM (SELECT qid, nid,
+                              row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+                       FROM icos) WHERE rank <= 3),
+          bcos AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id
+            WHERE x.vec_id < $QuerySetMax),
+          b3 AS (SELECT qid, nid
+                 FROM (SELECT qid, nid,
+                              row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+                       FROM bcos) WHERE rank <= 3),
+          h AS (SELECT b3.qid, b3.nid FROM b3 JOIN i3 USING (qid, nid))
+          SELECT b.qid, CAST(count(h.nid) AS BIGINT) AS n_hit
+          FROM (SELECT DISTINCT qid FROM b3) b LEFT JOIN h USING (qid)
+          GROUP BY b.qid ORDER BY b.qid""",
 
     "q_sim_minmax_scale" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

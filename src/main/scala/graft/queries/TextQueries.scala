@@ -422,7 +422,48 @@ object TextQueries {
     "q_text_span_removal" -> ((s, d) =>
       graft.text.SpanDedup.removeDuplicatedSpans(
           docs(s, d), col("doc_id"), col("text"), n = 3)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // per-document top-3 TF-IDF terms, integer-exact: idf quantized to
+    // micro-units per DISTINCT df (the audited-transcendental trick from
+    // BM25), score = tf · idf_micro — pure integer product, no division
+    "q_text_tfidf" -> ((s, d) => {
+      val base = docs(s, d)
+      val tf = base
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val nDocs = base.agg(count(lit(1)).as("n"))
+      val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs) // 1-row broadcast
+        .withColumn("idf_micro",
+          floor(log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+            * 1000000.0 + 0.5).cast("long"))
+        .select("tok", "idf_micro")
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("tok"))
+      tf.join(idf, "tok")
+        .withColumn("score_micro", col("tf") * col("idf_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "score_micro")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // word2vec-style skip-gram pair statistics (forward window ±0/+1/+2 —
+    // symmetric pairs would just double every count): lead windows over
+    // one doc_id exchange, one hash aggregate, top-20
+    "q_text_skipgrams" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = docs(s, d).select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("pos", "center")))
+      val pairs = (1 to 2).map(o =>
+        toks.withColumn("context", lead(col("center"), o).over(w))
+          .where(col("context").isNotNull)
+          .select("center", "context")).reduce(_ unionByName _)
+      pairs.groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("center"), col("context"))
+        .limit(20)
+    })
   )
 
   /** DuckDB-side score expression for one language profile. */
@@ -972,6 +1013,53 @@ object TextQueries {
            WHERE cov.doc_id IS NULL)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
                 md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
-         FROM kept GROUP BY doc_id ORDER BY doc_id"""
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_text_tfidf" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM x GROUP BY 1, 2),
+         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+         idf AS (SELECT tok,
+                        CAST(floor(ln((st.n + 1.0) / (df + 1.0)) * 1000000.0 + 0.5)
+                          AS BIGINT) AS idf_micro
+                 FROM dft, st),
+         sc AS (SELECT doc_id, tf.tok,
+                       CAST(tf * idf_micro AS BIGINT) AS score_micro
+                FROM tf JOIN idf USING (tok)),
+         r AS (SELECT doc_id, tok, score_micro,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_micro DESC, tok) AS BIGINT) AS rank
+               FROM sc)
+         SELECT doc_id, rank, tok, score_micro FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q_text_skipgrams" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS center,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM t),
+         led AS (
+           SELECT center, lead(center, 1) OVER w AS c1, lead(center, 2) OVER w AS c2
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         pairs AS (
+           SELECT center, c1 AS context FROM led
+           UNION ALL
+           SELECT center, c2 AS context FROM led)
+         SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+         FROM pairs WHERE context IS NOT NULL
+         GROUP BY 1, 2
+         ORDER BY cnt DESC, center, context LIMIT 20"""
   )
 }

@@ -59,6 +59,22 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("TF-IDF idf values clear the micro-quantization boundary") {
+    for (dir <- gateSfs) {
+      val docs = Tables.documents(spark, dir)
+      val nDocs = docs.count()
+      val dfs = docs
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .select("df").distinct()
+      val idf = log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0)))
+      val d = minBoundaryDist(dfs, idf)
+      assert(d > 1e-4, s"$dir: tfidf idf value within $d of a floor boundary")
+    }
+  }
+
   test("unigram surprisal values clear the micro-quantization boundary") {
     for (dir <- gateSfs) {
       val toks = Tables.documents(spark, dir)
