@@ -29,6 +29,7 @@ import scala.util.Try
   *   compact --in DIR [--target-bytes N]                         (extension)
   *   diff    --prev DIR --next DIR --key K --compare c1,c2 --out DIR (extension)
   *   prepare --in DIR... --out DIR [--min-quality Q] [--budget N]      (extension)
+  *   manifest --in DIR --key COL [--out PATH]                          (extension)
   *
   * Error contract (main.py:49-57,118-156): invalid dates, start > end,
   * filtered mode without --filter, --stratify without --n-per-group, and
@@ -47,10 +48,11 @@ object Main {
     case "compact" :: rest => withSpark(s => compactCmd(s, parseFlags(rest)))
     case "diff" :: rest    => withSpark(s => diffCmd(s, parseFlags(rest)))
     case "prepare" :: rest => withSpark(s => prepare(s, parseFlags(rest)))
+    case "manifest" :: rest => withSpark(s => manifestCmd(s, parseFlags(rest)))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
-          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare)")
+          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare | manifest)")
   }
 
   // ------------------------------------------------------------ commands
@@ -168,6 +170,18 @@ object Main {
     val target = flags.get("target-bytes").map(_.toLong).getOrElse(128L * 1024 * 1024)
     val (before, after) = graft.etl.Layout.compact(spark, flags.req("in"), target)
     println(s"compact: files_before=$before files_after=$after")
+  }
+
+  /** `manifest --in DIR --key COL [--out PATH]`: per-file min/max/count
+    * file-skipping index (Layout.manifest); prints row count, optionally
+    * writes the manifest itself as parquet. */
+  private def manifestCmd(spark: SparkSession, flags: Flags): Unit = {
+    val m = graft.etl.Layout.manifest(spark, flags.req("in"), flags.req("key"))
+    flags.get("out") match {
+      case Some(out) => m.write.mode("overwrite").parquet(out)
+      case None      => ()
+    }
+    println(s"manifest: files=${m.count()}")
   }
 
   /** `diff --prev DIR --next DIR --key K --compare c1,c2 --out DIR`:

@@ -141,6 +141,31 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
+    // SemDeDup keep rule: within each embedding cluster keep the most
+    // CENTRAL member — argmax of summed (micro-quantized) cosine to the
+    // member's in-cluster neighbors, which for mean-centroid clusters is
+    // the "closest to centroid" selection without materializing centroids.
+    // Integer centrality sums keep the cross-engine contract float-free
+    // past the audited per-pair quantization
+    "q_dedup_semdedup_keep" -> ((s, d) => {
+      val pairs = SimilarityQueries.lshPairTable(s, d).where(col("cos") >= 0.4)
+      val clusters = Dedup.duplicateClusters(pairs, col("va"), col("vb"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val directed = pairs.select(col("va").as("vec_id"), col("cos"))
+        .unionByName(pairs.select(col("vb").as("vec_id"), col("cos")))
+        .withColumn("cm", floor(col("cos") * 1000000.0 + 0.5).cast("long"))
+      val strength = directed.groupBy("vec_id")
+        .agg(sum("cm").as("centrality_micro"))
+      clusters.join(strength, "vec_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("centrality_micro"), col("vec_id"))).as("mx"))
+        .select(col("cluster_id"), col("n_members"),
+          col("mx.vec_id").as("keep_id"),
+          col("mx.centrality_micro").as("keep_centrality_micro"))
+        .orderBy("cluster_id")
+    }),
+
     // canonical-representative selection: for each near-dup cluster keep
     // the longest document (ties → highest doc_id) — the "keep one per
     // cluster" policy actually applied after clustering; single struct-max
@@ -379,6 +404,39 @@ object DedupQueries {
                  FROM m)
           SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
                  doc_id AS keep_id, n_chars AS keep_chars
-          FROM rk WHERE rn = 1 ORDER BY cluster_id"""
+          FROM rk WHERE rn = 1 ORDER BY cluster_id""",
+
+    "q_dedup_semdedup_keep" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.lshCandCte},
+         cosp AS (
+           SELECT va, vb,
+             list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
+             / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
+              * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
+           FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
+         p AS (SELECT va, vb, cos FROM cosp WHERE cos >= 0.4),
+         edges AS (SELECT va AS a, vb AS b FROM p
+                   UNION ALL SELECT vb, va FROM p),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS r FROM edges
+           UNION
+           SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id),
+         cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         directed AS (SELECT va AS vec_id, cos FROM p
+                      UNION ALL SELECT vb, cos FROM p),
+         st AS (SELECT vec_id,
+                       CAST(sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                         AS centrality_micro
+                FROM directed GROUP BY 1),
+         m AS (SELECT cl.cluster_id, cl.vec_id, st.centrality_micro
+               FROM cl JOIN st USING (vec_id)),
+         rk AS (SELECT cluster_id, vec_id, centrality_micro,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY centrality_micro DESC, vec_id DESC) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS nm
+                FROM m)
+         SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+                vec_id AS keep_id, centrality_micro AS keep_centrality_micro
+         FROM rk WHERE rn = 1 ORDER BY cluster_id"""
   )
 }

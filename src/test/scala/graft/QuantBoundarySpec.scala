@@ -43,6 +43,15 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("LSH pair cosines clear the micro-quantization boundary (SemDeDup keep)") {
+    for (dir <- gateSfs) {
+      val pairs = graft.similarity.Similarity.signLshPairs(
+        Tables.embeddings(spark, dir), 42L, 16, 8, 1024)
+      val d = minBoundaryDist(pairs, col("cos"))
+      assert(d > 1e-7, s"$dir: pair cosine within $d of a floor boundary")
+    }
+  }
+
   test("BM25 idf values clear the micro-quantization boundary") {
     for (dir <- gateSfs) {
       val docs = Tables.documents(spark, dir)

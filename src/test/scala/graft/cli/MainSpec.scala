@@ -164,6 +164,20 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 1000)
   }
 
+  test("manifest: writes a per-file min/max index through the CLI") {
+    val dir = JFiles.createTempDirectory("graft_manifest_cli").toString
+    graft.etl.Layout.writeSorted(
+      spark.range(1, 101).toDF("id"),
+      Seq(org.apache.spark.sql.functions.col("id")), s"$dir/t", targetFiles = 4)
+    Main.main(Array("manifest", "--in", s"$dir/t", "--key", "id",
+      "--out", s"$dir/m"))
+    val m = spark.read.parquet(s"$dir/m")
+    assert(m.count() == 4)
+    assert(m.columns.sorted.toSeq == Seq("file", "max_key", "min_key", "n_rows"))
+    intercept[IllegalArgumentException](
+      Main.main(Array("manifest", "--in", s"$dir/t")))
+  }
+
   test("prepare: quality gate, dedup keep-min, token-budget bins") {
     import spark.implicits._
     val dir = JFiles.createTempDirectory("graft_prepare_cli").toString
