@@ -637,7 +637,33 @@ object EngineQueries {
       v.agg(count(lit(1)).as("n_view"))
         .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
-    })
+    }),
+
+    // plan-time set operators: customers ordering in BOTH 1994 and 1995
+    // (INTERSECT — hashed semi set op) minus those also ordering in 1996
+    // (EXCEPT — hashed anti set op); both stay partial-aggregated
+    "q_eng_intersect_except" -> ((s, d) => {
+      def custsIn(year: Int): DataFrame =
+        Tables.orders(s, d)
+          .where(org.apache.spark.sql.functions.year(
+            col("o_orderdate").cast("timestamp")) === year)
+          .select(col("o_custkey"))
+      custsIn(1994).intersect(custsIn(1995)).except(custsIn(1996))
+        .orderBy("o_custkey")
+    }),
+
+    // relational unpivot (melt) through the Dataset.unpivot API — one
+    // Expand node, no join/union of re-scans
+    "q_eng_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1076,6 +1102,31 @@ object EngineQueries {
                WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
          SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
                 (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
-                (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after"""
+                (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after""",
+
+    "q_eng_intersect_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+
+    // UNION ALL mirror of the unpivot (portable melt); metric names match
+    // the Spark-side value-column names
+    "q_eng_unpivot" ->
+      s"""WITH a AS (
+            SELECT l_returnflag,
+                   ${sqlMoneySum("l_quantity")} AS sum_qty,
+                   ${sqlMoneySum("l_extendedprice")} AS sum_price,
+                   CAST(count(*) AS DOUBLE) AS n_items
+            FROM lineitem GROUP BY 1)
+          SELECT l_returnflag, metric, value FROM (
+            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM a
+            UNION ALL
+            SELECT l_returnflag, 'n_items', n_items FROM a)
+          ORDER BY l_returnflag, metric"""
   )
 }

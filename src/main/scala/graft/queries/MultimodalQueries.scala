@@ -61,6 +61,23 @@ object MultimodalQueries {
           col("ida"), col("idb"))
         .select(col("doc_id").as("media_id"), col("cluster_id"))
         .orderBy("media_id"))
+        ,
+
+    // aspect-ratio bucketing — the multimodal-trainer batching concern
+    // (same-shape images share a batch): 0.5-wide integer ratio classes,
+    // one hash aggregate over metadata only (no payload decode)
+    "q_mm_aspect_buckets" -> ((s, d) =>
+      media(s, d).where(col("meta.media_type") === "image")
+        .select(col("media_id"),
+          call_function("div",
+            col("meta.width_px").cast("long") * 100L,
+            col("meta.height_px").cast("long")).as("ratio_centi"))
+        .withColumn("bucket", call_function("div", col("ratio_centi"), lit(50L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_images"),
+          min("ratio_centi").as("min_ratio_centi"),
+          max("ratio_centi").as("max_ratio_centi"))
+        .orderBy("bucket"))
   )
 
   /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
@@ -215,6 +232,16 @@ object MultimodalQueries {
             UNION
             SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
           SELECT id AS media_id, min(r) AS cluster_id
-          FROM reach GROUP BY 1 ORDER BY 1"""
+          FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "q_mm_aspect_buckets" ->
+      s"""$bytesCte,
+          r AS (SELECT media_id, (width_px * 100) // height_px AS ratio_centi
+                FROM m WHERE media_type = 'image')
+          SELECT ratio_centi // 50 AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_images,
+                 CAST(min(ratio_centi) AS BIGINT) AS min_ratio_centi,
+                 CAST(max(ratio_centi) AS BIGINT) AS max_ratio_centi
+          FROM r GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -220,6 +220,18 @@ object ParityQueries {
         .agg(countDistinct(col("o_custkey")).as("n_groups"),
           count(lit(1)).as("n_rows"))
         .orderBy("split")
+    }),
+
+    // systematic (every k-th) sampling over a distributed global rank —
+    // the interval sampler on sorted data, without a single-partition
+    // window (StableIds: range partition + per-partition offsets)
+    "q_sample_systematic" -> ((s, d) => {
+      val ranked = graft.operators.StableIds.assignIds(
+        Tables.events(s, d).select(col("event_id")),
+        Seq(col("event_id")), idCol = "rk")
+      ranked.where(col("rk") % 20 === 0)
+        .select(col("event_id"), col("rk"))
+        .orderBy("event_id")
     })
   )
 
@@ -347,6 +359,12 @@ object ParityQueries {
                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
                 CAST(count(*) AS BIGINT) AS n_rows
-         FROM b GROUP BY 1 ORDER BY split"""
+         FROM b GROUP BY 1 ORDER BY split""",
+
+    "q_sample_systematic" ->
+      """SELECT event_id, CAST(rn AS BIGINT) AS rk FROM (
+           SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rn
+           FROM events)
+         WHERE rn % 20 = 0 ORDER BY event_id"""
   )
 }

@@ -463,6 +463,26 @@ object TextQueries {
       pairs.groupBy("center", "context").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("center"), col("context"))
         .limit(20)
+    }),
+
+    // per-document unigram entropy in micro-nats — the repetitiveness /
+    // diversity quality signal. Integer-exact contract: each distinct
+    // (doc_len, count) ratio's ln is quantized at the leaf (audited
+    // transcendental site), then H = Σ c·ln(dl/c)_micro ÷ dl is all
+    // integer arithmetic
+    "q_text_entropy" -> ((s, d) => {
+      val cnt = docs(s, d)
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val dl = cnt.groupBy("doc_id").agg(sum("c").as("dl"))
+      cnt.join(dl, "doc_id")
+        .withColumn("t", floor(log(col("dl").cast("double") / col("c").cast("double"))
+          * 1000000.0 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(call_function("div", sum(col("c") * col("t")), max(col("dl")))
+          .as("entropy_micro"),
+          max(col("dl")).as("dl"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1060,6 +1080,28 @@ object TextQueries {
          SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
          FROM pairs WHERE context IS NOT NULL
          GROUP BY 1, 2
-         ORDER BY cnt DESC, center, context LIMIT 20"""
+         ORDER BY cnt DESC, center, context LIMIT 20""",
+
+    "q_text_entropy" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                 FROM x GROUP BY 1, 2),
+         dlen AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl
+                  FROM cnt GROUP BY 1),
+         term AS (
+           SELECT cnt.doc_id, c, dl,
+                  CAST(floor(ln(CAST(dl AS DOUBLE) / CAST(c AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t
+           FROM cnt JOIN dlen USING (doc_id))
+         SELECT doc_id,
+                CAST(CAST(sum(c * t) AS BIGINT) // max(dl) AS BIGINT)
+                  AS entropy_micro,
+                CAST(max(dl) AS BIGINT) AS dl
+         FROM term GROUP BY doc_id ORDER BY doc_id"""
   )
 }

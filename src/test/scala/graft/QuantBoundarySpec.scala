@@ -84,6 +84,23 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("entropy ln(dl/c) values clear the micro-quantization boundary") {
+    for (dir <- gateSfs) {
+      val cnt = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val dl = cnt.groupBy("doc_id").agg(sum("c").as("dl"))
+      val ratios = cnt.join(dl, "doc_id")
+        .select(col("dl").cast("double").as("dl"), col("c").cast("double").as("c"))
+        .select((col("dl") / col("c")).as("r")).distinct()
+      val d = minBoundaryDist(ratios, log(col("r")))
+      // larger distinct input set than the df-style sites → 1e-5 floor
+      // (still 1000× above worst-case libm ln drift at 10⁶ scale)
+      assert(d > 1e-5, s"$dir: entropy term within $d of a floor boundary")
+    }
+  }
+
   test("unigram surprisal values clear the micro-quantization boundary") {
     for (dir <- gateSfs) {
       val toks = Tables.documents(spark, dir)
