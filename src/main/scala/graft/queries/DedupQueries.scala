@@ -66,6 +66,16 @@ object DedupQueries {
         .select("ida", "idb", "sig_matches", "jac")
     }
 
+  /** Memoized connected components over the cosine near-dup graph —
+    * q_dedup_embed_clusters and q_dedup_semdedup_keep run the identical
+    * min-label propagation, so they share one materialization. */
+  private def embedClusterTable(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "embed_cluster_table") {
+      Dedup.duplicateClusters(
+        SimilarityQueries.lshPairTable(s, d).where(col("cos") >= 0.4),
+        col("va"), col("vb"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy on the canonical md5 fingerprint
     "q_dedup_exact" -> ((s, d) =>
@@ -116,11 +126,10 @@ object DedupQueries {
 
     // SemDeDup-style embedding dedup: connected components over the
     // cosine near-dup graph (cached sign-LSH pairs) — "keep one per
-    // semantic cluster" for embedded corpora
+    // semantic cluster" for embedded corpora (cluster table memoized:
+    // q_dedup_semdedup_keep consumes the identical propagation)
     "q_dedup_embed_clusters" -> ((s, d) =>
-      Dedup.duplicateClusters(
-          SimilarityQueries.lshPairTable(s, d).where(col("cos") >= 0.4),
-          col("va"), col("vb"))
+      embedClusterTable(s, d)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")),
 
@@ -149,7 +158,7 @@ object DedupQueries {
     // past the audited per-pair quantization
     "q_dedup_semdedup_keep" -> ((s, d) => {
       val pairs = SimilarityQueries.lshPairTable(s, d).where(col("cos") >= 0.4)
-      val clusters = Dedup.duplicateClusters(pairs, col("va"), col("vb"))
+      val clusters = embedClusterTable(s, d)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
       val directed = pairs.select(col("va").as("vec_id"), col("cos"))
         .unionByName(pairs.select(col("vb").as("vec_id"), col("cos")))

@@ -652,6 +652,16 @@ object EngineQueries {
         .orderBy("o_custkey")
     }),
 
+    // ROLLUP with grouping_id(): the bitmask that disambiguates "NULL
+    // because aggregated" from "NULL in the data" — one Expand node,
+    // standard-SQL bit semantics shared with the oracle's GROUPING()
+    "q_eng_grouping_id" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // relational unpivot (melt) through the Dataset.unpivot API — one
     // Expand node, no join/union of re-scans
     "q_eng_unpivot" -> ((s, d) =>
@@ -1111,6 +1121,13 @@ object EngineQueries {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+
+    "q_eng_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST""",
 
     // UNION ALL mirror of the unpivot (portable melt); metric names match
     // the Spark-side value-column names

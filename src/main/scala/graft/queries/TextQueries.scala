@@ -456,13 +456,42 @@ object TextQueries {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val toks = docs(s, d).select(col("doc_id"),
         posexplode(tokens(lower(col("text")))).as(Seq("pos", "center")))
-      val pairs = (1 to 2).map(o =>
-        toks.withColumn("context", lead(col("center"), o).over(w))
-          .where(col("context").isNotNull)
-          .select("center", "context")).reduce(_ unionByName _)
+      // both leads share one WindowSpec → a single Window operator over
+      // one doc_id exchange; the offset union is a post-window explode,
+      // not a second scan
+      val pairs = toks
+        .withColumn("c1", lead(col("center"), 1).over(w))
+        .withColumn("c2", lead(col("center"), 2).over(w))
+        .select(col("center"), explode(array(col("c1"), col("c2"))).as("context"))
+        .where(col("context").isNotNull)
       pairs.groupBy("center", "context").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("center"), col("context"))
         .limit(20)
+    }),
+
+    // hashing-trick document vectorizer (the text→vector bridge): tokens
+    // hash into 16 md5 buckets, per-doc bucket counts form the sparse
+    // feature vector; emitted as a dense ordered fingerprint + summary
+    // stats so the contract stays integer/string-exact
+    "q_text_hash_vectors" -> ((s, d) => {
+      val bucketed = docs(s, d)
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"), lit(16L)))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      // dense 16-slot vector per doc (zeros included) via an ordered
+      // collected struct list — no pivot (16 fixed slots, array algebra)
+      bucketed.groupBy("doc_id")
+        .agg(collect_list(struct(col("b"), col("c"))).as("bc"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(15L)), i =>
+            coalesce(
+              element_at(map_from_entries(col("bc")), i), lit(0L))).as("v"))
+        .select(col("doc_id"),
+          size(filter(col("v"), x => x > 0L)).cast("long").as("nnz"),
+          aggregate(col("v"), lit(0L), (a, x) => a + x).as("total"),
+          md5(array_join(transform(col("v"), _.cast("string")), ",")).as("vec_md5"))
+        .orderBy("doc_id")
     }),
 
     // per-document unigram entropy in micro-nats — the repetitiveness /
@@ -1081,6 +1110,28 @@ object TextQueries {
          FROM pairs WHERE context IS NOT NULL
          GROUP BY 1, 2
          ORDER BY cnt DESC, center, context LIMIT 20""",
+
+    "q_text_hash_vectors" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         bc AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 16 AS b,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM x GROUP BY 1, 2),
+         dense AS (
+           SELECT d.doc_id, r.b, COALESCE(bc.c, 0) AS c
+           FROM (SELECT DISTINCT doc_id FROM bc) d
+           CROSS JOIN range(0, 16) r(b)
+           LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.b = r.b)
+         SELECT doc_id,
+                CAST(count(*) FILTER (c > 0) AS BIGINT) AS nnz,
+                CAST(sum(c) AS BIGINT) AS total,
+                md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY b)) AS vec_md5
+         FROM dense GROUP BY doc_id ORDER BY doc_id""",
 
     "q_text_entropy" ->
       """WITH t AS (
