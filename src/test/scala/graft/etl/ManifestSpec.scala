@@ -39,6 +39,25 @@ class ManifestSpec extends SparkSpec {
       s"expected file-level pruning, got ${pruned.inputFiles.length} files")
   }
 
+  test("incremental manifest equals the full rebuild after an append wave") {
+    val dir = freshDir("m4")
+    Layout.writeSorted((1L to 500L).toDF("k"), Seq(col("k")), dir, targetFiles = 2)
+    val m1 = Layout.manifest(spark, dir, "k")
+    m1.write.parquet(s"${dir}_prior")
+    val prior = spark.read.parquet(s"${dir}_prior")
+    // append wave: two more files, disjoint key range
+    (501L to 900L).toDF("k").repartition(2).write.mode("append").parquet(dir)
+    val inc = Layout.manifestIncremental(spark, dir, "k", prior)
+    val full = Layout.manifest(spark, dir, "k")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("min_key", "max_key", "n_rows")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(canon(inc) == canon(full))
+    assert(inc.count() == 4)
+    // no new files → the prior manifest comes back untouched
+    assert(Layout.manifestIncremental(spark, dir, "k", inc).count() == 4)
+  }
+
   test("a range outside every file's bounds reads nothing") {
     val dir = freshDir("m3")
     Layout.writeSorted((1L to 100L).toDF("k"), Seq(col("k")), dir, targetFiles = 2)
