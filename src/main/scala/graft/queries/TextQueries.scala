@@ -20,6 +20,16 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** Memoized positional postings `(doc_id, pos, tok)` — six queries
+    * (phrase, span removal, skip-grams, entropy, TF-IDF, hash vectors)
+    * consume the same tokenize+explode, so the suite materializes it
+    * once (lifecycle in [[QueryCaches]]). */
+  private def postings(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "text_postings") {
+      docs(s, d).select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("pos", "tok")))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // whitespace + BPE-ish token counting
     "q_text_tokens" -> ((s, d) =>
@@ -413,26 +423,26 @@ object TextQueries {
     // exact phrase search over the positional inverted index: per-term
     // postings pre-filtered by literal (pushdown), pos-adjacency equi-joins
     "q_text_phrase" -> ((s, d) =>
-      graft.text.InvertedIndex.phraseCounts(
-          docs(s, d), col("doc_id"), col("text"), Seq("fast", "table"))
+      graft.text.InvertedIndex.phraseMatches(
+          postings(s, d).withColumnRenamed("tok", "term"), Seq("fast", "table"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_hits"),
+          min("pos").cast("long").as("first_pos"))
         .orderBy("doc_id")),
 
     // corpus-duplicated trigram span removal: tokens covered by any 3-gram
     // occurring >1 time anywhere are dropped, survivors reassembled
     "q_text_span_removal" -> ((s, d) =>
-      graft.text.SpanDedup.removeDuplicatedSpans(
-          docs(s, d), col("doc_id"), col("text"), n = 3)
+      graft.text.SpanDedup.removeDuplicatedSpansFromTokens(postings(s, d), n = 3)
         .orderBy("doc_id")),
 
     // per-document top-3 TF-IDF terms, integer-exact: idf quantized to
     // micro-units per DISTINCT df (the audited-transcendental trick from
     // BM25), score = tf · idf_micro — pure integer product, no division
     "q_text_tfidf" -> ((s, d) => {
-      val base = docs(s, d)
-      val tf = base
-        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      val tf = postings(s, d)
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val nDocs = base.agg(count(lit(1)).as("n"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n"))
       val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(nDocs) // 1-row broadcast
         .withColumn("idf_micro",
@@ -454,8 +464,7 @@ object TextQueries {
     // one doc_id exchange, one hash aggregate, top-20
     "q_text_skipgrams" -> ((s, d) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      val toks = docs(s, d).select(col("doc_id"),
-        posexplode(tokens(lower(col("text")))).as(Seq("pos", "center")))
+      val toks = postings(s, d).withColumnRenamed("tok", "center")
       // both leads share one WindowSpec → a single Window operator over
       // one doc_id exchange; the offset union is a post-window explode,
       // not a second scan
@@ -474,8 +483,7 @@ object TextQueries {
     // feature vector; emitted as a dense ordered fingerprint + summary
     // stats so the contract stays integer/string-exact
     "q_text_hash_vectors" -> ((s, d) => {
-      val bucketed = docs(s, d)
-        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      val bucketed = postings(s, d)
         .withColumn("b",
           pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"), lit(16L)))
         .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
@@ -500,8 +508,7 @@ object TextQueries {
     // transcendental site), then H = Σ c·ln(dl/c)_micro ÷ dl is all
     // integer arithmetic
     "q_text_entropy" -> ((s, d) => {
-      val cnt = docs(s, d)
-        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      val cnt = postings(s, d)
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       val dl = cnt.groupBy("doc_id").agg(sum("c").as("dl"))
       cnt.join(dl, "doc_id")

@@ -30,10 +30,17 @@ object SpanDedup {
     * the reassembled (space-joined) kept-token sequence. Documents whose
     * every token is covered drop out. */
   def removeDuplicatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
-                            n: Int): DataFrame = {
+                            n: Int): DataFrame =
+    removeDuplicatedSpansFromTokens(
+      docs.select(idCol.as("doc_id"),
+        posexplode(TextFunctions.tokens(lower(textCol))).as(Seq("pos", "tok"))),
+      n)
+
+  /** Same operator over a pre-built `(doc_id, pos, tok)` postings table —
+    * the shape pipelines share across span removal, phrase search, and
+    * skip-gram statistics (compute the explode once, reuse everywhere). */
+  def removeDuplicatedSpansFromTokens(toks: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"span n-gram size must be >= 2, got $n")
-    val toks = docs.select(idCol.as("doc_id"),
-      posexplode(TextFunctions.tokens(lower(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // n-gram starting at pos: tok, lead(1) … lead(n-1); valid start iff the
     // last member exists (concat_ws would silently shorten tail grams and
