@@ -75,6 +75,37 @@ object Layout {
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).cast("long").as("n_rows"))
 
+  /** Sort-preserving compaction: where [[compact]]'s shuffle-free
+    * `coalesce` merges arbitrary partitions (file key ranges widen and
+    * min/max skipping degrades), this variant re-range-partitions on the
+    * cluster key while bin-packing — post-compaction files keep disjoint
+    * sorted ranges, so the manifest/row-group pruning that motivated
+    * [[writeSorted]] survives every compaction wave. Same atomic
+    * two-rename swap. Returns (filesBefore, filesAfter). */
+  def compactSorted(spark: org.apache.spark.sql.SparkSession, path: String,
+                    sortCols: Seq[String], targetBytes: Long): (Int, Int) = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Fs.recover(fs, cur)
+    val files = fs.listStatus(cur).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (n >= files.length) return (files.length, files.length)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val cols = sortCols.map(col)
+    spark.read.parquet(path)
+      .repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    graft.util.Fs.swapInto(fs, tmp, cur)
+    val after = fs.listStatus(cur).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Incremental manifest refresh: stat only files ABSENT from the prior
     * manifest and union with the still-valid prior rows. At 100 TB the
     * full rebuild rescans the key column of every file after each append

@@ -43,7 +43,7 @@ class ManifestSpec extends SparkSpec {
     val dir = freshDir("m4")
     Layout.writeSorted((1L to 500L).toDF("k"), Seq(col("k")), dir, targetFiles = 2)
     val m1 = Layout.manifest(spark, dir, "k")
-    m1.write.parquet(s"${dir}_prior")
+    m1.write.mode("overwrite").parquet(s"${dir}_prior")
     val prior = spark.read.parquet(s"${dir}_prior")
     // append wave: two more files, disjoint key range
     (501L to 900L).toDF("k").repartition(2).write.mode("append").parquet(dir)
@@ -56,6 +56,26 @@ class ManifestSpec extends SparkSpec {
     assert(inc.count() == 4)
     // no new files → the prior manifest comes back untouched
     assert(Layout.manifestIncremental(spark, dir, "k", inc).count() == 4)
+  }
+
+  test("compactSorted keeps post-compaction file ranges disjoint") {
+    val dir = freshDir("m5")
+    // 8 append waves with interleaved keys: every file spans ~the whole
+    // domain, so plain coalesce-compaction could not restore clustering
+    import org.apache.spark.sql.functions.lit
+    (0 until 8).foreach { w =>
+      (0 until 100).map(i => i * 8L + w).toDF("k")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    assert(spark.read.parquet(dir).inputFiles.length == 8)
+    val (before, after) = Layout.compactSorted(spark, dir, Seq("k"),
+      targetBytes = spark.read.parquet(dir).inputFiles.length * 400L)
+    assert(before == 8 && after < 8 && after > 1)
+    assert(spark.read.parquet(dir).count() == 800)
+    val m = Layout.manifest(spark, dir, "k")
+      .select("min_key", "max_key").as[(Long, Long)].collect().sortBy(_._1)
+    m.sliding(2).foreach { case Array(a, b) => assert(a._2 < b._1,
+      s"ranges overlap after compaction: $a vs $b"); case _ => }
   }
 
   test("a range outside every file's bounds reads nothing") {
