@@ -150,6 +150,15 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
+    // same component semantics through the alternating large-star /
+    // small-star algorithm (O(log² n) rounds on component diameter vs
+    // propagation's O(diameter) — the 100 TB chain-collapse path);
+    // shares the recursive-CTE oracle with q_dedup_clusters
+    "q_dedup_clusters_star" -> ((s, d) =>
+      graft.operators.StarComponents.components(
+          minhashPairs(s, d), col("ida"), col("idb"))
+        .orderBy("doc_id")),
+
     // SemDeDup keep rule: within each embedding cluster keep the most
     // CENTRAL member — argmax of summed (micro-quantized) cosine to the
     // member's in-cluster neighbors, which for mean-centroid clusters is
@@ -229,7 +238,12 @@ object DedupQueries {
          SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) AS sh
          FROM bits GROUP BY 1)"""
 
-  val oracleSql: Map[String, String] = Map(
+  /** The star-algorithm variant computes the identical component table,
+    * so it shares q_dedup_clusters' recursive-CTE oracle verbatim. */
+  val oracleSql: Map[String, String] = oracleBase +
+    ("q_dedup_clusters_star" -> oracleBase("q_dedup_clusters"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
                     FROM documents)
