@@ -502,6 +502,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI-ranked bigram collocations — the phrase-mining signal:
+    // pmi = ln( (c_xy/T) / ((c_x/N)·(c_y/N)) ), computed on integer
+    // counts with ONE leaf-quantized ln per qualifying bigram (count
+    // floor 5 bounds the audited input set); top-20 deterministic
+    "q_text_collocations" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val uni = postings(s, d).groupBy("tok").agg(count(lit(1)).as("cx"))
+      val nTok = postings(s, d).agg(count(lit(1)).as("n"))
+      val bi = postings(s, d)
+        .withColumn("w2", lead(col("tok"), 1).over(w))
+        .where(col("w2").isNotNull)
+        .select(col("tok").as("w1"), col("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+      val tBi = postings(s, d)
+        .withColumn("w2", lead(col("tok"), 1).over(w))
+        .where(col("w2").isNotNull)
+        .agg(count(lit(1)).as("t"))
+      bi
+        .join(uni.select(col("tok").as("w1"), col("cx").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("cx").as("c2")), "w2")
+        .crossJoin(nTok).crossJoin(tBi)
+        .withColumn("pmi_micro",
+          floor(log((col("cxy").cast("double") * col("n") * col("n")) /
+            (col("t").cast("double") * col("c1") * col("c2")))
+            * 1000000.0 + 0.5).cast("long"))
+        .select(col("w1"), col("w2"), col("cxy").as("n_xy"), col("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // per-document unigram entropy in micro-nats — the repetitiveness /
     // diversity quality signal. Integer-exact contract: each distinct
     // (doc_len, count) ratio's ln is quantized at the leaf (audited
@@ -1139,6 +1170,35 @@ object TextQueries {
                 CAST(sum(c) AS BIGINT) AS total,
                 md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY b)) AS vec_md5
          FROM dense GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_text_collocations" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM t),
+         uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cx FROM tok GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         led AS (
+           SELECT tok AS w1, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM tok),
+         bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+                FROM led WHERE w2 IS NOT NULL
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         tb AS (SELECT CAST(count(*) AS BIGINT) AS t
+                FROM led WHERE w2 IS NOT NULL)
+         SELECT w1, w2, cxy AS n_xy,
+                CAST(floor(ln((CAST(cxy AS DOUBLE) * nt.n * nt.n)
+                       / (CAST(tb.t AS DOUBLE) * u1.cx * u2.cx))
+                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+         FROM bi
+         JOIN uni u1 ON u1.tok = w1
+         JOIN uni u2 ON u2.tok = w2, nt, tb
+         ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""",
 
     "q_text_entropy" ->
       """WITH t AS (

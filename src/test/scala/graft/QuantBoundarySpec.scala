@@ -84,6 +84,31 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("PMI ratio ln values clear the micro-quantization boundary") {
+    for (dir <- gateSfs) {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cx"))
+      val n = toks.count()
+      val led = toks.withColumn("w2", lead(col("tok"), 1).over(w))
+        .where(col("w2").isNotNull)
+      val t = led.count()
+      val ratios = led.select(col("tok").as("w1"), col("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+        .join(uni.select(col("tok").as("w1"), col("cx").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("cx").as("c2")), "w2")
+        .select(((col("cxy").cast("double") * n * n) /
+          (lit(t.toDouble) * col("c1") * col("c2"))).as("r"))
+        .distinct()
+      val d = minBoundaryDist(ratios, log(col("r")))
+      assert(d > 1e-5, s"$dir: PMI value within $d of a floor boundary")
+    }
+  }
+
   test("entropy ln(dl/c) values clear the micro-quantization boundary") {
     for (dir <- gateSfs) {
       val cnt = Tables.documents(spark, dir)
