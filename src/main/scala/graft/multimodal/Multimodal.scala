@@ -129,6 +129,31 @@ object Multimodal {
         md5(concat(col("payload_md5"), lit(":"),
           col("frame_idx").cast("string"))).as("frame_key"))
 
+  /** Scene-change detection over sampled frames: consecutive frames whose
+    * signatures differ by more than `threshold` of a 64-bit signature's
+    * bits mark a boundary. The signature here is the first 16 hex chars of
+    * the frame key (the stub codec's stand-in for a real frame phash —
+    * a production pipeline swaps the signature source, the lag-window
+    * shape is the operator). One window partitioned by media_id: scale is
+    * #videos × frames-per-video, no self-join. */
+  def sceneChanges(media: DataFrame, maxFrames: Int, threshold: Int): DataFrame = {
+    require(threshold >= 0 && threshold <= 60, s"threshold in [0,60], got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    sampleFrames(media, maxFrames)
+      // 15 hex chars = 60 bits — fits a signed long on both engines
+      // (the shared md5-prefix discipline from SimHash)
+      .withColumn("sig", conv(substring(col("frame_key"), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+      .where(col("prev_sig").isNotNull)
+      .withColumn("delta_bits",
+        bit_count(col("sig").bitwiseXOR(col("prev_sig"))).cast("long"))
+      .where(col("delta_bits") > threshold)
+      .select(col("media_id"), col("frame_idx").as("boundary_frame"),
+        col("delta_bits"))
+  }
+
   /** Declarative audio windowing for audio rows: fixed-length analysis
     * windows (`windowMs` each), one row per window with its sample offset
     * — the framing stage ahead of any feature extractor (STFT, MFCC, …),

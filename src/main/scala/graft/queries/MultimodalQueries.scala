@@ -63,6 +63,12 @@ object MultimodalQueries {
         .orderBy("media_id"))
         ,
 
+    // scene-change boundaries: lag window over per-video frame signature
+    // sequences, 60-bit hamming delta over threshold → boundary
+    "q_mm_scene_changes" -> ((s, d) =>
+      Multimodal.sceneChanges(media(s, d), 8, threshold = 25)
+        .orderBy("media_id", "boundary_frame")),
+
     // aspect-ratio bucketing — the multimodal-trainer batching concern
     // (same-shape images share a batch): 0.5-wide integer ratio classes,
     // one hash aggregate over metadata only (no payload decode)
@@ -233,6 +239,27 @@ object MultimodalQueries {
             SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
           SELECT id AS media_id, min(r) AS cluster_id
           FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "q_mm_scene_changes" ->
+      s"""$bytesCte,
+          v AS (SELECT media_id, h, duration_ms FROM m WHERE media_type = 'video'),
+          f AS (
+            SELECT media_id, h,
+                   unnest(range(0, least(CAST(floor(duration_ms / 1000.0) AS BIGINT), 7) + 1))
+                     AS frame_idx
+            FROM v),
+          k AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                       CAST('0x' || substr(md5(h || ':' || CAST(frame_idx AS VARCHAR)), 1, 15)
+                         AS BIGINT) AS sig
+                FROM f),
+          l AS (SELECT media_id, frame_idx, sig,
+                       lag(sig, 1) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_sig
+                FROM k)
+          SELECT media_id, frame_idx AS boundary_frame,
+                 CAST(bit_count(xor(sig, prev_sig)) AS BIGINT) AS delta_bits
+          FROM l
+          WHERE prev_sig IS NOT NULL AND bit_count(xor(sig, prev_sig)) > 25
+          ORDER BY media_id, boundary_frame""",
 
     "q_mm_aspect_buckets" ->
       s"""$bytesCte,
