@@ -652,6 +652,27 @@ object EngineQueries {
         .orderBy("o_custkey")
     }),
 
+    // TPC-H Q10-style returned-items ranking: who cost us the most in
+    // returns — lineitem(R) joins orders on the fact keys while customer
+    // and nation broadcast; one revenue aggregate, top-20 via
+    // TakeOrderedAndProject (no global sort)
+    "q_eng_returned_top" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ROLLUP with grouping_id(): the bitmask that disambiguates "NULL
     // because aggregated" from "NULL in the data" — one Expand node,
     // standard-SQL bit semantics shared with the oracle's GROUPING()
@@ -1121,6 +1142,18 @@ object EngineQueries {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+
+    "q_eng_returned_top" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+                 ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY 1, 2, 3, 4
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "q_eng_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
