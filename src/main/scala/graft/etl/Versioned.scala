@@ -18,6 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `vacuum` bounds storage by dropping versions older than the retention
   * window (never the live one). Schema: whatever each commit wrote —
   * schema evolution is the writer's concern, as in any directory table.
+  *
+  * Concurrency contract: SINGLE WRITER (the usual table-format default
+  * without a lock service) — two racing commits could claim the same
+  * version directory. Readers are unrestricted. [[commitIdempotent]]
+  * gives replay-safety for exactly-once streaming sinks: a batch id
+  * already at-or-behind the live version is a no-op, so foreachBatch
+  * re-deliveries after a crash never double-commit.
   */
 object Versioned {
 
@@ -49,6 +56,28 @@ object Versioned {
     if (f.exists(pointer(root))) f.delete(pointer(root), false)
     f.rename(tmp, pointer(root))
     next
+  }
+
+  /** Idempotent commit keyed by a monotonically-increasing `batchId`
+    * (Structured Streaming's foreachBatch contract): commits as version
+    * `batchId` exactly once; a replayed batch (id ≤ live version) is a
+    * no-op. Returns true iff this call performed the commit. */
+  def commitIdempotent(spark: SparkSession, root: String,
+                       df: DataFrame, batchId: Long): Boolean = {
+    readPointer(spark, root) match {
+      case Some(live) if batchId <= live => false
+      case prior =>
+        require(batchId == prior.map(_ + 1).getOrElse(0L),
+          s"non-contiguous batchId $batchId after version $prior")
+        val f = fs(spark, root)
+        df.write.mode("overwrite").parquet(s"$root/v=$batchId")
+        val tmp = new Path(s"$root/_latest.tmp")
+        val out = f.create(tmp, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        if (f.exists(pointer(root))) f.delete(pointer(root), false)
+        f.rename(tmp, pointer(root))
+        true
+    }
   }
 
   /** Latest committed version number, if any commit exists. */

@@ -65,7 +65,8 @@ object StarComponents {
 
     var changed = 1L
     var guard = 0
-    while (changed > 0 && guard < 50) {
+    val maxRounds = 64 // far above log²(n) for any 64-bit id space
+    while (changed > 0 && guard < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // true symmetric difference — a strict subset (edges collapsing
       // into the star forest) must still count as change
@@ -73,6 +74,9 @@ object StarComponents {
       edges = next
       guard += 1
     }
+    // silent truncation would return WRONG components — fail loudly
+    require(changed == 0,
+      s"star components did not converge within $maxRounds rounds")
 
     // star forest: every edge points at its component root (the min id)
     val rootOf = bothWays(edges).groupBy("u").agg(min(col("v")).as("root"))

@@ -50,6 +50,14 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // language-ID heuristic vs the fixture's labeled lang
+    // classifier evaluation: confusion matrix of the langid heuristic
+    // against the fixture's ground-truth label — the quality-measurement
+    // loop every heuristic filter needs
+    "q_text_langid_eval" -> ((s, d) =>
+      docs(s, d).select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
     "q_text_langid" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"), col("lang"),
@@ -563,6 +571,27 @@ object TextQueries {
     """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
             ELSE string_split_regex(trim(lower(text)), '\s+') END"""
 
+  /** Shared langid CTE chain + prediction expression (q_text_langid and
+    * q_text_langid_eval must agree verbatim). */
+  private lazy val sqlLangidCtes =
+    s"""WITH t AS (
+          SELECT doc_id, lang, text, $sqlToks AS toks FROM documents),
+        s AS (
+          SELECT doc_id, lang, text,
+                 ${sqlLangScore(Seq("the", "a", "of", "and", "to", "in", "is"))} AS s_en,
+                 ${sqlLangScore(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))} AS s_de,
+                 ${sqlLangScore(Seq("el", "los", "las", "es", "un", "una", "y"))} AS s_es,
+                 ${sqlLangScore(Seq("le", "la", "les", "et", "est", "une", "dans"))} AS s_fr
+          FROM t)"""
+
+  private val sqlLangPred =
+    """CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+            WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END"""
+
   val oracleSql: Map[String, String] = Map(
     "q_text_tokens" ->
       """SELECT doc_id,
@@ -592,23 +621,17 @@ object TextQueries {
          FROM t ORDER BY doc_id""",
 
     "q_text_langid" ->
-      s"""WITH t AS (
-            SELECT doc_id, lang, text, $sqlToks AS toks FROM documents),
-          s AS (
-            SELECT doc_id, lang, text,
-                   ${sqlLangScore(Seq("the", "a", "of", "and", "to", "in", "is"))} AS s_en,
-                   ${sqlLangScore(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))} AS s_de,
-                   ${sqlLangScore(Seq("el", "los", "las", "es", "un", "una", "y"))} AS s_es,
-                   ${sqlLangScore(Seq("le", "la", "les", "et", "est", "une", "dans"))} AS s_fr
-            FROM t)
-          SELECT doc_id, lang,
-                 CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
-                      WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-                      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
-                      WHEN s_fr > 0 THEN 'fr'
-                      ELSE 'und' END AS lang_pred
+      s"""$sqlLangidCtes
+          SELECT doc_id, lang, $sqlLangPred AS lang_pred
           FROM s ORDER BY doc_id""",
+
+    // confusion matrix of the langid heuristic against the fixture's
+    // ground-truth label — same prediction CTEs as q_text_langid
+    "q_text_langid_eval" ->
+      s"""$sqlLangidCtes,
+          p AS (SELECT lang, $sqlLangPred AS lang_pred FROM s)
+          SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""",
 
     "q_text_redact" ->
       """SELECT doc_id,

@@ -29,6 +29,39 @@ class VersionedSpec extends SparkSpec {
     intercept[IllegalArgumentException](Versioned.readVersion(spark, root, 0))
   }
 
+  test("idempotent commits: replayed batch ids are no-ops (exactly-once sink)") {
+    val root = JFiles.createTempDirectory("graft_versioned").toString + "/t"
+    assert(Versioned.commitIdempotent(spark, root, Seq(1L).toDF("k"), 0L))
+    assert(Versioned.commitIdempotent(spark, root, Seq(2L).toDF("k"), 1L))
+    // crash re-delivery of batch 1: must not double-commit or move the pointer
+    assert(!Versioned.commitIdempotent(spark, root, Seq(99L).toDF("k"), 1L))
+    assert(Versioned.latestVersion(spark, root).contains(1L))
+    assert(Versioned.read(spark, root).as[Long].head() == 2L)
+    // a gap is a bug in the caller, not silently accepted
+    intercept[IllegalArgumentException](
+      Versioned.commitIdempotent(spark, root, Seq(3L).toDF("k"), 5L))
+  }
+
+  test("streaming drive: foreachBatch + commitIdempotent survives replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = JFiles.createTempDirectory("graft_versioned").toString + "/t"
+    val mem = MemoryStream[Long](spark)
+    def run(ckpt: String): Unit =
+      mem.toDF().toDF("k").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Versioned.commitIdempotent(spark, root, b, id); () }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    val ckpt = JFiles.createTempDirectory("graft_versioned_ckpt").toString
+    mem.addData(1L, 2L); run(ckpt)
+    mem.addData(3L); run(ckpt)
+    assert(Versioned.latestVersion(spark, root).contains(1L))
+    assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq == Seq(3L))
+    assert(Versioned.readVersion(spark, root, 0)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("reading an empty table and bad retention fail loudly") {
     val root = JFiles.createTempDirectory("graft_versioned").toString + "/t"
     intercept[IllegalStateException](Versioned.read(spark, root))
