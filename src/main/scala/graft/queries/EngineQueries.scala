@@ -652,6 +652,21 @@ object EngineQueries {
         .orderBy("o_custkey")
     }),
 
+    // month-over-month revenue trend: lag over the MONTHLY pre-aggregate
+    // (bounded cardinality — the one place a global-order window is the
+    // right plan: ~dozens of rows after the aggregate, not raw data)
+    "q_eng_monthly_trend" -> ((s, d) => {
+      val w = Window.orderBy("month")
+      Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM")
+          .as("month"))
+        .agg(moneySum(col("o_totalprice")).as("rev"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .withColumn("delta", col("rev") - col("prev_rev"))
+        .orderBy("month")
+    }),
+
     // TPC-H Q10-style returned-items ranking: who cost us the most in
     // returns — lineitem(R) joins orders on the fact keys while customer
     // and nation broadcast; one revenue aggregate, top-20 via
@@ -1142,6 +1157,17 @@ object EngineQueries {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+
+    "q_eng_monthly_trend" ->
+      s"""WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   ${sqlMoneySum("o_totalprice")} AS rev,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1)
+          SELECT month, rev, n_orders,
+                 lag(rev, 1) OVER (ORDER BY month) AS prev_rev,
+                 rev - lag(rev, 1) OVER (ORDER BY month) AS delta
+          FROM m ORDER BY month""",
 
     "q_eng_returned_top" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -222,6 +222,27 @@ object ParityQueries {
         .orderBy("split")
     }),
 
+    // proportional-allocation stratified sampling: per-stratum quota =
+    // floor(k·n_s/N) (min 1), selection in content-hash order — the
+    // allocation policy between uniform-k (R5) and weighted (A-ES);
+    // quotas broadcast, one rank window per stratum
+    "q_sample_strat_proportional" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("stratum"), col("event_id"))
+      val total = ev.count()
+      val quotas = ev.groupBy("stratum").agg(count(lit(1)).as("ns"))
+        .withColumn("quota",
+          greatest(lit(1L), floor(col("ns") * 300.0 / total.toDouble)))
+        .select("stratum", "quota")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      ev.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), "stratum")
+        .where(col("rn") <= col("quota"))
+        .select("stratum", "rn", "event_id")
+        .orderBy("stratum", "rn")
+    }),
+
     // systematic (every k-th) sampling over a distributed global rank —
     // the interval sampler on sorted data, without a single-partition
     // window (StableIds: range partition + per-partition offsets)
@@ -360,6 +381,22 @@ object ParityQueries {
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
                 CAST(count(*) AS BIGINT) AS n_rows
          FROM b GROUP BY 1 ORDER BY split""",
+
+    "q_sample_strat_proportional" ->
+      """WITH ev AS (SELECT event_type AS stratum, event_id FROM events),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ev),
+         q AS (SELECT stratum,
+                      greatest(1, CAST(floor(count(*) * 300.0 / t.total) AS BIGINT))
+                        AS quota
+               FROM ev, t GROUP BY stratum, t.total),
+         r AS (SELECT stratum, event_id,
+                      CAST(row_number() OVER (PARTITION BY stratum
+                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                        AS BIGINT) AS rn
+               FROM ev)
+         SELECT r.stratum, rn, event_id
+         FROM r JOIN q ON q.stratum = r.stratum
+         WHERE rn <= quota ORDER BY r.stratum, rn""",
 
     "q_sample_systematic" ->
       """SELECT event_id, CAST(rn AS BIGINT) AS rk FROM (
