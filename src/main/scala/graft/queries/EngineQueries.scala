@@ -709,7 +709,92 @@ object EngineQueries {
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price"), col("n_items")),
           "metric", "value")
-        .orderBy("l_returnflag", "metric"))
+        .orderBy("l_returnflag", "metric")),
+
+    // interval-concurrency sweep line: peak open (ordered-not-yet-shipped)
+    // line items. Each [o_orderdate, l_shipdate] interval contributes +1
+    // at order and -1 the day after ship; one groupBy collapses 2·N
+    // deltas to the distinct-day table (tiny at any corpus scale), and a
+    // single cumulative window over it produces the concurrency profile.
+    // The unpartitioned window is safe by construction — its input is
+    // days, not rows. Concurrency only changes on event days, so the
+    // top-k is attained there.
+    "q_eng_concurrency" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("placed")),
+          col("l_orderkey") === col("o_orderkey"))
+      val deltas = li.select(col("placed").as("day"), lit(1L).as("delta"))
+        .unionByName(
+          li.select(date_add(col("ship"), 1).as("day"), lit(-1L).as("delta")))
+        .groupBy("day").agg(sum(col("delta")).as("d"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("in_transit", sum(col("d")).over(w))
+        .select(col("day").cast("string").as("day"), col("in_transit"))
+        .orderBy(col("in_transit").desc, col("day"))
+        .limit(10)
+    }),
+
+    // exact triangle count over the co-order part graph (parts appearing
+    // in the same order are linked): degree-ordered orientation bounds
+    // the wedge join at O(m^{3/2}) regardless of hub skew — the naive
+    // all-pairs oracle proves the oriented count is exact
+    "q_eng_triangles" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.as("a")
+        .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pu"), col("b.p").as("pv"))
+      graft.operators.Graph.triangleCount(edges, "pu", "pv")
+    }),
+
+    // exact distinct via 32-bit bitmap words: users bucket by id div 32,
+    // one bit_or per (segment, bucket) builds a reusable bitmap table —
+    // set algebra (the click∩purchase intersection) then runs on bitmaps
+    // without rescanning raw events. The oracle computes the same counts
+    // via naive COUNT(DISTINCT)/INTERSECT, proving the bitmap algebra
+    // exact. Two partial-aggregable shuffles; words, not ids, cross the
+    // second one.
+    "q_eng_bitmap_distinct" -> ((s, d) => {
+      val words = Tables.events(s, d)
+        .select(col("event_type"),
+          call_function("div", col("user_id"), lit(32L)).as("bucket"),
+          (col("user_id") % 32).cast("int").as("bit"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("word"))
+      val perType = words.groupBy(col("event_type").as("segment"))
+        .agg(sum(expr("bit_count(word)")).cast("long").as("n_users"))
+      val inter = words.where(col("event_type") === "click")
+        .select(col("bucket"), col("word").as("wa"))
+        .join(words.where(col("event_type") === "purchase")
+          .select(col("bucket"), col("word").as("wb")), "bucket")
+        .agg(coalesce(sum(expr("bit_count(wa & wb)")), lit(0)).cast("long")
+          .as("n_users"))
+        .select(lit("click_and_purchase").as("segment"), col("n_users"))
+      perType.unionByName(inter).orderBy("segment")
+    }),
+
+    // mode per group in one pass: counts, then min(struct(-n, value))
+    // picks highest count with smallest-value ties — no rank window, two
+    // partial-aggregable shuffles; share_pm is the mode's exact
+    // integer permille of the group
+    "q_eng_mode" -> ((s, d) => {
+      val cnts = Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      cnts.groupBy(col("bucket"))
+        .agg(min(struct((-col("n")).as("neg"), col("event_type").as("m")))
+          .as("s"), sum(col("n")).as("total"))
+        .select(col("bucket"), col("s.m").as("mode_value"),
+          (-col("s.neg")).as("n"),
+          call_function("div", -col("s.neg") * 1000, col("total"))
+            .as("share_pm"))
+        .orderBy("bucket")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1203,6 +1288,68 @@ object EngineQueries {
             SELECT l_returnflag, 'sum_price', sum_price FROM a
             UNION ALL
             SELECT l_returnflag, 'n_items', n_items FROM a)
-          ORDER BY l_returnflag, metric"""
+          ORDER BY l_returnflag, metric""",
+
+    "q_eng_concurrency" ->
+      """WITH iv AS (
+           SELECT CAST(o_orderdate AS DATE) AS placed,
+                  CAST(l_shipdate AS DATE) AS ship
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         de AS (
+           SELECT placed AS day, 1 AS delta FROM iv
+           UNION ALL
+           SELECT ship + 1, -1 FROM iv),
+         daily AS (SELECT day, CAST(sum(delta) AS BIGINT) AS d
+                   FROM de GROUP BY 1)
+         SELECT CAST(day AS VARCHAR) AS day,
+                CAST(sum(d) OVER (ORDER BY day) AS BIGINT) AS in_transit
+         FROM daily ORDER BY in_transit DESC, day LIMIT 10""",
+
+    // naive all-pairs enumeration: e1=(a,b), e2=(a,c) with b<c closes on
+    // e3=(b,c) — independent of the Spark side's degree-ordered
+    // orientation, so equality proves the oriented count exact
+    "q_eng_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+         SELECT (SELECT CAST(count(DISTINCT n) AS BIGINT)
+                 FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e))
+                  AS n_nodes,
+                (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM e e1
+                 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""",
+
+    // naive COUNT(DISTINCT) + INTERSECT — independent of the Spark
+    // side's bitmap-word algebra
+    "q_eng_bitmap_distinct" ->
+      """SELECT * FROM (
+           SELECT event_type AS segment,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events GROUP BY 1
+           UNION ALL
+           SELECT 'click_and_purchase',
+                  CAST(count(*) AS BIGINT)
+           FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT user_id FROM events WHERE event_type = 'purchase'))
+         ORDER BY segment""",
+
+    "q_eng_mode" ->
+      """WITH c AS (SELECT user_id % 10 AS bucket, event_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+         t AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS total
+               FROM c GROUP BY 1),
+         r AS (SELECT bucket, event_type, n,
+                      row_number() OVER (PARTITION BY bucket
+                                         ORDER BY n DESC, event_type) AS rk
+               FROM c)
+         SELECT r.bucket, r.event_type AS mode_value, r.n,
+                r.n * 1000 // t.total AS share_pm
+         FROM r JOIN t USING (bucket)
+         WHERE rk = 1 ORDER BY r.bucket"""
   )
 }
