@@ -199,6 +199,34 @@ object DedupQueries {
         .select(col("cluster_id"), col("n_docs"),
           col("mx.doc_id").as("keep_id"), col("mx.n_chars").as("keep_chars"))
         .orderBy("cluster_id")
+    }),
+
+    // estimator quality audit: MinHash's Jaccard estimate (matching
+    // signature components / K) against the exact shingle-set Jaccard for
+    // every LSH candidate pair, both as exact integer ppm — the error
+    // column quantifies what K=8 signatures buy, over the same candidate
+    // generation the dedup path uses (no extra shuffles beyond it)
+    "q_dedup_minhash_est" -> ((s, d) => {
+      val sig = withSig(s, d)
+      val cand = Dedup.lshCandidates(sig, col("doc_id"), col("sig"), BANDS, R)
+      cand
+        .join(sig.select(col("doc_id").as("ida"), col("sig").as("sa"),
+          col("shingles").as("xa")), "ida")
+        .join(sig.select(col("doc_id").as("idb"), col("sig").as("sb"),
+          col("shingles").as("xb")), "idb")
+        .withColumn("inter", size(array_intersect(col("xa"), col("xb"))).cast("long"))
+        .withColumn("uni",
+          size(col("xa")).cast("long") + size(col("xb")).cast("long") - col("inter"))
+        .withColumn("sig_matches",
+          size(filter(sequence(lit(0), lit(K - 1)),
+            i => get(col("sa"), i) === get(col("sb"), i))).cast("long"))
+        .select(col("ida"), col("idb"),
+          call_function("div", col("sig_matches") * 1000000L, lit(K.toLong))
+            .as("est_ppm"),
+          call_function("div", col("inter") * 1000000L, col("uni"))
+            .as("exact_ppm"))
+        .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+        .orderBy("ida", "idb")
     })
   )
 
@@ -460,6 +488,36 @@ object DedupQueries {
                 FROM m)
          SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
                 vec_id AS keep_id, centrality_micro AS keep_centrality_micro
-         FROM rk WHERE rn = 1 ORDER BY cluster_id"""
+         FROM rk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // estimate-vs-exact in integer ppm over the identical candidate chain
+    "q_dedup_minhash_est" ->
+      s"""$shCte,
+          $sigCte,
+          bands AS (
+            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+            FROM sig, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          j AS (
+            SELECT ida, idb,
+                   CAST(len(list_filter(range(0, 8),
+                     i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS sig_matches,
+                   CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+                     AS inter,
+                   CAST(len(x.shingles) + len(y.shingles)
+                        - len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+                     AS uni
+            FROM cand
+            JOIN sig sa ON sa.doc_id = ida JOIN sig sb ON sb.doc_id = idb
+            JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)
+          SELECT ida, idb,
+                 sig_matches * 1000000 // 8 AS est_ppm,
+                 inter * 1000000 // uni AS exact_ppm,
+                 abs(sig_matches * 1000000 // 8 - inter * 1000000 // uni)
+                   AS err_ppm
+          FROM j ORDER BY ida, idb"""
   )
 }

@@ -794,6 +794,55 @@ object EngineQueries {
           call_function("div", -col("s.neg") * 1000, col("total"))
             .as("share_pm"))
         .orderBy("bucket")
+    }),
+
+    // exact distributed second moments: per-group (n, Σx, Σy, Σx², Σxy,
+    // Σy²) over integer-domain columns, plus the exact covariance
+    // numerator n·Σxy − Σx·Σy. All components are mergeable partial
+    // aggregates — one map-side-combined shuffle — and a coordinator (or
+    // BI layer) derives Pearson r without a second data pass. Discount
+    // enters as exact permille (its values are 2-decimal, so ·1000+0.5
+    // never sits at a floor boundary); all sums stay in BIGINT range
+    // through sf100 per group
+    "q_eng_corr_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"),
+          floor(col("l_discount") * 1000 + lit(0.5)).cast("long").as("dp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sum_q"), sum(col("dp")).as("sum_d"),
+          sum(col("q") * col("q")).as("sum_qq"),
+          sum(col("q") * col("dp")).as("sum_qd"),
+          sum(col("dp") * col("dp")).as("sum_dd"))
+        .withColumn("cov_num",
+          col("n") * col("sum_qd") - col("sum_q") * col("sum_d"))
+        .orderBy("l_returnflag")),
+
+    // incremental aggregate maintenance: the monthly rollup is kept
+    // current by aggregating ONLY the delta partition (1998+) and
+    // merging it with the pre-aggregated history — count and
+    // DECIMAL(18,6) revenue are associative, so merge ≡ recompute
+    // bitwise, which the full-recompute oracle proves. At 100 TB the
+    // base aggregate is a materialized table; the daily job scans just
+    // the new partition
+    "q_eng_incr_agg" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+      def agg(df: DataFrame): DataFrame = df
+        .groupBy(date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM")
+          .as("month"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_dec"))
+      val cut = to_date(lit("1998-01-01"))
+      val base  = agg(ords.where(to_date(col("o_orderdate")) < cut))
+      val delta = agg(ords.where(to_date(col("o_orderdate")) >= cut))
+      base.unionByName(delta)
+        .groupBy(col("month"), col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev_dec")).as("rev2"))
+        .select(col("month"), col("o_orderpriority"), col("n_orders"),
+          col("rev2").cast("double").as("rev"))
+        .orderBy("month", "o_orderpriority")
     })
   )
 
@@ -1350,6 +1399,29 @@ object EngineQueries {
          SELECT r.bucket, r.event_type AS mode_value, r.n,
                 r.n * 1000 // t.total AS share_pm
          FROM r JOIN t USING (bucket)
-         WHERE rk = 1 ORDER BY r.bucket"""
+         WHERE rk = 1 ORDER BY r.bucket""",
+
+    "q_eng_corr_stats" ->
+      """WITH t AS (SELECT l_returnflag,
+                           CAST(l_quantity AS BIGINT) AS q,
+                           CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS dp
+                    FROM lineitem),
+         a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(q) AS BIGINT) AS sum_q,
+                      CAST(sum(dp) AS BIGINT) AS sum_d,
+                      CAST(sum(q * q) AS BIGINT) AS sum_qq,
+                      CAST(sum(q * dp) AS BIGINT) AS sum_qd,
+                      CAST(sum(dp * dp) AS BIGINT) AS sum_dd
+               FROM t GROUP BY 1)
+         SELECT l_returnflag, n, sum_q, sum_d, sum_qq, sum_qd, sum_dd,
+                n * sum_qd - sum_q * sum_d AS cov_num
+         FROM a ORDER BY l_returnflag""",
+
+    // full recompute — proves base⊕delta merge is lossless
+    "q_eng_incr_agg" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 ${sqlMoneySum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority"""
   )
 }
