@@ -213,6 +213,27 @@ object Multimodal {
       .select(col("media_id"), bits.reduce(_ + _).as("phash"))
   }
 
+  /** Per-image exposure audit from the decoded pixel grid: counts of
+    * pixels below `lo` (shadows) and at/above `hi` (highlights), the
+    * dynamic range (max − min), and a quality flag — `under`/`over` when
+    * at least half the pixels clip, else `ok`. Pure integral Column
+    * algebra over the decoded bytes; the kind of filter a multimodal
+    * curation funnel applies before expensive feature extraction. */
+  def exposure(media: DataFrame, lo: Int, hi: Int): DataFrame = {
+    def px(i: Int) =
+      conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+    val pixels = (0 until 16).map(px)
+    val nDark = pixels.map(p => when(p < lo, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val nBright = pixels.map(p => when(p >= hi, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    media.where(col("meta.media_type") === "image")
+      .select(col("media_id"), nDark.as("n_dark"), nBright.as("n_bright"),
+        (greatest(pixels: _*) - least(pixels: _*)).as("dyn_range"))
+      .withColumn("exposure",
+        when(col("n_dark") >= 8, lit("under"))
+          .when(col("n_bright") >= 8, lit("over"))
+          .otherwise(lit("ok")))
+  }
+
   /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxHamming`,
     * candidates via 4-bit nibble banding: ≤ 3 corrupted bits hit ≤ 3 of
     * the 4 nibbles, leaving ≥ 1 intact — full recall for Hamming ≤ 3 by

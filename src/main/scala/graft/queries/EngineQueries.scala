@@ -843,6 +843,42 @@ object EngineQueries {
         .select(col("month"), col("o_orderpriority"), col("n_orders"),
           col("rev2").cast("double").as("rev"))
         .orderBy("month", "o_orderpriority")
+    }),
+
+    // first-order Markov chain over user event streams: lead() pairs each
+    // event with its successor inside the user partition (one shuffle on
+    // user), then transition counts and exact integer permille
+    // probabilities — the classic session-behavior model, no state kept
+    // on the driver
+    "q_eng_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("src").agg(sum("n").as("total"))
+      tr.join(broadcast(tot), "src")
+        .select(col("src"), col("dst"), col("n"),
+          call_function("div", col("n") * 1000, col("total")).as("prob_pm"))
+        .orderBy("src", "dst")
+    }),
+
+    // Pareto skyline of 1995 orders (maximize revenue, minimize line
+    // count): grid-pruned two-stage skyline — the bucket prefilter is a
+    // broadcast map-only pass; only O(skyline) survivors reach the exact
+    // window. Oracle is the independent NOT EXISTS dominance test.
+    "q_eng_skyline" -> ((s, d) => {
+      val pts = Tables.orders(s, d)
+        .where(year(to_date(col("o_orderdate"))) === 1995)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("n_items"))
+      graft.operators.Skyline.skyline2D(pts, "o_totalprice", "n_items", 10000.0)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     })
   )
 
@@ -1422,6 +1458,38 @@ object EngineQueries {
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
                  CAST(count(*) AS BIGINT) AS n_orders,
                  ${sqlMoneySum("o_totalprice")} AS rev
-          FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority"""
+          FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority""",
+
+    // ns→us CAST mirrors Spark's micro-truncated event timestamps so the
+    // (ts, event_id) successor order is identical in both engines
+    "q_eng_markov" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(ts AS TIMESTAMP) AS us
+                    FROM events),
+         p AS (SELECT event_type AS src,
+                      lead(event_type, 1) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id) AS dst
+               FROM e),
+         tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT src, CAST(sum(n) AS BIGINT) AS total
+               FROM tr GROUP BY 1)
+         SELECT tr.src, tr.dst, tr.n, tr.n * 1000 // t.total AS prob_pm
+         FROM tr JOIN t USING (src) ORDER BY tr.src, tr.dst""",
+
+    "q_eng_skyline" ->
+      """WITH p AS (
+           SELECT o_orderkey, o_totalprice, CAST(count(*) AS BIGINT) AS n_items
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE year(CAST(o_orderdate AS DATE)) = 1995
+           GROUP BY 1, 2)
+         SELECT o_orderkey, o_totalprice, n_items
+         FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b
+           WHERE b.o_totalprice >= a.o_totalprice
+             AND b.n_items <= a.n_items
+             AND (b.o_totalprice > a.o_totalprice OR b.n_items < a.n_items))
+         ORDER BY o_totalprice DESC, o_orderkey"""
   )
 }

@@ -83,7 +83,14 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_images"),
           min("ratio_centi").as("min_ratio_centi"),
           max("ratio_centi").as("max_ratio_centi"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // exposure audit: clip counts + dynamic range per image, curation
+    // flag when ≥ half the pixels clip — metadata-cheap pre-filter ahead
+    // of feature extraction
+    "q_mm_exposure" -> ((s, d) =>
+      Multimodal.exposure(media(s, d), lo = 64, hi = 192)
+        .orderBy("media_id"))
   )
 
   /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
@@ -269,6 +276,26 @@ object MultimodalQueries {
                  CAST(count(*) AS BIGINT) AS n_images,
                  CAST(min(ratio_centi) AS BIGINT) AS min_ratio_centi,
                  CAST(max(ratio_centi) AS BIGINT) AS max_ratio_centi
-          FROM r GROUP BY 1 ORDER BY bucket"""
+          FROM r GROUP BY 1 ORDER BY bucket""",
+
+    "q_mm_exposure" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          e AS (
+            SELECT media_id,
+                   CAST(len(list_filter(bytes, x -> x < 64)) AS BIGINT) AS n_dark,
+                   CAST(len(list_filter(bytes, x -> x >= 192)) AS BIGINT) AS n_bright,
+                   CAST(list_aggregate(bytes, 'max')
+                        - list_aggregate(bytes, 'min') AS BIGINT) AS dyn_range
+            FROM b)
+          SELECT media_id, n_dark, n_bright, dyn_range,
+                 CASE WHEN n_dark >= 8 THEN 'under'
+                      WHEN n_bright >= 8 THEN 'over'
+                      ELSE 'ok' END AS exposure
+          FROM e ORDER BY media_id"""
   )
 }

@@ -253,6 +253,29 @@ object ParityQueries {
       ranked.where(col("rk") % 20 === 0)
         .select(col("event_id"), col("rk"))
         .orderBy("event_id")
+    }),
+
+    // poissonized bootstrap: each row draws its replicate count from
+    // Poisson(1) via the inverse CDF on an md5-derived uniform — a pure
+    // map (no resampling shuffle), so at 100 TB a bootstrap replicate is
+    // a per-row weight, not a data copy. Integer ppm thresholds keep the
+    // draw exact across engines; the output audits the draw distribution
+    // (should be ≈ Poisson(1)) with the exact per-count event mass
+    "q_sample_bootstrap" -> ((s, d) => {
+      // P(X<=k) for Poisson(1), in ppm: k = #thresholds at or below u
+      val cdfPpm = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+        999405L, 999916L)
+      val u = conv(substring(md5(concat(lit("bs:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L
+      val k = cdfPpm.map(t => when(u >= t, lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"), k.as("n_replicates"))
+        .groupBy("n_replicates")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("n_replicates")
     })
   )
 
@@ -402,6 +425,26 @@ object ParityQueries {
       """SELECT event_id, CAST(rn AS BIGINT) AS rk FROM (
            SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rn
            FROM events)
-         WHERE rn % 20 = 0 ORDER BY event_id"""
+         WHERE rn % 20 = 0 ORDER BY event_id""",
+
+    "q_sample_bootstrap" ->
+      """WITH u AS (
+           SELECT event_id, value,
+                  CAST('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000 AS u
+           FROM events),
+         k AS (SELECT value,
+                      CASE WHEN u >= 367879 THEN 1 ELSE 0 END
+                    + CASE WHEN u >= 735758 THEN 1 ELSE 0 END
+                    + CASE WHEN u >= 919698 THEN 1 ELSE 0 END
+                    + CASE WHEN u >= 981011 THEN 1 ELSE 0 END
+                    + CASE WHEN u >= 996340 THEN 1 ELSE 0 END
+                    + CASE WHEN u >= 999405 THEN 1 ELSE 0 END
+                    + CASE WHEN u >= 999916 THEN 1 ELSE 0 END AS n_replicates
+               FROM u)
+         SELECT CAST(n_replicates AS BIGINT) AS n_replicates,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM k GROUP BY 1 ORDER BY n_replicates"""
   )
 }
