@@ -879,6 +879,91 @@ object EngineQueries {
         .select(col("o_orderkey"), col("o_totalprice"), col("n_items"))
       graft.operators.Skyline.skyline2D(pts, "o_totalprice", "n_items", 10000.0)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // TPC-H Q15-style top supplier(s) for 1996Q1. Revenue stays in exact
+    // decimal through the max comparison (ties kept, engine-independent);
+    // the max window runs on the supplier-cardinality aggregate — tiny at
+    // any corpus scale — and doubles appear only at output
+    "q_eng_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .where(to_date(col("l_shipdate")) >= to_date(lit("1996-01-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("rev_dec"))
+      rev.withColumn("mx", max(col("rev_dec")).over(Window.partitionBy()))
+        .where(col("rev_dec") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q14-style promo revenue share: one conditional aggregate over
+    // the month, part type from a broadcast dimension; the share is an
+    // exact integer-ppm formula on the micro-unit decimal sums (the /1000
+    // rescale keeps every product in BIGINT range at any SF)
+    "q_eng_promo_share" -> ((s, d) => {
+      val disc = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")
+      Tables.lineitem(s, d)
+        .where(to_date(col("l_shipdate")) >= to_date(lit("1995-09-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1995-10-01")))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), disc)
+            .otherwise(lit(0).cast("decimal(18,6)"))).as("promo_dec"),
+          sum(disc).as("total_dec"))
+        .select(
+          col("promo_dec").cast("double").as("promo_rev"),
+          col("total_dec").cast("double").as("total_rev"),
+          call_function("div",
+            (col("promo_dec") * 1000000).cast("long") * 1000L,
+            call_function("div", (col("total_dec") * 1000000).cast("long"),
+              lit(1000L))).as("share_ppm"))
+    }),
+
+    // TPC-H Q18-style large-volume orders: HAVING on the per-order
+    // quantity aggregate (partial-agg shuffle on orderkey, already the
+    // fact table's join key), then the order/customer decoration
+    "q_eng_large_orders" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty_dec"))
+        .where(col("qty_dec") >= 250)
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("qty_dec").cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))),
+
+    // TPC-H Q22-style idle rich customers: scalar-subquery threshold
+    // (broadcast single row), anti-join against orders, nation rollup.
+    // The average is one double division on the exact decimal sum —
+    // identical expression tree in the oracle
+    "q_eng_idle_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      val avgBal = cust.agg(
+        (sum(col("c_acctbal").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy("n_name")
     })
   )
 
@@ -1490,6 +1575,66 @@ object EngineQueries {
            WHERE b.o_totalprice >= a.o_totalprice
              AND b.n_items <= a.n_items
              AND (b.o_totalprice > a.o_totalprice OR b.n_items < a.n_items))
-         ORDER BY o_totalprice DESC, o_orderkey"""
+         ORDER BY o_totalprice DESC, o_orderkey""",
+
+    "q_eng_top_supplier" ->
+      """WITH r AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS rev_dec
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+           GROUP BY 1),
+         m AS (SELECT max(rev_dec) AS mx FROM r)
+         SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+         FROM r JOIN supplier ON l_suppkey = s_suppkey, m
+         WHERE rev_dec = m.mx ORDER BY s_suppkey""",
+
+    "q_eng_promo_share" ->
+      """WITH a AS (
+           SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo_dec,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS total_dec
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1995-10-01')
+         SELECT CAST(promo_dec AS DOUBLE) AS promo_rev,
+                CAST(total_dec AS DOUBLE) AS total_rev,
+                (CAST(promo_dec * 1000000 AS BIGINT) * 1000)
+                  // (CAST(total_dec * 1000000 AS BIGINT) // 1000) AS share_ppm
+         FROM a""",
+
+    "q_eng_large_orders" ->
+      """WITH q AS (
+           SELECT l_orderkey,
+                  sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) >= 250)
+         SELECT c_name, o_orderkey, o_totalprice,
+                CAST(qty_dec AS DOUBLE) AS total_qty
+         FROM q JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey""",
+
+    "q_eng_idle_customers" ->
+      """WITH a AS (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) AS avg_bal
+           FROM customer),
+         idle AS (
+           SELECT c.c_nationkey, c.c_acctbal
+           FROM customer c, a
+           WHERE c.c_acctbal > a.avg_bal
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey))
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                  AS total_bal
+         FROM idle JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY n_name"""
   )
 }

@@ -49,6 +49,25 @@ object TextQueries {
         qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Flesch-style readability in exact integer micros: sentence count
+    // from terminator runs, whitespace words, vowel-group syllable proxy,
+    // then 206.835 − 1.015·(w/s) − 84.6·(syll/w) with each ratio as a
+    // defined integer division (guarded at 1) — a map-only curation
+    // signal, bitwise across engines
+    "q_text_readability" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        sentenceCount(col("text")).cast("long").as("n_sents"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        vowelGroupCount(col("text")).cast("long").as("n_syll"))
+        .withColumn("flesch_micro",
+          lit(206835000L)
+            - call_function("div", lit(1015000L) * col("n_words"),
+              greatest(lit(1L), col("n_sents")))
+            - call_function("div", lit(84600000L) * col("n_syll"),
+              greatest(lit(1L), col("n_words"))))
+        .orderBy("doc_id")),
+
     // language-ID heuristic vs the fixture's labeled lang
     // classifier evaluation: confusion matrix of the langid heuristic
     // against the fixture's ground-truth label — the quality-measurement
@@ -601,6 +620,23 @@ object TextQueries {
                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS n_bpe_tokens,
                 length(text) AS len_chars
          FROM documents ORDER BY doc_id""",
+
+    "q_text_readability" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                       s -> length(trim(s)) > 0)) AS BIGINT) AS n_sents,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syll
+           FROM documents)
+         SELECT doc_id, n_sents, n_words, n_syll,
+                206835000 - (1015000 * n_words) // greatest(1, n_sents)
+                          - (84600000 * n_syll) // greatest(1, n_words)
+                  AS flesch_micro
+         FROM f ORDER BY doc_id""",
 
     "q_text_quality" ->
       """WITH t AS (

@@ -41,6 +41,16 @@ object TextFunctions {
   /** Count of BPE-ish pre-tokens — the standard proxy for LLM token cost. */
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
+  /** Sentence count: non-blank segments between terminator runs. */
+  def sentenceCount(text: Column): Column =
+    size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0))
+
+  /** Syllable proxy: vowel-group runs (the standard cheap estimator —
+    * whitespace never splits a vowel group, so counting over the whole
+    * text equals the per-word sum). */
+  def vowelGroupCount(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiouy]+"))
+
   // ------------------------------------------------------ quality scoring
 
   /** English stopwords used for the stopword-ratio quality signal. */
