@@ -944,10 +944,10 @@ object EngineQueries {
           col("qty_dec").cast("double").as("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))),
 
-    // TPC-H Q22-style idle rich customers: scalar-subquery threshold
-    // (broadcast single row), anti-join against orders, nation rollup.
-    // The average is one double division on the exact decimal sum —
-    // identical expression tree in the oracle
+    // TPC-H Q22-style dormant rich customers: scalar-subquery threshold
+    // (broadcast single row), anti-join against recent (1998) orders,
+    // nation rollup. The average is one double division on the exact
+    // decimal sum — identical expression tree in the oracle
     "q_eng_idle_customers" -> ((s, d) => {
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
@@ -956,7 +956,9 @@ object EngineQueries {
           count(lit(1))).as("avg_bal"))
       cust.crossJoin(broadcast(avgBal))
         .where(col("c_acctbal") > col("avg_bal"))
-        .join(Tables.orders(s, d).select(col("o_custkey")),
+        .join(Tables.orders(s, d)
+          .where(year(to_date(col("o_orderdate"))) === 1998)
+          .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(Tables.nation(s, d)
           .select(col("n_nationkey"), col("n_name"))),
@@ -1630,7 +1632,8 @@ object EngineQueries {
            FROM customer c, a
            WHERE c.c_acctbal > a.avg_bal
              AND NOT EXISTS (SELECT 1 FROM orders o
-                             WHERE o.o_custkey = c.c_custkey))
+                             WHERE o.o_custkey = c.c_custkey
+                               AND year(CAST(o.o_orderdate AS DATE)) = 1998))
          SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
                   AS total_bal
