@@ -276,6 +276,38 @@ object ParityQueries {
           sum(col("value").cast("decimal(18,6)")).cast("double")
             .as("sum_value"))
         .orderBy("n_replicates")
+    }),
+
+    // variance-weighted stratified allocation: per-stratum exact integer
+    // variance numerator n·Σx² − (Σx)² from one mergeable moment pass
+    // (value quantized to exact centi), allocation of k=300 proportional
+    // to n-normalized variance with largest-remainder rounding — all
+    // integer, the allocation table is strata-sized (broadcastable at
+    // any corpus scale)
+    "q_sample_var_alloc" -> ((s, d) => {
+      val st = Tables.events(s, d)
+        .select(col("event_type").as("stratum"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("x"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("w", call_function("div",
+          col("n") * col("sxx") - col("sx") * col("sx"), col("n")))
+      val alloc = st
+        .crossJoin(broadcast(st.agg(sum(col("w")).as("tw"))))
+        .withColumn("base", call_function("div", col("w") * 300L, col("tw")))
+        .withColumn("rem", (col("w") * 300L) % col("tw"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("stratum"))
+      alloc
+        .withColumn("rk", row_number().over(wd).cast("long"))
+        .crossJoin(broadcast(
+          alloc.agg((lit(300L) - sum(col("base"))).as("leftover"))))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= col("leftover"), lit(1L))
+            .otherwise(lit(0L)))
+        .select(col("stratum"), col("n"), col("w"), col("alloc"))
+        .orderBy("stratum")
     })
   )
 
@@ -445,6 +477,26 @@ object ParityQueries {
          SELECT CAST(n_replicates AS BIGINT) AS n_replicates,
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         FROM k GROUP BY 1 ORDER BY n_replicates"""
+         FROM k GROUP BY 1 ORDER BY n_replicates""",
+
+    "q_sample_var_alloc" ->
+      """WITH e AS (SELECT event_type AS stratum,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                    FROM events),
+         st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM e GROUP BY 1),
+         v AS (SELECT stratum, n, (n * sxx - sx * sx) // n AS w FROM st),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
+         a AS (SELECT stratum, n, w, (w * 300) // t.tw AS base,
+                      (w * 300) % t.tw AS rem
+               FROM v, t),
+         l AS (SELECT CAST(300 - sum(base) AS BIGINT) AS leftover FROM a),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+               FROM a)
+         SELECT stratum, n, w,
+                base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS alloc
+         FROM r, l ORDER BY stratum"""
   )
 }

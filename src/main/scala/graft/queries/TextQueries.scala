@@ -437,6 +437,48 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // RAKE keyword extraction: stopword runs delimit candidate phrases
+    // (island ids from one per-doc prefix-sum window over the token
+    // stream), word degree/frequency stats aggregate globally, and each
+    // phrase scores the sum of its members' exact milli deg/freq ratios.
+    // Everything is exploded-token joins + aggregations — no per-doc
+    // driver logic — and the only windows are per-doc position scans
+    "q_text_rake" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), posexplode(tokens(normalized(col("text")))))
+        .withColumnRenamed("col", "w")
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val marked = toks
+        .withColumn("is_stop",
+          col("w").isInCollection(Stopwords).cast("int"))
+        .withColumn("island", sum(col("is_stop")).over(wDoc))
+      val pw = marked.where(col("is_stop") === 0)
+        .select(col("doc_id"), col("island"), col("pos"), col("w"))
+      val phrases = pw
+        .groupBy(col("doc_id"), col("island"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("a"))
+        .select(col("doc_id"), col("island"),
+          transform(col("a"), x => x.getField("w")).as("ws"))
+        .withColumn("phrase", array_join(col("ws"), " "))
+        .withColumn("plen", size(col("ws")).cast("long"))
+      val stats = phrases.select(explode(col("ws")).as("w"), col("plen"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("score_milli",
+          call_function("div", col("deg") * 1000L, col("freq")))
+      phrases
+        .select(col("doc_id"), col("island"), col("phrase"), col("plen"),
+          explode(col("ws")).as("w"))
+        .join(stats.select(col("w"), col("score_milli")), "w")
+        .groupBy(col("doc_id"), col("island"), col("phrase"), col("plen"))
+        .agg(sum(col("score_milli")).as("pscore"))
+        .groupBy(col("phrase"))
+        .agg(min(col("plen")).as("n_words"), min(col("pscore")).as("score_milli"),
+          count(lit(1)).as("n_occ"))
+        .orderBy(col("score_milli").desc, col("phrase"))
+        .limit(20)
+    }),
+
     // corpus document frequency: tokens by number of documents containing
     // them, top 20 (deterministic tiebreak on the token)
     "q_text_docfreq" -> ((s, d) => {
@@ -637,6 +679,52 @@ object TextQueries {
                           - (84600000 * n_syll) // greatest(1, n_words)
                   AS flesch_micro
          FROM f ORDER BY doc_id""",
+
+    // positional unnest (unnest + generate_subscripts expand in lockstep)
+    // mirrors posexplode; the island window and the deg/freq stats follow
+    // the Spark plan exactly
+    "q_text_rake" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+           FROM documents),
+         t AS (SELECT doc_id,
+                      CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+                           ELSE string_split_regex(nt, '\s+') END AS toks
+               FROM n),
+         x AS (SELECT doc_id, unnest(toks) AS w,
+                      generate_subscripts(toks, 1) - 1 AS pos
+               FROM t),
+         m AS (SELECT doc_id, w, pos,
+                      CASE WHEN list_contains(
+                             ['the','a','an','and','or','of','to','in','is','it'], w)
+                           THEN 1 ELSE 0 END AS is_stop
+               FROM x),
+         i AS (SELECT doc_id, w, pos, is_stop,
+                      sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS island
+               FROM m),
+         pw AS (SELECT doc_id, island, pos, w FROM i WHERE is_stop = 0),
+         ph AS (SELECT doc_id, island,
+                       string_agg(w, ' ' ORDER BY pos) AS phrase,
+                       CAST(count(*) AS BIGINT) AS plen
+                FROM pw GROUP BY 1, 2),
+         mem AS (SELECT pw.w, ph.plen, pw.doc_id, pw.island, ph.phrase
+                 FROM pw JOIN ph USING (doc_id, island)),
+         st AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(plen) AS BIGINT) AS deg
+                FROM mem GROUP BY 1),
+         sc AS (SELECT w, deg * 1000 // freq AS score_milli FROM st),
+         ps AS (SELECT mem.doc_id, mem.island, mem.phrase, mem.plen,
+                       CAST(sum(sc.score_milli) AS BIGINT) AS pscore
+                FROM mem JOIN sc USING (w)
+                GROUP BY 1, 2, 3, 4),
+         agg AS (SELECT phrase, CAST(min(plen) AS BIGINT) AS n_words,
+                        CAST(min(pscore) AS BIGINT) AS score_milli,
+                        CAST(count(*) AS BIGINT) AS n_occ
+                 FROM ps GROUP BY 1)
+         SELECT phrase, n_words, score_milli, n_occ
+         FROM agg ORDER BY score_milli DESC, phrase LIMIT 20""",
 
     "q_text_quality" ->
       """WITH t AS (
