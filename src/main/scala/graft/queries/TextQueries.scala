@@ -353,6 +353,22 @@ object TextQueries {
         .orderBy(col("true_cnt").desc, col("tok"))
     }),
 
+    // exact heavy hitters over token bigrams via mergeable Misra–Gries +
+    // candidate recount (operators/HeavyHitters): bounded O(capacity)
+    // state per task in pass 1, broadcast-semi-join recount in pass 2 —
+    // output provably identical to the oracle's plain groupBy + HAVING
+    // (capacity >= k recall guarantee). Bigrams derive map-side from the
+    // token array (zip_with over two slices — no positional self-join)
+    "q_text_heavy_hitters" -> ((s, d) => {
+      val toks = tokens(lower(col("text")))
+      val bigrams = docs(s, d).select(
+        explode(when(size(toks) >= 2,
+            zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+              (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      graft.operators.HeavyHitters.exact(bigrams, col("bg"), k = 900, capacity = 1024)
+    }),
+
     // tokenizer-vocabulary coverage: per doc, the fraction of tokens
     // outside the corpus top-100 vocabulary (OOV rate) — the coverage
     // audit run when sizing a vocabulary. The vocab is tiny and
@@ -1117,6 +1133,21 @@ object TextQueries {
          SELECT truth.tok, true_cnt, est
          FROM truth JOIN e USING (tok)
          ORDER BY true_cnt DESC, tok""",
+
+    "q_text_heavy_hitters" ->
+      """WITH t AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS v
+           FROM t),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+         SELECT v, CAST(count(*) AS BIGINT) AS cnt
+         FROM b GROUP BY 1
+         HAVING count(*) * 900 > (SELECT n_total FROM n)
+         ORDER BY cnt DESC, v""",
 
     "q_text_oov_rate" ->
       """WITH t AS (
