@@ -87,6 +87,38 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(tri)
   }
 
+  /** Fixed-round k-core peeling over a canonical edge set: each round
+    * drops every node whose current degree is < k (with all its edges),
+    * the iterative step of k-core decomposition. Exact k-core needs
+    * peel-to-fixpoint; a bounded round count is the distributed variant
+    * one actually schedules — each round either strictly shrinks the
+    * graph or has converged, and `rounds` is typically small because the
+    * cascade length is bounded by the degeneracy ordering depth. Returns
+    * the surviving nodes with their residual degree.
+    *
+    * Per round: one degree aggregation (shuffle on node) + two semi
+    * joins of the edge table against the node-sized keep set (AQE
+    * broadcasts it while it fits). The unrolled lineage is fine for
+    * small `rounds`; at cluster scale checkpoint the edge table every
+    * few rounds, as with any iterative graph job. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    var e = edges
+    for (_ <- 0 until rounds) {
+      val keep = e
+        .select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select("n")
+      e = e
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "leftsemi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "leftsemi")
+    }
+    e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+  }
+
   /** Convenience one-shot count over a raw (possibly messy) edge list —
     * duplicates, reversed orientations, and self-loops normalize away.
     * For repeated/benchmarked use, persist the intermediate stages (see

@@ -763,6 +763,26 @@ object EngineQueries {
       graft.operators.Graph.countOriented(dir, e)
     }),
 
+    // k-core peeling on the part co-purchase graph: 3 rounds of
+    // drop-degree-below-80, reusing the suite-cached canonical edge
+    // table. Per round one degree shuffle + two semi joins against the
+    // node-sized keep set; the oracle unrolls the same 3 rounds as CTEs,
+    // so equality proves every peel round bit-exact
+    "q_eng_kcore" -> ((s, d) => {
+      val e = QueryCaches.memo(s, d, "tri_edges") {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = op.as("a")
+          .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("pu"), col("b.p").as("pv"))
+        graft.operators.Graph.canonicalEdges(edges, "pu", "pv")
+      }
+      graft.operators.Graph.kCorePeel(e, k = 80, rounds = 3)
+        .select(col("n").as("node"), col("deg"))
+        .orderBy("node")
+    }),
+
     // exact distinct via 32-bit bitmap words: users bucket by id div 32,
     // one bit_or per (segment, bucket) builds a reusable bitmap table —
     // set algebra (the click∩purchase intersection) then runs on bitmaps
@@ -1504,6 +1524,27 @@ object EngineQueries {
                  FROM e e1
                  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""",
+
+    "q_eng_kcore" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+         k1 AS (SELECT n FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+                GROUP BY n HAVING count(*) >= 80),
+         e1 AS (SELECT * FROM e0
+                WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+         k2 AS (SELECT n FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+                GROUP BY n HAVING count(*) >= 80),
+         e2 AS (SELECT * FROM e1
+                WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+         k3 AS (SELECT n FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+                GROUP BY n HAVING count(*) >= 80),
+         e3 AS (SELECT * FROM e2
+                WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3))
+         SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+         GROUP BY 1 ORDER BY 1""",
 
     // naive COUNT(DISTINCT) + INTERSECT — independent of the Spark
     // side's bitmap-word algebra
