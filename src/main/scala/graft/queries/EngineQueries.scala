@@ -78,6 +78,83 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // TPC-H Q4 shape: priority histogram of orders with at least one
+    // long-latency line. The EXISTS decorrelates to a LEFT SEMI join
+    // whose condition carries the cross-table date predicate — the fact
+    // table is touched once, no count-then-filter detour
+    "q_eng_order_priority" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q17 shape: revenue from small-quantity lines of one brand,
+    // threshold = half the part's average quantity. The correlated scalar
+    // subquery decorrelates into a window average over the SAME
+    // l_partkey shuffle the filter runs on — one exchange, no agg+rejoin
+    // of the fact table. Exact decimal accumulation makes the avg (and so
+    // the comparison) bit-stable across engines
+    "q_eng_small_qty_revenue" -> ((s, d) => {
+      val pw = Window.partitionBy("l_partkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(
+            Tables.part(s, d).where(col("p_brand") === "Brand#11")
+              .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty",
+          sum(col("l_quantity").cast("decimal(18,6)")).over(pw).cast("double") /
+            count(lit(1)).over(pw))
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          (moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs over part attributes ×
+    // line quantities. The brand/size legs push into the broadcast part
+    // scan; the quantity bounds (the union of the three legs) push to
+    // the lineitem scan — the OR does not force a full-scan join
+    "q_eng_disjunctive" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))),
+
+    // TPC-H Q21 shape: suppliers whose returned line is the ONLY return
+    // in a multi-supplier order. The classic double EXISTS / NOT EXISTS
+    // collapses into per-order aggregates (n_supp, n_return_supp) joined
+    // back to the returned lines — two scans of lineitem, no correlated
+    // anti-join cascade; the oracle keeps the textbook EXISTS form, so
+    // equality proves the rewrite
+    "q_eng_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perOrder = li.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_r_supp"))
+      li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder, "l_orderkey")
+        .where(col("n_supp") >= 2 && col("n_r_supp") === 1)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // TPC-H Q3-style shipping priority: urgent orders placed before the
     // cutoff with lines still unshipped at the cutoff, top-10 by pending
     // revenue — a 2-way fact join (orders filter pushed to its scan) + one
@@ -1027,6 +1104,55 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    // textbook correlated EXISTS — independent of the Spark semi join
+    "q_eng_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_eng_small_qty_revenue" ->
+      """WITH b AS (
+           SELECT l_partkey, l_quantity, l_extendedprice,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                         OVER (PARTITION BY l_partkey) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#11')
+         SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                  AS avg_yearly
+         FROM b WHERE l_quantity < 0.5 * avg_qty""",
+
+    "q_eng_disjunctive" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                 ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    // textbook double EXISTS / NOT EXISTS — proves the Spark side's
+    // per-order aggregate rewrite
+    "q_eng_waiting_supplier" ->
+      """WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                    WHERE l_returnflag = 'R'),
+         a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM r JOIN supplier ON r.l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM a
+                       WHERE a.l_orderkey = r.l_orderkey
+                         AND a.l_suppkey <> r.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM r r2
+                           WHERE r2.l_orderkey = r.l_orderkey
+                             AND r2.l_suppkey <> r.l_suppkey)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
 
     "q_eng_sql_correlated" ->
       """SELECT c_custkey, c_name,
