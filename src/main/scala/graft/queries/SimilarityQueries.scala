@@ -81,6 +81,35 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // reciprocal-rank fusion of the lexical (BM25) and vector (cosine)
+    // retrieval lists for the same query set — the standard hybrid-search
+    // merge. Ranks fuse as exact integer micro-units
+    // (10⁶ DIV (60 + rank)), so the fused ordering is engine-independent;
+    // a doc on only one list contributes 0 from the other (full outer
+    // join). Both inputs are per-query top-5 tables — tiny — so the
+    // fusion itself is a few-hundred-row join re-ranked by one window
+    "q_sim_rrf_fusion" -> ((s, d) => {
+      val docsT = Tables.documents(s, d)
+      val lex = graft.text.Bm25.topK(docsT, col("doc_id"), col("text"),
+          docsT.where(col("doc_id") < QuerySetMax), col("doc_id"), col("text"),
+          k = 5, maxDfPermille = 300)
+        .select(col("qid"), col("nid"), col("rank").as("r_lex"))
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") < QuerySetMax), emb, 5)
+        .select(col("qid"), col("nid"), col("rank").as("r_vec"))
+      val fused = lex.join(vec, Seq("qid", "nid"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_micro").desc, col("nid"))
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select("qid", "nid", "rank", "rrf_micro")
+        .orderBy("qid", "rank")
+    }),
+
     // ANN variant: per-query top-3 restricted to sign-LSH band candidates —
     // the 100 TB path (bucket equi-join instead of full scan per query)
     "q_sim_ann_topk" -> ((s, d) => {
@@ -331,6 +360,38 @@ object SimilarityQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM scored)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // lexical rank CTE shared verbatim with q_text_bm25 (TextQueries),
+    // vector rank CTE shared with q_sim_topk_brute — the fusion oracle
+    // can only drift if one of those does
+    "q_sim_rrf_fusion" ->
+      s"""WITH ${TextQueries.bm25RankCte},
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id
+            WHERE x.vec_id < $QuerySetMax),
+          vecr AS (
+            SELECT qid, nid,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, nid) AS BIGINT) AS rank
+            FROM scored),
+          lex AS (SELECT qid, nid, rank AS r_lex FROM lexr WHERE rank <= 5),
+          vec AS (SELECT qid, nid, rank AS r_vec FROM vecr WHERE rank <= 5),
+          f AS (
+            SELECT coalesce(lex.qid, vec.qid) AS qid,
+                   coalesce(lex.nid, vec.nid) AS nid,
+                   coalesce(1000000 // (60 + r_lex), 0)
+                     + coalesce(1000000 // (60 + r_vec), 0) AS rrf_micro
+            FROM lex FULL OUTER JOIN vec
+              ON lex.qid = vec.qid AND lex.nid = vec.nid),
+          rr AS (
+            SELECT qid, nid, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY rrf_micro DESC, nid) AS BIGINT) AS rank
+            FROM f)
+          SELECT qid, nid, rank, rrf_micro FROM rr WHERE rank <= 5
+          ORDER BY qid, rank""",
 
     "q_sim_ann_topk" ->
       s"""WITH $lshCandCte,

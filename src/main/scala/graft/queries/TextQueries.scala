@@ -30,6 +30,52 @@ object TextQueries {
         posexplode(tokens(lower(col("text")))).as(Seq("pos", "tok")))
     }
 
+  /** Shared BM25 oracle CTE body (through `lexr`, the per-query rank
+    * table): bitwise mirror of [[graft.text.Bm25.topK]] with k1=2.2,
+    * b=0.75 as exact integer rationals and the audited idf ln site —
+    * consumed by q_text_bm25 and the RRF fusion oracle in
+    * [[SimilarityQueries]], so the two stay in lockstep by construction. */
+  private[queries] val bm25RankCte: String =
+    """t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         p AS (
+           SELECT nid, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS nid, CAST(len(toks) AS BIGINT) AS dl,
+                    unnest(toks) AS tok
+             FROM t)
+           GROUP BY 1, 2, 3),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sumdl
+                FROM t),
+         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         dfi AS (SELECT tok, df,
+                        CAST(floor(ln((st.n - df + 0.5) / (df + 0.5) + 1.0)
+                               * 1000000.0 + 0.5) AS BIGINT) AS idf_micro,
+                        st.n, st.sumdl
+                 FROM dft, st),
+         q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS tok
+               FROM t WHERE doc_id < 10),
+         qd AS (SELECT q.qid, dfi.tok, dfi.idf_micro, dfi.n, dfi.sumdl
+                FROM q JOIN dfi USING (tok)
+                WHERE dfi.df * 1000 <= dfi.n * 300),
+         sc AS (
+           SELECT qd.qid, p.nid,
+                  (2 * qd.idf_micro * (44 * p.tf * qd.sumdl)
+                   + (20 * p.tf * qd.sumdl + 6 * qd.sumdl + 18 * p.dl * qd.n))
+                  // (2 * (20 * p.tf * qd.sumdl + 6 * qd.sumdl + 18 * p.dl * qd.n))
+                    AS sm
+           FROM p JOIN qd USING (tok)
+           WHERE p.nid != qd.qid),
+         ag AS (SELECT qid, nid, CAST(sum(sm) AS BIGINT) AS score_micro
+                FROM sc GROUP BY 1, 2),
+         lexr AS (SELECT qid, nid, score_micro,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY score_micro DESC, nid) AS BIGINT) AS rank
+               FROM ag)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // whitespace + BPE-ish token counting
     "q_text_tokens" -> ((s, d) =>
@@ -1006,46 +1052,8 @@ object TextQueries {
          FROM b LEFT JOIN top USING (doc_id) ORDER BY b.doc_id""",
 
     "q_text_bm25" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
-           FROM documents),
-         p AS (
-           SELECT nid, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM (
-             SELECT doc_id AS nid, CAST(len(toks) AS BIGINT) AS dl,
-                    unnest(toks) AS tok
-             FROM t)
-           GROUP BY 1, 2, 3),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sumdl
-                FROM t),
-         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
-         dfi AS (SELECT tok, df,
-                        CAST(floor(ln((st.n - df + 0.5) / (df + 0.5) + 1.0)
-                               * 1000000.0 + 0.5) AS BIGINT) AS idf_micro,
-                        st.n, st.sumdl
-                 FROM dft, st),
-         q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS tok
-               FROM t WHERE doc_id < 10),
-         qd AS (SELECT q.qid, dfi.tok, dfi.idf_micro, dfi.n, dfi.sumdl
-                FROM q JOIN dfi USING (tok)
-                WHERE dfi.df * 1000 <= dfi.n * 300),
-         sc AS (
-           SELECT qd.qid, p.nid,
-                  (2 * qd.idf_micro * (44 * p.tf * qd.sumdl)
-                   + (20 * p.tf * qd.sumdl + 6 * qd.sumdl + 18 * p.dl * qd.n))
-                  // (2 * (20 * p.tf * qd.sumdl + 6 * qd.sumdl + 18 * p.dl * qd.n))
-                    AS sm
-           FROM p JOIN qd USING (tok)
-           WHERE p.nid != qd.qid),
-         ag AS (SELECT qid, nid, CAST(sum(sm) AS BIGINT) AS score_micro
-                FROM sc GROUP BY 1, 2),
-         r AS (SELECT qid, nid, score_micro,
-                      CAST(row_number() OVER (PARTITION BY qid
-                        ORDER BY score_micro DESC, nid) AS BIGINT) AS rank
-               FROM ag)
-         SELECT qid, nid, rank, score_micro FROM r WHERE rank <= 5
+      s"""WITH $bm25RankCte
+         SELECT qid, nid, rank, score_micro FROM lexr WHERE rank <= 5
          ORDER BY qid, rank""",
 
     "q_text_ngram_lm" ->
