@@ -78,6 +78,36 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // per-group OLS regression (order value vs order date) from exact
+    // moment sums: integer x/x² sums, DECIMAL-exact y/xy sums, and the
+    // closed-form slope/intercept evaluated as one fixed double
+    // expression over the exact components — bit-stable across engines
+    // with no quantization. One partial-aggregable shuffle; the moments
+    // pattern is the distributed featurization primitive (same shape as
+    // corr/variance)
+    "q_eng_group_ols" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("x"),
+        col("o_totalprice").as("y"))
+      o.groupBy(col("grp")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,6)")).cast("double").as("sxy"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .select("grp", "n", "slope", "intercept")
+        .orderBy("grp")
+    }),
+
     // TPC-H Q4 shape: priority histogram of orders with at least one
     // long-latency line. The EXISTS decorrelates to a LEFT SEMI join
     // whose condition carries the cross-table date predicate — the fact
@@ -1104,6 +1134,30 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_group_ols" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS grp,
+                  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS BIGINT) AS x,
+                  o_totalprice AS y
+           FROM orders),
+         m AS (
+           SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+           FROM o GROUP BY 1),
+         s AS (
+           SELECT grp, n, sx, sy,
+                  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+           FROM m)
+         SELECT grp, n, slope,
+                (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+         FROM s ORDER BY grp""",
 
     // textbook correlated EXISTS — independent of the Spark semi join
     "q_eng_order_priority" ->

@@ -228,6 +228,30 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // content-defined chunking: a token ends a chunk when its md5-derived
+    // hash ≡ 0 (mod 16) — boundaries depend only on content, so an
+    // insertion resynchronizes within one expected chunk (the property
+    // fixed-size chunking lacks, and why CDC is the dedup granularity for
+    // drifting corpora). Expected chunk length = 16 tokens. Chunk ids are
+    // an exclusive running boundary count per doc (window over the
+    // doc_id shuffle — parallel across docs); chunks emit count + md5 so
+    // the oracle verifies exact assembled content
+    "q_text_cdc_chunks" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      postings(s, d)
+        .withColumn("b",
+          (pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+            lit(16L)) === 0).cast("long"))
+        .withColumn("chunk_id", coalesce(sum(col("b")).over(w), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // chunk-level dedup: fingerprint every training chunk and keep the
     // lowest (doc, idx) occurrence per duplicate group — the dedup
     // granularity that actually matters for an LLM mix (boilerplate
@@ -944,6 +968,28 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_cdc_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) - 1 AS pos
+               FROM t),
+         f AS (SELECT doc_id, pos, tok,
+                      CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 16 = 0
+                           THEN 1 ELSE 0 END AS b
+               FROM x),
+         c AS (SELECT doc_id, pos, tok,
+                      CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS chunk_id
+               FROM f)
+         SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
 
     "q_text_chunk_dedup" ->
       """WITH t AS (
