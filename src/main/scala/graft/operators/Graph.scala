@@ -98,9 +98,12 @@ object Graph {
     *
     * Per round: one degree aggregation (shuffle on node) + two semi
     * joins of the edge table against the node-sized keep set (AQE
-    * broadcasts it while it fits). The unrolled lineage is fine for
-    * small `rounds`; at cluster scale checkpoint the edge table every
-    * few rounds, as with any iterative graph job. */
+    * broadcasts it while it fits). Each round's edge table is
+    * localCheckpoint'ed — the degree pass and the next round consume a
+    * materialization, not a re-execution of every prior round's join
+    * chain (unrolled lineage made the work quadratic in `rounds`; the
+    * cluster-scale analogue is checkpointing between iterations, as in
+    * [[StarComponents]]). */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
@@ -114,6 +117,7 @@ object Graph {
       e = e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "leftsemi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "leftsemi")
+        .localCheckpoint()
     }
     e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
