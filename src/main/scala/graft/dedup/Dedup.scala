@@ -174,6 +174,50 @@ object Dedup {
       .select("ida", "idb", "shared", "jac")
   }
 
+  /** Near-subset pairs by CONTAINMENT of the smaller shingle set in the
+    * larger: C = |A∩B| / min(|A|,|B|). Jaccard misses partial copies —
+    * a paragraph quoted inside a 100× longer document scores
+    * jac ≈ |quote|/|doc| but containment ≈ 1 — and containment is the
+    * signal for quote/boilerplate/subset leakage in an LLM corpus.
+    *
+    * Same scale discipline as [[ngramJaccardPairs]]: df-capped inverted
+    * index for candidates (a pair must share ≥1 rare shingle — the
+    * documented recall contract, identical in the oracle), then a
+    * lossless upper-bound prune before the exact intersect:
+    * shared ≤ ks + min(na−ka, nb−kb) and C = s/min(na,nb) is monotone
+    * in s, so no qualifying pair is dropped. */
+  def containmentPairs(docs: DataFrame, idCol: Column, hashesCol: Column,
+                       minContainment: Double, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val kept = ex.join(hot, Seq("h"), "left_anti")
+    val sizes = base.select(col("id"), size(col("hs")).as("n"))
+    val keptSizes = kept.groupBy(col("id")).agg(count(lit(1)).as("kn"))
+    val stats = sizes.join(keptSizes, "id")
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("ks"))
+    val pruned = cand
+      .join(stats.select(col("id").as("ida"), col("n").as("na"), col("kn").as("ka")), "ida")
+      .join(stats.select(col("id").as("idb"), col("n").as("nb"), col("kn").as("kb")), "idb")
+      .withColumn("ub", col("ks") + least(col("na") - col("ka"), col("nb") - col("kb")))
+      .where(col("ub").cast("double") >=
+        lit(minContainment) * least(col("na"), col("nb")).cast("double"))
+      .select("ida", "idb")
+    pruned
+      .join(base.select(col("id").as("ida"), col("hs").as("ha")), "ida")
+      .join(base.select(col("id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("cont", col("shared").cast("double") /
+        least(size(col("ha")), size(col("hb"))).cast("double"))
+      .where(col("cont") >= minContainment)
+      .select("ida", "idb", "shared", "cont")
+  }
+
   // ------------------------------------------------- duplicate clusters
 
   /** Connected components over a near-duplicate PAIR graph: every document

@@ -106,6 +106,20 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
+    // near-subset pairs: containment of the smaller shingle set —
+    // jaccard misses a paragraph quoted inside a much longer doc;
+    // containment ≈ 1 flags it. Shares the cached hash arrays and the
+    // df-capped candidate index with the jaccard path
+    "q_dedup_containment" -> ((s, d) => {
+      val sh = QueryCaches.memo(s, d, "dedup_hashes") {
+        withSig(s, d)
+          .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
+      }
+      Dedup.containmentPairs(sh, col("doc_id"), col("hs"),
+          minContainment = 0.9, maxDf = MaxDf)
+        .orderBy("ida", "idb")
+    }),
+
     // SimHash signatures (per-bit majority vote over shingle hashes)
     "q_dedup_simhash_sig" -> ((s, d) =>
       simhashSig(s, d)
@@ -350,6 +364,28 @@ object DedupQueries {
             FROM cand JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
           SELECT ida, idb, shared, jac FROM j
           WHERE jac >= 0.8 ORDER BY ida, idb""",
+
+    "q_dedup_containment" ->
+      s"""$shCte,
+          hsh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                     s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
+            FROM sh),
+          ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 8),
+          kx AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM kx a JOIN kx b ON a.h = b.h AND a.doc_id < b.doc_id),
+          c AS (
+            SELECT ida, idb,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS shared,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                     / CAST(least(len(x.hs), len(y.hs)) AS DOUBLE) AS cont
+            FROM cand JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
+          SELECT ida, idb, shared, cont FROM c
+          WHERE cont >= 0.9 ORDER BY ida, idb""",
 
     "q_dedup_incremental" ->
       s"""$shCte,

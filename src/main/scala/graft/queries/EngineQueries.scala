@@ -78,6 +78,53 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // key-skew diagnostic: the profile a pipeline runs BEFORE choosing a
+    // partitioning/salting strategy. Per-key counts reduce the data to a
+    // keys-sized table; everything after (max share, top-10 share, exact
+    // integer-ppm Gini via the rank formula G = (2·Σi·cᵢ − (n+1)·S)/(n·S)
+    // over counts ranked ascending) runs on that table — the
+    // unpartitioned windows are safe by construction (cardinality =
+    // distinct keys, not rows)
+    "q_eng_skew_report" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val asc = Window.orderBy(col("cnt").asc, col("o_custkey").asc)
+      val desc = Window.orderBy(col("cnt").desc, col("o_custkey").asc)
+      counts
+        .withColumn("i", row_number().over(asc).cast("long"))
+        .withColumn("r", row_number().over(desc).cast("long"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("max_cnt"),
+          sum(when(col("r") <= 10, col("cnt")).otherwise(lit(0L))).as("top10"),
+          sum(col("i") * col("cnt")).as("sic"))
+        .select(
+          col("n_keys"), col("total"), col("max_cnt"),
+          expr("top10 * 1000000 DIV total").as("top10_share_ppm"),
+          expr("(2 * sic - (n_keys + 1) * total) * 1000000 DIV (n_keys * total)")
+            .as("gini_ppm"))
+    }),
+
+    // Horvitz–Thompson total estimation from a deterministic hash
+    // sample: include a row iff its md5 16-bit bucket < 6554, an EXACT
+    // inclusion probability of 6554/65536 by construction (no modulo
+    // bias, no RNG state) — so the estimator Σy/p is unbiased and, being
+    // hash-driven, reproducible on any partitioning/retry. The full-scan
+    // truth rides along as the audit column; the sample-only estimate is
+    // what a 100 TB pipeline would compute
+    "q_eng_ht_estimate" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumn("b",
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      o.agg(
+          count(when(col("b") < 6554, 1)).as("n_sampled"),
+          (sum(when(col("b") < 6554, col("o_totalprice"))
+            .cast("decimal(18,6)")).cast("double") *
+            (lit(65536.0) / lit(6554.0))).as("ht_total"),
+          moneySum(col("o_totalprice")).as("true_total"))
+    }),
+
     // per-group OLS regression (order value vs order date) from exact
     // moment sums: integer x/x² sums, DECIMAL-exact y/xy sums, and the
     // closed-form slope/intercept evaluated as one fixed double
@@ -1134,6 +1181,42 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_skew_report" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+                    FROM orders GROUP BY 1),
+         r AS (SELECT cnt, o_custkey,
+                      CAST(row_number() OVER (ORDER BY cnt ASC, o_custkey ASC)
+                        AS BIGINT) AS i,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey ASC)
+                        AS BIGINT) AS r
+               FROM c),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(cnt) AS BIGINT) AS total,
+                      CAST(max(cnt) AS BIGINT) AS max_cnt,
+                      CAST(sum(CASE WHEN r <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+                        AS top10,
+                      CAST(sum(i * cnt) AS BIGINT) AS sic
+               FROM r)
+         SELECT n_keys, total, max_cnt,
+                CAST(top10 * 1000000 // total AS BIGINT) AS top10_share_ppm,
+                CAST((2 * sic - (n_keys + 1) * total) * 1000000
+                     // (n_keys * total) AS BIGINT) AS gini_ppm
+         FROM a""",
+
+    "q_eng_ht_estimate" ->
+      """WITH o AS (
+           SELECT o_totalprice,
+                  CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                    AS BIGINT) AS b
+           FROM orders)
+         SELECT CAST(count(CASE WHEN b < 6554 THEN 1 END) AS BIGINT) AS n_sampled,
+                CAST(sum(CASE WHEN b < 6554
+                              THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
+                  AS DOUBLE) * (65536.0 / 6554.0) AS ht_total,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS true_total
+         FROM o""",
 
     "q_eng_group_ols" ->
       """WITH o AS (
