@@ -4,7 +4,7 @@ import graft.Tables
 import graft.similarity.Similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Driver-verifiable queries for the similarity-search extension
   * (graft.similarity.Similarity) over `embeddings`.
@@ -79,6 +79,64 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(
         emb.where(col("vec_id") < QuerySetMax), emb, 5)
         .orderBy("qid", "rank")
+    }),
+
+    // MMR diversified re-rank: greedy maximal-marginal-relevance over
+    // each query's brute-force top-10 — score = λ·cos − (1−λ)·max sim to
+    // the already-selected set (λ = 0.5), 3 unrolled selection steps
+    // (each: one rank window on the tiny per-query candidate table).
+    // The pairwise candidate sims are ≤ 10×10 per query, computed with
+    // the same bitwise cosine kernel, so every score is an identical
+    // IEEE tree in both engines — the oracle unrolls the same 3 steps
+    "q_sim_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cand = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") < QuerySetMax), emb, 10)
+        .select(col("qid"), col("nid"), col("cos"))
+      val v = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vv"))
+        .withColumn("nn", Similarity.l2norm(col("vv")))
+      val sims = cand.select(col("qid"), col("nid").as("na"))
+        .join(cand.select(col("qid"), col("nid").as("nb")), "qid")
+        .where(col("na") =!= col("nb"))
+        .join(v.select(col("vec_id").as("na"), col("vv").as("va"),
+          col("nn").as("norma")), "na")
+        .join(v.select(col("vec_id").as("nb"), col("vv").as("vb"),
+          col("nn").as("normb")), "nb")
+        .withColumn("sim",
+          Similarity.dot(col("va"), col("vb")) / (col("norma") * col("normb")))
+        .select("qid", "na", "nb", "sim")
+      def top1(df: DataFrame, score: Column): DataFrame =
+        df.withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(score.desc, col("nid"))))
+          .where(col("rk") === 1)
+      val s1 = top1(cand, col("cos"))
+        .select(col("qid"), col("nid").as("s1"),
+          (lit(0.5) * col("cos")).as("score1"))
+      val st2 = cand.join(s1, "qid").where(col("nid") =!= col("s1"))
+        .join(sims.select(col("qid"), col("na").as("nid"),
+          col("nb").as("s1"), col("sim").as("sim1")), Seq("qid", "nid", "s1"))
+        .withColumn("score", lit(0.5) * col("cos") - lit(0.5) * col("sim1"))
+      val s2 = top1(st2, col("score"))
+        .select(col("qid"), col("nid").as("s2"), col("score").as("score2"))
+      val st3 = cand.join(s1.select("qid", "s1"), "qid")
+        .join(s2.select(col("qid"), col("s2")), "qid")
+        .where(col("nid") =!= col("s1") && col("nid") =!= col("s2"))
+        .join(sims.select(col("qid"), col("na").as("nid"),
+          col("nb").as("s1"), col("sim").as("sim1")), Seq("qid", "nid", "s1"))
+        .join(sims.select(col("qid"), col("na").as("nid"),
+          col("nb").as("s2"), col("sim").as("sim2")), Seq("qid", "nid", "s2"))
+        .withColumn("score",
+          lit(0.5) * col("cos") - lit(0.5) * greatest(col("sim1"), col("sim2")))
+      val s3 = top1(st3, col("score"))
+        .select(col("qid"), col("nid").as("s3"), col("score").as("score3"))
+      s1.select(col("qid"), lit(1L).as("pick"), col("s1").as("nid"),
+          col("score1").as("score"))
+        .unionByName(s2.select(col("qid"), lit(2L).as("pick"),
+          col("s2").as("nid"), col("score2").as("score")))
+        .unionByName(s3.select(col("qid"), lit(3L).as("pick"),
+          col("s3").as("nid"), col("score3").as("score")))
+        .orderBy("qid", "pick")
     }),
 
     // reciprocal-rank fusion of the lexical (BM25) and vector (cosine)
@@ -360,6 +418,57 @@ object SimilarityQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM scored)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q_sim_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id
+            WHERE x.vec_id < $QuerySetMax),
+          cand AS (
+            SELECT qid, nid, cos FROM (
+              SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, nid) AS rk
+              FROM scored) WHERE rk <= 10),
+          sims AS (
+            SELECT c1.qid, c1.nid AS na, c2.nid AS nb, $cosSql AS sim
+            FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.nid != c2.nid
+            JOIN e x ON x.vec_id = c1.nid JOIN e y ON y.vec_id = c2.nid),
+          s1 AS (
+            SELECT qid, nid AS s1, 0.5 * cos AS score1 FROM (
+              SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, nid) AS rk FROM cand) WHERE rk = 1),
+          st2 AS (
+            SELECT cand.qid, cand.nid, 0.5 * cand.cos - 0.5 * sims.sim AS score
+            FROM cand JOIN s1 ON cand.qid = s1.qid AND cand.nid != s1.s1
+            JOIN sims ON sims.qid = cand.qid AND sims.na = cand.nid
+                     AND sims.nb = s1.s1),
+          s2 AS (
+            SELECT qid, nid AS s2, score AS score2 FROM (
+              SELECT qid, nid, score, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, nid) AS rk FROM st2) WHERE rk = 1),
+          st3 AS (
+            SELECT cand.qid, cand.nid,
+                   0.5 * cand.cos - 0.5 * greatest(p1.sim, p2.sim) AS score
+            FROM cand
+            JOIN s1 ON cand.qid = s1.qid AND cand.nid != s1.s1
+            JOIN s2 ON cand.qid = s2.qid AND cand.nid != s2.s2
+            JOIN sims p1 ON p1.qid = cand.qid AND p1.na = cand.nid
+                        AND p1.nb = s1.s1
+            JOIN sims p2 ON p2.qid = cand.qid AND p2.na = cand.nid
+                        AND p2.nb = s2.s2),
+          s3 AS (
+            SELECT qid, nid AS s3, score AS score3 FROM (
+              SELECT qid, nid, score, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, nid) AS rk FROM st3) WHERE rk = 1)
+          SELECT qid, CAST(1 AS BIGINT) AS pick, s1 AS nid, score1 AS score
+          FROM s1
+          UNION ALL
+          SELECT qid, CAST(2 AS BIGINT), s2, score2 FROM s2
+          UNION ALL
+          SELECT qid, CAST(3 AS BIGINT), s3, score3 FROM s3
+          ORDER BY qid, pick""",
 
     // lexical rank CTE shared verbatim with q_text_bm25 (TextQueries),
     // vector rank CTE shared with q_sim_topk_brute — the fusion oracle
