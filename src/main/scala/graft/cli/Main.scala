@@ -49,10 +49,11 @@ object Main {
     case "diff" :: rest    => withSpark(s => diffCmd(s, parseFlags(rest)))
     case "prepare" :: rest => withSpark(s => prepare(s, parseFlags(rest)))
     case "manifest" :: rest => withSpark(s => manifestCmd(s, parseFlags(rest)))
+    case "ann" :: rest     => withSpark(s => annCmd(s, parseFlags(rest)))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
-          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare | manifest)")
+          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare | manifest | ann)")
   }
 
   // ------------------------------------------------------------ commands
@@ -175,6 +176,52 @@ object Main {
   /** `manifest --in DIR --key COL [--out PATH]`: per-file min/max/count
     * file-skipping index (Layout.manifest); prints row count, optionally
     * writes the manifest itself as parquet. */
+  /** `ann --in DIR --queries id,id,... [--topk K] [--mode brute|lsh]
+    * [--id-col C] [--vec-col C] [--seed S] [--bands B] [--width W]
+    * --out PATH`: top-k nearest neighbors for the named query ids over an
+    * embeddings table — `brute` is the exact baseline (broadcast query
+    * set × corpus scan), `lsh` the banded-candidates scale path. */
+  private def annCmd(spark: SparkSession, flags: Flags): Unit = {
+    import graft.similarity.Similarity
+    val df = spark.read.parquet(flags.req("in"))
+    val idCol = flags.get("id-col").getOrElse("vec_id")
+    val vecCol = flags.get("vec-col").getOrElse("embedding")
+    val unknown = Seq(idCol, vecCol).filterNot(df.columns.contains)
+    require(unknown.isEmpty, s"Unknown columns: ${unknown.mkString(", ")}")
+    val k = flags.get("topk").map(_.toInt).getOrElse(10)
+    require(k > 0, s"--topk must be positive, got $k")
+    val qids = flags.req("queries").split(',').map(_.trim.toLong).toSeq
+    require(qids.nonEmpty, "--queries must name at least one id")
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val res = flags.get("mode").getOrElse("brute") match {
+      case "brute" =>
+        Similarity.bruteForceTopK(base.where(col("vec_id").isin(qids: _*)), base, k)
+      case "lsh" =>
+        val pairs = Similarity.signLshPairs(base,
+          seed = flags.get("seed").map(_.toLong).getOrElse(42L),
+          bands = flags.get("bands").map(_.toInt).getOrElse(16),
+          width = flags.get("width").map(_.toInt).getOrElse(8),
+          maxBucket = 1024)
+        val directed = pairs
+          .select(col("va").as("qid"), col("vb").as("nid"), col("cos"))
+          .unionByName(pairs.select(col("vb").as("qid"), col("va").as("nid"),
+            col("cos")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        directed.where(col("qid").isin(qids: _*))
+          .withColumn("rank",
+            org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+          .select("qid", "nid", "rank", "cos")
+      case other => throw new IllegalArgumentException(
+        s"Unknown mode: $other (expected brute | lsh)")
+    }
+    val out = flags.req("out")
+    res.write.mode("overwrite").parquet(out)
+    println(s"ann: wrote $out")
+  }
+
   private def manifestCmd(spark: SparkSession, flags: Flags): Unit = {
     val m = graft.etl.Layout.manifest(spark, flags.req("in"), flags.req("key"))
     flags.get("out") match {

@@ -218,4 +218,31 @@ class MainSpec extends SparkSpec {
       "diff", "--prev", s"$dir/prev", "--next", s"$dir/next",
       "--key", "k", "--out", s"$dir/x")))
   }
+
+  test("ann: brute top-k through the CLI matches the library call; error contract") {
+    import org.apache.spark.sql.functions.col
+    val dir = JFiles.createTempDirectory("graft_ann_cli").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+    Main.main(Array("ann", "--in", "/root/testdata/sf0.001/embeddings.parquet",
+      "--queries", "0,1", "--topk", "3", "--out", s"$dir/out"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.columns.toSeq == Seq("qid", "nid", "rank", "cos"))
+    val expect = graft.similarity.Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 2), emb, 3)
+    assert(out.orderBy("qid", "rank").collect().toSeq ==
+      expect.orderBy("qid", "rank").collect().toSeq)
+    // lsh mode produces ranked rows for the same queries (subset recall)
+    Main.main(Array("ann", "--in", "/root/testdata/sf0.001/embeddings.parquet",
+      "--queries", "0,1", "--topk", "3", "--mode", "lsh", "--out", s"$dir/lsh"))
+    assert(spark.read.parquet(s"$dir/lsh").count() > 0)
+    intercept[IllegalArgumentException](Main.main(Array(
+      "ann", "--in", "/root/testdata/sf0.001/embeddings.parquet",
+      "--queries", "0", "--mode", "nope", "--out", s"$dir/x")))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "ann", "--in", "/root/testdata/sf0.001/embeddings.parquet",
+      "--out", s"$dir/x")))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "ann", "--in", "/root/testdata/sf0.001/embeddings.parquet",
+      "--queries", "0", "--id-col", "nope", "--out", s"$dir/x")))
+  }
 }
