@@ -257,6 +257,21 @@ object Multimodal {
       .select("ida", "idb", "ham")
   }
 
+  /** Haitsma–Kalker-style audio fingerprint over the decoded byte series:
+    * bit i = 1 iff energy(i+1) > energy(i) — the delta-sign bits that
+    * survive volume scaling and mild noise, here over the 16 synthetic
+    * "frame energy" bytes (15 bits). Pure integral Column algebra after
+    * decode, same discipline as [[phash]]; band-joinable with
+    * [[phashPairs]] (15 ≤ 16 bits, nibble banding unchanged). */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    def e(i: Int) =
+      conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+    val bits = (0 until 15).map(i =>
+      when(e(i + 1) > e(i), lit(1L << i)).otherwise(lit(0L)))
+    media.where(col("meta.media_type") === "audio")
+      .select(col("media_id"), bits.reduce(_ + _).as("phash"))
+  }
+
   def resizeMeta(media: DataFrame, targetWidth: Int): DataFrame =
     media.where(col("meta.media_type") === "image")
       .select(col("media_id"),

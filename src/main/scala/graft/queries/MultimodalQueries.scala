@@ -52,6 +52,14 @@ object MultimodalQueries {
       Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3)
         .orderBy("ida", "idb")),
 
+    // audio near-dup pairs: delta-sign (Haitsma–Kalker-style) fingerprints
+    // matched at Hamming ≤ 3 through the SAME nibble banding as the image
+    // path — one banding operator serves both modalities; the all-pairs
+    // oracle again proves full recall
+    "q_mm_audio_fp_pairs" -> ((s, d) =>
+      Multimodal.phashPairs(Multimodal.audioFingerprint(media(s, d)), 3)
+        .orderBy("ida", "idb")),
+
     // near-dup image clusters: connected components over the verified
     // phash pair graph — "keep one per cluster" for the image modality,
     // reusing the text-dedup min-label propagation (oracle = recursive CTE)
@@ -214,6 +222,26 @@ object MultimodalQueries {
           SELECT a.media_id AS ida, b.media_id AS idb,
                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
           FROM ph a JOIN ph b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          ORDER BY ida, idb""",
+
+    "q_mm_audio_fp_pairs" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'audio'),
+          fp AS (
+            SELECT media_id,
+                   CAST(list_reduce(list_prepend(0::BIGINT,
+                     [CASE WHEN bytes[i+2] > bytes[i+1] THEN (1::BIGINT << i)
+                           ELSE 0::BIGINT END for i in range(0, 15)]),
+                     (a, b) -> a + b) AS BIGINT) AS phash
+            FROM b)
+          SELECT a.media_id AS ida, b.media_id AS idb,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
+          FROM fp a JOIN fp b ON a.media_id < b.media_id
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
           ORDER BY ida, idb""",
 
