@@ -78,6 +78,40 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // interval-union coverage per supplier: total distinct days with at
+    // least one open line ([order date, ship date]) plus the peak
+    // concurrency — the sweep-line union-length primitive (utilization /
+    // SLA audits). ±1 deltas collapse to distinct (supplier, day) BEFORE
+    // the window, so each supplier's running sum scans its distinct
+    // boundary days, not its rows; one orderkey equi-join of the two
+    // fact tables, one window shuffle on supplier
+    "q_eng_interval_coverage" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >= col("o_orderdate"))
+        .select(col("l_suppkey").as("supp"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d0"),
+          (datediff(col("l_shipdate"), to_date(lit("1995-01-01")))
+            .cast("long") + 1).as("d1"))
+      val ev = iv.select(col("supp"), col("d0").as("day"), lit(1L).as("delta"))
+        .unionByName(iv.select(col("supp"), col("d1").as("day"),
+          lit(-1L).as("delta")))
+        .groupBy(col("supp"), col("day")).agg(sum(col("delta")).as("delta"))
+      val w = Window.partitionBy(col("supp")).orderBy(col("day"))
+      ev.withColumn("open", sum(col("delta")).over(w))
+        .withColumn("next_day", lead(col("day"), 1).over(w))
+        .groupBy(col("supp"))
+        .agg(
+          sum(when(col("open") > 0 && col("next_day").isNotNull,
+            col("next_day") - col("day")).otherwise(lit(0L)))
+            .as("covered_days"),
+          max(col("open")).as("peak_open"))
+        .orderBy("supp")
+    }),
+
     // key-skew diagnostic: the profile a pipeline runs BEFORE choosing a
     // partitioning/salting strategy. Per-key counts reduce the data to a
     // keys-sized table; everything after (max share, top-10 share, exact
@@ -1181,6 +1215,34 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_interval_coverage" ->
+      """WITH iv AS (
+           SELECT l_suppkey AS supp,
+                  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS BIGINT) AS d0,
+                  CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate)
+                    AS BIGINT) + 1 AS d1
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= o_orderdate),
+         ev AS (
+           SELECT supp, day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+             SELECT supp, d0 AS day, 1 AS delta FROM iv
+             UNION ALL
+             SELECT supp, d1 AS day, -1 AS delta FROM iv)
+           GROUP BY 1, 2),
+         run AS (
+           SELECT supp, day,
+                  CAST(sum(delta) OVER (PARTITION BY supp ORDER BY day)
+                    AS BIGINT) AS open,
+                  lead(day) OVER (PARTITION BY supp ORDER BY day) AS next_day
+           FROM ev)
+         SELECT supp,
+                CAST(sum(CASE WHEN open > 0 AND next_day IS NOT NULL
+                              THEN next_day - day ELSE 0 END) AS BIGINT)
+                  AS covered_days,
+                CAST(max(open) AS BIGINT) AS peak_open
+         FROM run GROUP BY 1 ORDER BY supp""",
 
     "q_eng_skew_report" ->
       """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
