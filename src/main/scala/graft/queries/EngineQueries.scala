@@ -78,6 +78,26 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // cumulative distinct users per day WITHOUT a running COUNT(DISTINCT):
+    // a user contributes once, on their first-seen day, so the running
+    // total is a prefix sum of per-day first-appearance counts — the
+    // first-seen trick that turns an unbounded-state running distinct
+    // into one aggregate + a days-sized window (the shape incremental
+    // metrics pipelines maintain at any scale)
+    "q_eng_running_distinct" -> ((s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      val perDay = firstSeen.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      perDay
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))))
+        .select(col("day").cast("string").as("day"), col("new_users"),
+          col("cum_users"))
+        .orderBy("day")
+    }),
+
     // interval-union coverage per supplier: total distinct days with at
     // least one open line ([order date, ship date]) plus the peak
     // concurrency — the sweep-line union-length primitive (utilization /
@@ -1215,6 +1235,16 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_running_distinct" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS day
+           FROM events GROUP BY 1),
+         p AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+               FROM f GROUP BY 1)
+         SELECT CAST(day AS VARCHAR) AS day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+         FROM p ORDER BY day""",
 
     "q_eng_interval_coverage" ->
       """WITH iv AS (
