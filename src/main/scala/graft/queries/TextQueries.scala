@@ -228,6 +228,40 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    // token 3-gram, keep the MIN hash of each 4-window of consecutive
+    // gram positions — guarantees any shared run of ≥ 6 tokens yields a
+    // shared fingerprint, at ~1/4 the fingerprint density of full
+    // shingling. Pairs sharing ≥ 5 selected fingerprints are the
+    // plagiarism/near-copy candidates. Per-doc windows (two window
+    // passes on one doc_id shuffle), then the df-capped pair join
+    // discipline of the dedup family
+    "q_text_winnow_pairs" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val wf = w.rowsBetween(0, 3)
+      val grams = postings(s, d)
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .where(col("t2").isNotNull)
+        .withColumn("h", conv(substring(
+          md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 15),
+          16, 10).cast("long"))
+      val fps = grams
+        .withColumn("nw", count(lit(1)).over(wf))
+        .withColumn("fp", min(col("h")).over(wf))
+        .where(col("nw") === 4)
+        .select(col("doc_id"), col("fp")).distinct()
+      val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .where(col("df") > 8).select("fp")
+      val kept = fps.join(hot, Seq("fp"), "left_anti")
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .where(col("shared_fps") >= 5)
+        .orderBy("ida", "idb")
+    }),
+
     // content-defined chunking: a token ends a chunk when its md5-derived
     // hash ≡ 0 (mod 16) — boundaries depend only on content, so an
     // insertion resynchronizes within one expected chunk (the property
@@ -968,6 +1002,41 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_winnow_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) - 1 AS pos
+               FROM t),
+         g AS (
+           SELECT doc_id, pos, tok,
+                  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+                  lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+           FROM x),
+         h AS (
+           SELECT doc_id, pos,
+                  CAST('0x' || substr(md5(tok || ' ' || t1 || ' ' || t2), 1, 15)
+                    AS BIGINT) AS h
+           FROM g WHERE t2 IS NOT NULL),
+         wmin AS (
+           SELECT doc_id,
+                  count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nw,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM h),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE nw = 4),
+         keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
+         kf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+         SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(count(*) AS BIGINT) AS shared_fps
+         FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5
+         ORDER BY ida, idb""",
 
     "q_text_cdc_chunks" ->
       """WITH t AS (
