@@ -78,6 +78,29 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // exact weighted median per group: cumulative-weight window ordered
+    // by (value, unique tiebreak), then min_by picks the first row whose
+    // cumulative weight crosses half the total — one window shuffle on
+    // the group key, no per-group sort collection. Weights ≥ 1 make the
+    // cumulative sum strictly increasing, so the crossing row is unique
+    // and min_by is deterministic
+    "q_eng_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("wt"),
+        col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      val tot = li.groupBy(col("grp")).agg(sum(col("wt")).as("tw"))
+      li.withColumn("cw", sum(col("wt")).over(w))
+        .join(broadcast(tot), "grp")
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy(col("grp"))
+        .agg(min_by(col("v"), col("cw")).as("w_median"),
+          min(col("tw")).as("total_weight"))
+        .orderBy("grp")
+    }),
+
     // cumulative distinct users per day WITHOUT a running COUNT(DISTINCT):
     // a user contributes once, on their first-seen day, so the running
     // total is a prefix sum of per-day first-appearance counts — the
@@ -1235,6 +1258,22 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_weighted_median" ->
+      """WITH li AS (
+           SELECT l_returnflag AS grp, l_extendedprice AS v,
+                  CAST(l_quantity AS BIGINT) AS wt, l_orderkey, l_linenumber
+           FROM lineitem),
+         c AS (
+           SELECT grp, v,
+                  CAST(sum(wt) OVER (PARTITION BY grp
+                    ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS cw
+           FROM li),
+         t AS (SELECT grp, CAST(sum(wt) AS BIGINT) AS tw FROM li GROUP BY 1)
+         SELECT c.grp, min_by(v, cw) AS w_median, min(tw) AS total_weight
+         FROM c JOIN t ON c.grp = t.grp
+         WHERE cw * 2 >= tw
+         GROUP BY 1 ORDER BY c.grp""",
 
     "q_eng_running_distinct" ->
       """WITH f AS (

@@ -228,6 +228,32 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // pairwise source drift: total-variation distance between per-source
+    // unigram distributions in exact integer ppm — the mix-monitoring
+    // metric a corpus pipeline tracks across ingestion sources. One
+    // shuffle over the token instances; the dense (source × vocab) grid
+    // and the pair join run on tiny aggregate tables. Integer ppm
+    // per-token probabilities keep the whole metric float-free
+    "q_text_source_divergence" -> ((s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      val cnt = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("t"))
+      val grid = tot.select(col("source"), col("t"))
+        .crossJoin(toks.select(col("tok")).distinct())
+        .join(cnt, Seq("source", "tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .select(col("source"), col("tok"),
+          expr("c * 1000000 DIV t").as("ppm"))
+      grid.as("a").join(grid.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(sum(abs(col("a.ppm") - col("b.ppm"))).as("l1"))
+        .select(col("src_a"), col("src_b"), expr("l1 DIV 2").as("tv_ppm"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     // token 3-gram, keep the MIN hash of each 4-window of consecutive
     // gram positions — guarantees any shared run of ≥ 6 tokens yields a
@@ -1002,6 +1028,29 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_source_divergence" ->
+      """WITH t AS (
+           SELECT source,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT source, unnest(toks) AS tok FROM t),
+         cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                 FROM x GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tt
+                 FROM x GROUP BY 1),
+         v AS (SELECT DISTINCT tok FROM x),
+         grid AS (
+           SELECT tot.source, v.tok,
+                  CAST(coalesce(cnt.c, 0) * 1000000 // tot.tt AS BIGINT) AS ppm
+           FROM tot CROSS JOIN v
+           LEFT JOIN cnt ON cnt.source = tot.source AND cnt.tok = v.tok)
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(sum(abs(a.ppm - b.ppm)) // 2 AS BIGINT) AS tv_ppm
+         FROM grid a JOIN grid b
+           ON a.tok = b.tok AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY src_a, src_b""",
 
     "q_text_winnow_pairs" ->
       """WITH t AS (
