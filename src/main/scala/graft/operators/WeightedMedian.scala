@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Exact per-group weighted median, bucket-pruned for scale.
+  *
+  * The textbook formulation — cumulative-weight window over every row of
+  * a group — funnels the whole fact table through #groups window
+  * partitions: with a handful of groups that is a handful of tasks, a
+  * non-starter at 100 TB. Two exact phases avoid it:
+  *
+  *   1. bucket rows by value (`floor(v / bucketWidth)`), aggregate weight
+  *      per (group, bucket) — an ordinary partial-aggregated shuffle at
+  *      full parallelism, producing a buckets-sized table;
+  *   2. on that tiny table, find each group's CROSSING bucket (first
+  *      cumulative weight ≥ half the total) and the weight before it;
+  *      then re-scan ONLY the crossing bucket's rows (a broadcast
+  *      semi-ish join keeps the filter on the scan side), seed the
+  *      in-bucket cumulative window with the carried offset, and pick
+  *      the crossing row with min_by.
+  *
+  * Output is bit-identical to the naive window formulation (the DuckDB
+  * oracle runs exactly that, so gate equality proves the rewrite); the
+  * group-partitioned window now touches ~1/#buckets of the data.
+  * Weights must be ≥ 1 so the cumulative sum is strictly increasing and
+  * the crossing row unique; `ord` must be a unique per-row tiebreak.
+  */
+object WeightedMedian {
+
+  def weightedMedian(df: DataFrame, grp: Column, v: Column, wt: Column,
+                     ord: Column, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val base = df.select(grp.as("grp"), v.as("v"), wt.cast("long").as("wt"),
+        ord.as("ord"))
+      .withColumn("bkt", floor(col("v") / bucketWidth).cast("long"))
+    val perBucket = base.groupBy(col("grp"), col("bkt"))
+      .agg(sum(col("wt")).as("bw"))
+    val wB = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+    val cum = perBucket.withColumn("cumb", sum(col("bw")).over(wB))
+    val tot = perBucket.groupBy(col("grp")).agg(sum(col("bw")).as("tw"))
+    // first bucket whose cumulative weight crosses half; `before` is the
+    // exact cumulative weight entering it
+    val crossing = cum.join(tot, "grp")
+      .where(col("cumb") * 2 >= col("tw"))
+      .groupBy(col("grp"))
+      .agg(min(struct(col("bkt"), col("cumb"), col("bw"))).as("x"),
+        min(col("tw")).as("tw"))
+      .select(col("grp"), col("x.bkt").as("bkt"),
+        (col("x.cumb") - col("x.bw")).as("before"), col("tw"))
+    val wS = Window.partitionBy(col("grp")).orderBy(col("v"), col("ord"))
+    base.join(broadcast(crossing), Seq("grp", "bkt"))
+      .withColumn("cw", col("before") + sum(col("wt")).over(wS))
+      .where(col("cw") * 2 >= col("tw"))
+      .groupBy(col("grp"))
+      .agg(min_by(col("v"), col("cw")).as("w_median"),
+        min(col("tw")).as("total_weight"))
+  }
+}

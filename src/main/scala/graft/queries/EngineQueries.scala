@@ -78,28 +78,20 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
-    // exact weighted median per group: cumulative-weight window ordered
-    // by (value, unique tiebreak), then min_by picks the first row whose
-    // cumulative weight crosses half the total — one window shuffle on
-    // the group key, no per-group sort collection. Weights ≥ 1 make the
-    // cumulative sum strictly increasing, so the crossing row is unique
-    // and min_by is deterministic
-    "q_eng_weighted_median" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
-        col("l_quantity").cast("long").as("wt"),
-        col("l_orderkey"), col("l_linenumber"))
-      val w = Window.partitionBy(col("grp"))
-        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-      val tot = li.groupBy(col("grp")).agg(sum(col("wt")).as("tw"))
-      li.withColumn("cw", sum(col("wt")).over(w))
-        .join(broadcast(tot), "grp")
-        .where(col("cw") * 2 >= col("tw"))
-        .groupBy(col("grp"))
-        .agg(min_by(col("v"), col("cw")).as("w_median"),
-          min(col("tw")).as("total_weight"))
-        .orderBy("grp")
-    }),
+    // exact weighted median per group via the bucket-pruned two-phase
+    // operator: the naive per-group cumulative window would funnel the
+    // whole table through 3 partitions; phase 1 is a full-parallelism
+    // bucket aggregate, phase 2 windows only the crossing bucket's rows
+    // with the carried weight offset. The oracle runs the NAIVE window
+    // formulation — hash equality proves the rewrite exact
+    "q_eng_weighted_median" -> ((s, d) =>
+      graft.operators.WeightedMedian.weightedMedian(
+          Tables.lineitem(s, d),
+          grp = col("l_returnflag"), v = col("l_extendedprice"),
+          wt = col("l_quantity"),
+          ord = struct(col("l_orderkey"), col("l_linenumber")),
+          bucketWidth = 1000.0)
+        .orderBy("grp")),
 
     // cumulative distinct users per day WITHOUT a running COUNT(DISTINCT):
     // a user contributes once, on their first-seen day, so the running
