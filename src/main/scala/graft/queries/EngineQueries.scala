@@ -78,6 +78,61 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    // year. Both nation filters push into the TINY broadcast dims BEFORE
+    // touching the facts — supplier and customer shrink to two nations
+    // each, so the only big work is lineitem ⋈ orders on orderkey (the
+    // one unavoidable fact-fact shuffle) with both sides pre-filtered by
+    // their broadcast joins
+    "q_eng_volume_shipping" -> ((s, d) => {
+      val nations = Seq("NATION_3", "NATION_7")
+      val supN = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .where(col("n_name").isin(nations: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val custN = broadcast(Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .where(col("n_name").isin(nations: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      val ordN = Tables.orders(s, d)
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .where(year(col("l_shipdate")).isin(1995, 1996))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(ordN, col("l_orderkey") === col("o_orderkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // cumulative-peak drawdown over the daily revenue series: running
+    // max then the largest peak-to-day gap — two windows over the
+    // days-sized table (safe by construction), deterministic argmax via
+    // (drawdown DESC, day DESC) ranking. The series-analytics shape
+    // (drawdown/high-water-mark) on exact decimal-summed dailies
+    "q_eng_drawdown" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dd = daily
+        .withColumn("run_max", max(col("rev")).over(wRun))
+        .withColumn("dd", col("run_max") - col("rev"))
+      dd.withColumn("rk", row_number().over(
+          Window.orderBy(col("dd").desc, col("day").desc)))
+        .where(col("rk") === 1)
+        .select(col("day").cast("string").as("trough_day"),
+          col("dd").as("max_drawdown"), col("run_max").as("peak_rev"))
+    }),
+
     // exact weighted median per group via the bucket-pruned two-phase
     // operator: the naive per-group cumulative window would funnel the
     // whole table through 3 partitions; phase 1 is a full-parallelism
@@ -1250,6 +1305,44 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, l_year, count(*) AS n_lines,
+                 ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE year(l_shipdate) IN (1995, 1996)
+              AND n1.n_name IN ('NATION_3', 'NATION_7')
+              AND n2.n_name IN ('NATION_3', 'NATION_7')
+              AND n1.n_name <> n2.n_name)
+          GROUP BY 1, 2, 3
+          ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_eng_drawdown" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT day, rev,
+                  max(rev) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+           FROM daily),
+         d AS (SELECT day, run_max, run_max - rev AS dd FROM r),
+         k AS (SELECT day, run_max, dd,
+                      row_number() OVER (ORDER BY dd DESC, day DESC) AS rk
+               FROM d)
+         SELECT CAST(day AS VARCHAR) AS trough_day, dd AS max_drawdown,
+                run_max AS peak_rev
+         FROM k WHERE rk = 1""",
 
     "q_eng_weighted_median" ->
       """WITH li AS (
