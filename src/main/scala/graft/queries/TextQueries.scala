@@ -228,6 +228,30 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // temperature-scaled mixing weights (α = 0.5): sample sources ∝
+    // √tokens — the standard rebalance that upweights small sources
+    // without letting the biggest dominate. √ is IEEE-correctly-rounded
+    // (bit-identical across engines); it is quantized to integer micro
+    // units AT THE LEAF (audited site, QuantBoundarySpec) so the shares
+    // and epoch factors are pure integer arithmetic. One aggregate over
+    // documents; everything else on the sources-sized table
+    "q_text_mix_temperature" -> ((s, d) => {
+      val cnt = docs(s, d).groupBy(col("source"))
+        .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val scaled = cnt.withColumn("s_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+      val tot = scaled.agg(sum(col("s_micro")).as("ts"),
+        count(lit(1)).as("nsrc"))
+      scaled.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          expr("s_micro * 1000000 DIV ts").as("weight_ppm"),
+          // repetition factor vs a uniform target share, in milli-epochs
+          expr("(1000000 DIV nsrc) * 1000 DIV (s_micro * 1000000 DIV ts)")
+            .as("epoch_milli"))
+        .orderBy("source")
+    }),
+
     // pairwise source drift: total-variation distance between per-source
     // unigram distributions in exact integer ppm — the mix-monitoring
     // metric a corpus pipeline tracks across ingestion sources. One
@@ -1028,6 +1052,28 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_mix_temperature" ->
+      """WITH t AS (
+           SELECT source,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS nt
+           FROM documents),
+         c AS (SELECT source, CAST(sum(CAST(nt AS BIGINT)) AS BIGINT) AS n_tokens
+               FROM t GROUP BY 1),
+         sc AS (SELECT source, n_tokens,
+                       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS s_micro
+                FROM c),
+         tt AS (SELECT CAST(sum(s_micro) AS BIGINT) AS ts,
+                       CAST(count(*) AS BIGINT) AS nsrc
+                FROM sc)
+         SELECT source, n_tokens,
+                CAST(s_micro * 1000000 // ts AS BIGINT) AS weight_ppm,
+                CAST((1000000 // nsrc) * 1000 // (s_micro * 1000000 // ts)
+                  AS BIGINT) AS epoch_milli
+         FROM sc, tt ORDER BY source""",
 
     "q_text_source_divergence" ->
       """WITH t AS (

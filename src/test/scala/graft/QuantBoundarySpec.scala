@@ -138,4 +138,18 @@ class QuantBoundarySpec extends SparkSpec {
       assert(d > 1e-4, s"$dir: surprisal value within $d of a floor boundary")
     }
   }
+
+  test("temperature-mix sqrt(token count) values clear the micro boundary") {
+    // sqrt is IEEE correctly rounded (identical across engines), so the
+    // only drift surface is the floor(·1e6+0.5) site itself — raw-element
+    // threshold applies (one op on an exact integer input)
+    for (dir <- gateSfs) {
+      val cnts = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n"))
+        .select(col("n").cast("double").as("n")).distinct()
+      val d = minBoundaryDist(cnts, sqrt(col("n")))
+      assert(d > 1e-7, s"$dir: sqrt(count) within $d of a floor boundary")
+    }
+  }
 }
