@@ -81,6 +81,42 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // k-center (farthest-point) coreset selection: start from the lowest
+    // id, repeatedly add the vector MOST DISSIMILAR to the selected set
+    // (argmin of running max-cos, ties → lowest id) — the greedy
+    // 2-approximation for diverse subset selection, the curation
+    // primitive for "cover the embedding space with k exemplars".
+    // 4 unrolled rounds; each is one broadcast of the new center + a
+    // corpus-parallel greatest() update of the running max-cos and one
+    // struct-min aggregate — no pairwise matrix, O(k·corpus) total
+    "q_sim_kcenter" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nn", Similarity.l2norm(col("v")))
+      val first = e.orderBy("vec_id").limit(1)
+      def asCenter(df: DataFrame): DataFrame =
+        df.select(col("vec_id").as("sid"), col("v").as("sv"),
+          col("nn").as("sn"))
+      var scored = e.withColumn("maxcos", lit(-2.0))
+      var center = asCenter(first)
+      var out = first.select(col("vec_id"), lit(1L).as("pick"),
+        lit(-2.0).as("score"))
+      for (i <- 2 to 5) {
+        scored = scored.crossJoin(broadcast(center))
+          .withColumn("maxcos", greatest(col("maxcos"),
+            Similarity.dot(col("v"), col("sv")) / (col("nn") * col("sn"))))
+          .where(col("vec_id") =!= col("sid"))
+          .drop("sid", "sv", "sn")
+        val pick = scored
+          .agg(min(struct(col("maxcos"), col("vec_id"))).as("p"))
+          .select(col("p.vec_id").as("vec_id"), col("p.maxcos").as("score"))
+        center = asCenter(pick.join(e, "vec_id"))
+        out = out.unionByName(pick.select(col("vec_id"),
+          lit(i.toLong).as("pick"), col("score")))
+      }
+      out.select("pick", "vec_id", "score").orderBy("pick")
+    }),
+
     // MMR diversified re-rank: greedy maximal-marginal-relevance over
     // each query's brute-force top-10 — score = λ·cos − (1−λ)·max sim to
     // the already-selected set (λ = 0.5), 3 unrolled selection steps
@@ -418,6 +454,34 @@ object SimilarityQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM scored)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q_sim_kcenter" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          s1 AS (SELECT * FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+          m1 AS (SELECT x.vec_id, greatest(-2.0, $cosSql) AS maxcos
+                 FROM e x, s1 y WHERE x.vec_id != y.vec_id),
+          p2 AS (SELECT vec_id, maxcos FROM m1 ORDER BY maxcos, vec_id LIMIT 1),
+          s2 AS (SELECT e.* FROM e JOIN p2 USING (vec_id)),
+          m2 AS (SELECT x.vec_id, greatest(m1.maxcos, $cosSql) AS maxcos
+                 FROM m1 JOIN e x USING (vec_id), s2 y
+                 WHERE x.vec_id != y.vec_id),
+          p3 AS (SELECT vec_id, maxcos FROM m2 ORDER BY maxcos, vec_id LIMIT 1),
+          s3 AS (SELECT e.* FROM e JOIN p3 USING (vec_id)),
+          m3 AS (SELECT x.vec_id, greatest(m2.maxcos, $cosSql) AS maxcos
+                 FROM m2 JOIN e x USING (vec_id), s3 y
+                 WHERE x.vec_id != y.vec_id),
+          p4 AS (SELECT vec_id, maxcos FROM m3 ORDER BY maxcos, vec_id LIMIT 1),
+          s4 AS (SELECT e.* FROM e JOIN p4 USING (vec_id)),
+          m4 AS (SELECT x.vec_id, greatest(m3.maxcos, $cosSql) AS maxcos
+                 FROM m3 JOIN e x USING (vec_id), s4 y
+                 WHERE x.vec_id != y.vec_id),
+          p5 AS (SELECT vec_id, maxcos FROM m4 ORDER BY maxcos, vec_id LIMIT 1)
+          SELECT CAST(1 AS BIGINT) AS pick, vec_id, -2.0 AS score FROM s1
+          UNION ALL SELECT CAST(2 AS BIGINT), vec_id, maxcos FROM p2
+          UNION ALL SELECT CAST(3 AS BIGINT), vec_id, maxcos FROM p3
+          UNION ALL SELECT CAST(4 AS BIGINT), vec_id, maxcos FROM p4
+          UNION ALL SELECT CAST(5 AS BIGINT), vec_id, maxcos FROM p5
+          ORDER BY pick""",
 
     "q_sim_mmr_rerank" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
