@@ -4,6 +4,7 @@ import graft.Tables
 import graft.dsl.FilterDsl
 import graft.sample.Samplers
 import graft.sample.Samplers.SampleOrder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -246,6 +247,30 @@ object ParityQueries {
     // systematic (every k-th) sampling over a distributed global rank —
     // the interval sampler on sorted data, without a single-partition
     // window (StableIds: range partition + per-partition offsets)
+    // systematic PPS (Madow): n equally-spaced grid points over the
+    // cumulative weight line, deterministic midpoint start — each unit's
+    // inclusion count is a closed-form integer grid count, no RNG state.
+    // Pairs with the HT estimator: pi_ppm is the EXACT inclusion
+    // probability n·w/W. The cumulative window runs on the keys-sized
+    // weight table (100 suppliers), safe by construction; the weight
+    // aggregation is the only data-sized pass
+    "q_sample_pps" -> ((s, d) => {
+      val n = 20L
+      val wts = Tables.lineitem(s, d).groupBy(col("l_suppkey").as("supp"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val cum = wts.withColumn("cumw",
+        sum(col("w")).over(Window.orderBy(col("supp"))))
+      cum.crossJoin(broadcast(wts.agg(sum(col("w")).as("tw"))))
+        .withColumn("prev", col("cumw") - col("w"))
+        .withColumn("f_hi", expr(s"($n * cumw - (tw DIV 2) + tw - 1) DIV tw"))
+        .withColumn("f_lo", expr(s"($n * prev - (tw DIV 2) + tw - 1) DIV tw"))
+        .withColumn("n_hits", col("f_hi") - col("f_lo"))
+        .where(col("n_hits") > 0)
+        .select(col("supp"), col("w"), col("n_hits"),
+          least(lit(1000000L), expr(s"$n * w * 1000000 DIV tw")).as("pi_ppm"))
+        .orderBy("supp")
+    }),
+
     "q_sample_systematic" -> ((s, d) => {
       val ranked = graft.operators.StableIds.assignIds(
         Tables.events(s, d).select(col("event_id")),
@@ -452,6 +477,25 @@ object ParityQueries {
          SELECT r.stratum, rn, event_id
          FROM r JOIN q ON q.stratum = r.stratum
          WHERE rn <= quota ORDER BY r.stratum, rn""",
+
+    "q_sample_pps" ->
+      """WITH w AS (
+           SELECT l_suppkey AS supp, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT supp, w,
+                  CAST(sum(w) OVER (ORDER BY supp) AS BIGINT) AS cumw
+           FROM w),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         g AS (
+           SELECT supp, w, cumw, cumw - w AS prev, tw,
+                  (20 * cumw - (tw // 2) + tw - 1) // tw AS f_hi,
+                  (20 * (cumw - w) - (tw // 2) + tw - 1) // tw AS f_lo
+           FROM c, t)
+         SELECT supp, w, CAST(f_hi - f_lo AS BIGINT) AS n_hits,
+                CAST(least(1000000, 20 * w * 1000000 // tw) AS BIGINT) AS pi_ppm
+         FROM g WHERE f_hi - f_lo > 0
+         ORDER BY supp""",
 
     "q_sample_systematic" ->
       """SELECT event_id, CAST(rn AS BIGINT) AS rk FROM (
