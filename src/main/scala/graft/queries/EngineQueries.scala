@@ -78,6 +78,32 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // market-basket association pairs: co-purchase support ≥ 3 with
+    // exact integer-ppm lift (support·N / (cnt_a·cnt_b)) — the
+    // association-rule screen over the same distinct (order, part)
+    // projection the graph queries share. Pair generation is the
+    // per-order self-join (bounded by basket size, not corpus), counts
+    // partial-aggregate on the pair key
+    "q_eng_basket_pairs" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("a")
+        .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 3)
+      val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val nOrders = op.select(col("o")).distinct().agg(count(lit(1)).as("n"))
+      pairs
+        .join(cnt.select(col("p").as("pa"), col("c").as("ca")), "pa")
+        .join(cnt.select(col("p").as("pb"), col("c").as("cb")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("support"),
+          expr("support * n * 1000000 DIV (ca * cb)").as("lift_ppm"))
+        .orderBy("pa", "pb")
+    }),
+
     // TPC-H Q7 shape: bilateral trade volume between two nations by ship
     // year. Both nation filters push into the TINY broadcast dims BEFORE
     // touching the facts — supplier and customer shrink to two nations
@@ -1305,6 +1331,23 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_basket_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         pr AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS support
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+         c AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+         n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op)
+         SELECT pa, pb, support,
+                CAST(support * n.n * 1000000 // (ca.c * cb.c) AS BIGINT)
+                  AS lift_ppm
+         FROM pr
+         JOIN c ca ON ca.p = pa
+         JOIN c cb ON cb.p = pb
+         CROSS JOIN n
+         ORDER BY pa, pb""",
 
     "q_eng_volume_shipping" ->
       s"""SELECT supp_nation, cust_nation, l_year, count(*) AS n_lines,
