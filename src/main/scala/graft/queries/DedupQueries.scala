@@ -106,6 +106,26 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
+    // threshold calibration: candidate-pair counts per Jaccard decile
+    // (integer bucket shared·10 DIV union — no float in the bucketing) —
+    // the sweep run before committing a dedup threshold, riding the same
+    // cached hash arrays and candidate chain as the jaccard query
+    "q_dedup_threshold_sweep" -> ((s, d) => {
+      val sh = QueryCaches.memo(s, d, "dedup_hashes") {
+        withSig(s, d)
+          .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
+      }
+      val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+      Dedup.ngramJaccardPairs(sh, col("doc_id"), col("hs"),
+          minJaccard = 0.5, maxDf = MaxDf)
+        .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+        .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+        .select(expr("shared * 10 DIV (na + nb - shared)").as("jac_decile"))
+        .groupBy(col("jac_decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("jac_decile")
+    }),
+
     // near-subset pairs: containment of the smaller shingle set —
     // jaccard misses a paragraph quoted inside a much longer doc;
     // containment ≈ 1 flags it. Shares the cached hash arrays and the
@@ -364,6 +384,33 @@ object DedupQueries {
             FROM cand JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
           SELECT ida, idb, shared, jac FROM j
           WHERE jac >= 0.8 ORDER BY ida, idb""",
+
+    "q_dedup_threshold_sweep" ->
+      s"""$shCte,
+          hsh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                     s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
+            FROM sh),
+          ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 8),
+          kx AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM kx a JOIN kx b ON a.h = b.h AND a.doc_id < b.doc_id),
+          j AS (
+            SELECT ida, idb,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS shared,
+                   CAST(len(x.hs) AS BIGINT) AS na,
+                   CAST(len(y.hs) AS BIGINT) AS nb,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                     / (CAST(len(x.hs) AS DOUBLE) + CAST(len(y.hs) AS DOUBLE)
+                        - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)) AS jac
+            FROM cand JOIN hsh x ON x.doc_id = ida JOIN hsh y ON y.doc_id = idb)
+          SELECT CAST(shared * 10 // (na + nb - shared) AS BIGINT) AS jac_decile,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM j WHERE jac >= 0.5
+          GROUP BY 1 ORDER BY jac_decile""",
 
     "q_dedup_containment" ->
       s"""$shCte,

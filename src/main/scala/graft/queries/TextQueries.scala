@@ -228,6 +228,26 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // vocabulary coverage curve: cumulative token mass of the top-k
+    // vocabulary, per rank — the Zipf audit that sizes a tokenizer
+    // vocabulary ("k tokens cover X% of the corpus"). One aggregate over
+    // token instances; the ranked cumulative window runs on the
+    // vocab-sized table (safe by construction). Integer ppm coverage
+    "q_text_vocab_coverage" -> ((s, d) => {
+      val cnts = postings(s, d).groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("tok"))
+      val tot = cnts.agg(sum(col("c")).as("t"))
+      cnts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("tok"), col("c"),
+          expr("cum * 1000000 DIV t").as("coverage_ppm"))
+        .orderBy("rank")
+    }),
+
     // temperature-scaled mixing weights (α = 0.5): sample sources ∝
     // √tokens — the standard rebalance that upweights small sources
     // without letting the biggest dominate. √ is IEEE-correctly-rounded
@@ -1052,6 +1072,24 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_vocab_coverage" ->
+      """WITH t AS (
+           SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT unnest(toks) AS tok FROM t),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1),
+         tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+         r AS (SELECT tok, c,
+                      CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+                        AS rank,
+                      CAST(sum(c) OVER (ORDER BY c DESC, tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+               FROM c)
+         SELECT rank, tok, c, CAST(cum * 1000000 // t AS BIGINT) AS coverage_ppm
+         FROM r, tt ORDER BY rank""",
 
     "q_text_mix_temperature" ->
       """WITH t AS (
