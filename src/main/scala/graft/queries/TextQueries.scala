@@ -307,20 +307,8 @@ object TextQueries {
     // passes on one doc_id shuffle), then the df-capped pair join
     // discipline of the dedup family
     "q_text_winnow_pairs" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val wf = w.rowsBetween(0, 3)
-      val grams = postings(s, d)
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
-        .where(col("t2").isNotNull)
-        .withColumn("h", conv(substring(
-          md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 15),
-          16, 10).cast("long"))
-      val fps = grams
-        .withColumn("nw", count(lit(1)).over(wf))
-        .withColumn("fp", min(col("h")).over(wf))
-        .where(col("nw") === 4)
-        .select(col("doc_id"), col("fp")).distinct()
+      val fps = graft.text.Winnowing.fingerprints(postings(s, d),
+        col("doc_id"), col("pos"), col("tok"), k = 3, w = 4)
       val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .where(col("df") > 8).select("fp")
       val kept = fps.join(hot, Seq("fp"), "left_anti")
