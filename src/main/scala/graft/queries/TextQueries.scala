@@ -228,6 +228,42 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // interpolated Kneser–Ney bigram LM with discount d = 3/4, as EXACT
+    // integer rationals: P(w|v) = max(c(v,w)−d,0)/c(v) + λ(v)·P_cont(w)
+    // over the common denominator 4·c(v)·N gives numerator
+    // max(4c−3,0)·N + 3·N₁₊(v·)·N₁₊(·w) — pure 64-bit integers, so the
+    // smoothed probabilities (ppm) are engine-exact with no ln/float
+    // surface at all. Top-3 continuations per context; the aggregates
+    // are one bigram shuffle plus joins on vocabulary-sized tables
+    "q_text_kn_lm" -> ((s, d) => {
+      val t = docs(s, d).select(tokens(lower(col("text"))).as("toks"))
+      val pairs = t.select(explode(
+          when(size(col("toks")) < 2,
+            array().cast("array<struct<ctx:string,nxt:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("ctx"),
+              element_at(col("toks"), i + 2).as("nxt"))))).as("p"))
+        .select(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      val big = pairs.groupBy(col("ctx"), col("nxt"))
+        .agg(count(lit(1)).as("cvw"))
+      val cv = pairs.groupBy(col("ctx")).agg(count(lit(1)).as("cv"))
+      val n1v = big.groupBy(col("ctx")).agg(count(lit(1)).as("n1v"))
+      val n1w = big.groupBy(col("nxt")).agg(count(lit(1)).as("n1w"))
+      val nn = big.agg(count(lit(1)).as("nn"))
+      val scored = big
+        .join(cv, "ctx").join(n1v, "ctx").join(n1w, "nxt")
+        .crossJoin(broadcast(nn))
+        .withColumn("p_kn_ppm", expr(
+          "(greatest(4 * cvw - 3, 0) * nn + 3 * n1v * n1w) * 1000000" +
+            " DIV (4 * cv * nn)"))
+      val w = Window.partitionBy(col("ctx"))
+        .orderBy(col("p_kn_ppm").desc, col("nxt"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("ctx", "rank", "nxt", "cvw", "p_kn_ppm")
+        .orderBy("ctx", "rank")
+    }),
+
     // vocabulary coverage curve: cumulative token mass of the top-k
     // vocabulary, per rank — the Zipf audit that sizes a tokenizer
     // vocabulary ("k tokens cover X% of the corpus"). One aggregate over
@@ -1060,6 +1096,44 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_kn_lm" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM t),
+         pr AS (
+           SELECT ctx, nxt FROM (
+             SELECT tok AS ctx,
+                    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             FROM tok)
+           WHERE nxt IS NOT NULL),
+         big AS (SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS cvw
+                 FROM pr GROUP BY 1, 2),
+         cv AS (SELECT ctx, CAST(count(*) AS BIGINT) AS cv FROM pr GROUP BY 1),
+         n1v AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n1v FROM big GROUP BY 1),
+         n1w AS (SELECT nxt, CAST(count(*) AS BIGINT) AS n1w FROM big GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM big),
+         sc AS (
+           SELECT big.ctx, big.nxt, big.cvw,
+                  CAST((greatest(4 * big.cvw - 3, 0) * nn.nn
+                        + 3 * n1v.n1v * n1w.n1w) * 1000000
+                       // (4 * cv.cv * nn.nn) AS BIGINT) AS p_kn_ppm
+           FROM big
+           JOIN cv USING (ctx) JOIN n1v USING (ctx) JOIN n1w USING (nxt)
+           CROSS JOIN nn),
+         r AS (
+           SELECT ctx, nxt, cvw, p_kn_ppm,
+                  CAST(row_number() OVER (PARTITION BY ctx
+                    ORDER BY p_kn_ppm DESC, nxt) AS BIGINT) AS rank
+           FROM sc)
+         SELECT ctx, rank, nxt, cvw, p_kn_ppm FROM r WHERE rank <= 3
+         ORDER BY ctx, rank""",
 
     "q_text_vocab_coverage" ->
       """WITH t AS (
