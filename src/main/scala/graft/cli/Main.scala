@@ -30,6 +30,8 @@ import scala.util.Try
   *   diff    --prev DIR --next DIR --key K --compare c1,c2 --out DIR (extension)
   *   prepare --in DIR... --out DIR [--min-quality Q] [--budget N]      (extension)
   *   manifest --in DIR --key COL [--out PATH]                          (extension)
+  *   ann     --in DIR --queries id,... [--topk K] [--mode brute|lsh]
+  *           [--id-col C] [--vec-col C] --out PATH                     (extension)
   *
   * Error contract (main.py:49-57,118-156): invalid dates, start > end,
   * filtered mode without --filter, --stratify without --n-per-group, and

@@ -52,6 +52,28 @@ object MultimodalQueries {
       Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3)
         .orderBy("ida", "idb")),
 
+    // tonal-diversity entropy per image: 4-level histogram of the decoded
+    // pixels, H in integer micro-nats — flat/posterized images score low,
+    // the complement of the exposure clip audit. ln runs over the fixed
+    // 16-value input set {ln(16/c)} (audited boundary margins), then
+    // everything is integer. Map-side level extraction (shiftright), one
+    // (media, level) aggregate
+    "q_mm_image_entropy" -> ((s, d) => {
+      def px(i: Int) =
+        conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+      media(s, d).where(col("meta.media_type") === "image")
+        .select(col("media_id"), explode(array(
+          (0 until 16).map(i => shiftright(px(i), 6)): _*)).as("lvl"))
+        .groupBy(col("media_id"), col("lvl")).agg(count(lit(1)).as("c"))
+        .withColumn("term", col("c") *
+          floor(log(lit(16.0) / col("c").cast("double")) * 1000000.0 + 0.5)
+            .cast("long"))
+        .groupBy(col("media_id"))
+        .agg(expr("sum(term) DIV 16").as("h_micro"),
+          count(lit(1)).as("n_levels"))
+        .orderBy("media_id")
+    }),
+
     // audio near-dup pairs: delta-sign (Haitsma–Kalker-style) fingerprints
     // matched at Hamming ≤ 3 through the SAME nibble banding as the image
     // path — one banding operator serves both modalities; the all-pairs
@@ -224,6 +246,25 @@ object MultimodalQueries {
           FROM ph a JOIN ph b ON a.media_id < b.media_id
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
           ORDER BY ida, idb""",
+
+    "q_mm_image_entropy" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          lv AS (SELECT media_id, unnest(bytes) // 64 AS lvl FROM b),
+          c AS (SELECT media_id, lvl, CAST(count(*) AS BIGINT) AS c
+                FROM lv GROUP BY 1, 2),
+          tm AS (
+            SELECT media_id,
+                   c * CAST(floor(ln(16.0 / CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                     AS BIGINT) AS term
+            FROM c)
+          SELECT media_id, CAST(sum(term) // 16 AS BIGINT) AS h_micro,
+                 CAST(count(*) AS BIGINT) AS n_levels
+          FROM tm GROUP BY 1 ORDER BY media_id""",
 
     "q_mm_audio_fp_pairs" ->
       s"""$bytesCte,

@@ -139,6 +139,14 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("image-entropy ln(16/c) values clear the micro boundary") {
+    // fixed 16-value input set, independent of fixture scale
+    val cs = spark.range(1, 17).toDF("c")
+      .select((lit(16.0) / col("c").cast("double")).as("r"))
+    val d = minBoundaryDist(cs, log(col("r")))
+    assert(d > 1e-4, s"ln(16/c) within $d of a floor boundary")
+  }
+
   test("temperature-mix sqrt(token count) values clear the micro boundary") {
     // sqrt is IEEE correctly rounded (identical across engines), so the
     // only drift surface is the floor(·1e6+0.5) site itself — raw-element
