@@ -228,6 +228,26 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // shard-boundary stitch detection: doc A's last m tokens equal doc
+    // B's first m — the signature of a document split across shard
+    // boundaries, found as one md5 equi-join of a suffix-hash table
+    // against a prefix-hash table (no text comparison crosses the wire).
+    // m is corpus-tuned: 3 on the random synthetic fixture; real split
+    // corpora use 32+ where a match is near-certain evidence
+    "q_text_stitch_pairs" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+        .where(size(col("toks")) >= 3)
+      val pre = t.select(col("doc_id").as("idb"),
+        md5(concat_ws(" ", slice(col("toks"), lit(1), lit(3)))).as("h"))
+      val suf = t.select(col("doc_id").as("ida"),
+        md5(concat_ws(" ", slice(col("toks"), lit(-3), lit(3)))).as("h"))
+      suf.join(pre, "h")
+        .where(col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"))
+        .orderBy("ida", "idb")
+    }),
+
     // interpolated Kneser–Ney bigram LM with discount d = 3/4, as EXACT
     // integer rationals: P(w|v) = max(c(v,w)−d,0)/c(v) + λ(v)·P_cont(w)
     // over the common denominator 4·c(v)·N gives numerator
@@ -1096,6 +1116,22 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_stitch_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+         pre AS (SELECT doc_id AS idb,
+                        md5(array_to_string(toks[1:3], ' ')) AS h
+                 FROM f),
+         suf AS (SELECT doc_id AS ida,
+                        md5(array_to_string(toks[len(toks)-2:len(toks)], ' ')) AS h
+                 FROM f)
+         SELECT ida, idb FROM suf JOIN pre USING (h)
+         WHERE ida != idb ORDER BY ida, idb""",
 
     "q_text_kn_lm" ->
       """WITH t AS (
