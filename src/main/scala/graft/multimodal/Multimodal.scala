@@ -257,6 +257,45 @@ object Multimodal {
       .select("ida", "idb", "ham")
   }
 
+  /** pHash of the horizontally MIRRORED pixel grid ((r,c) → (r, 3−c)):
+    * joined against [[phash]] it finds flip-duplicates — the common
+    * image-dedup evasion a plain perceptual hash misses. Same
+    * threshold-at-mean bit rule, so a mirrored copy's mirror-hash equals
+    * the original's plain hash exactly. */
+  def phashMirrored(media: DataFrame): DataFrame = {
+    def px(i: Int) =
+      conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+    def mirrored(i: Int) = px(4 * (i / 4) + (3 - i % 4))
+    val pixels = (0 until 16).map(mirrored)
+    val total = pixels.reduce(_ + _)
+    val bits = (0 until 16).map(i =>
+      when(pixels(i) * 16 > total, lit(1L << i)).otherwise(lit(0L)))
+    media.where(col("meta.media_type") === "image")
+      .select(col("media_id"), bits.reduce(_ + _).as("phash"))
+  }
+
+  /** Banded near-match between two signature tables (each (media_id,
+    * phash)): same 1-of-4-nibble candidate rule as [[phashPairs]], exact
+    * Hamming verify, pairs directed a→b with distinct ids. */
+  def phashPairsAcross(sigA: DataFrame, sigB: DataFrame,
+                       maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "1-of-4-nibble banding guarantees full recall only for Hamming <= 3")
+    def chunks(sig: DataFrame) = sig.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftright(col("phash"), 4 * c).bitwiseAND(lit(15L)).as("v"))): _*)).as("ch"))
+      .select(col("media_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks(sigA).as("a").join(chunks(sigB).as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("ham", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .where(col("ham") <= maxHamming)
+      .select("ida", "idb", "ham")
+  }
+
   /** Haitsma–Kalker-style audio fingerprint over the decoded byte series:
     * bit i = 1 iff energy(i+1) > energy(i) — the delta-sign bits that
     * survive volume scaling and mild noise, here over the 16 synthetic

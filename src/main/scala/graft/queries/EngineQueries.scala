@@ -78,6 +78,23 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // inter-order gap histogram: per-customer lag() on the customer
+    // shuffle gives consecutive-order gaps; the weekly histogram
+    // partial-aggregates on a handful of bucket keys — the re-purchase
+    // cadence profile behind retention/LTV models
+    "q_eng_order_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("gap_days", datediff(col("o_orderdate"), col("prev"))
+          .cast("long"))
+        .groupBy(expr("gap_days DIV 7").as("gap_week"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .orderBy("gap_week")
+    }),
+
     // market-basket association pairs: co-purchase support ≥ 3 with
     // exact integer-ppm lift (support·N / (cnt_a·cnt_b)) — the
     // association-rule screen over the same distinct (order, part)
@@ -1331,6 +1348,18 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_order_gaps" ->
+      """WITH g AS (
+           SELECT datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS gap_days
+           FROM orders)
+         SELECT CAST(gap_days // 7 AS BIGINT) AS gap_week,
+                CAST(count(*) AS BIGINT) AS n_gaps
+         FROM g WHERE gap_days IS NOT NULL
+         GROUP BY 1 ORDER BY gap_week""",
 
     "q_eng_basket_pairs" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -52,6 +52,16 @@ object MultimodalQueries {
       Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3)
         .orderBy("ida", "idb")),
 
+    // flip-duplicate candidates: original pHash banded against the
+    // MIRRORED-grid pHash — catches horizontally flipped copies a plain
+    // perceptual hash misses; same nibble banding + exact Hamming verify,
+    // all-pairs oracle proves recall on the cross table too
+    "q_mm_phash_mirror_pairs" -> ((s, d) =>
+      Multimodal.phashPairsAcross(
+          Multimodal.phash(media(s, d)),
+          Multimodal.phashMirrored(media(s, d)), 3)
+        .orderBy("ida", "idb")),
+
     // tonal-diversity entropy per image: 4-level histogram of the decoded
     // pixels, H in integer micro-nats — flat/posterized images score low,
     // the complement of the exposure clip audit. ln runs over the fixed
@@ -245,6 +255,38 @@ object MultimodalQueries {
                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
           FROM ph a JOIN ph b ON a.media_id < b.media_id
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          ORDER BY ida, idb""",
+
+    "q_mm_phash_mirror_pairs" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          t AS (
+            SELECT media_id, bytes,
+                   list_reduce(list_prepend(0::BIGINT, bytes), (a, b) -> a + b) AS total
+            FROM b),
+          ph AS (
+            SELECT media_id,
+                   CAST(list_reduce(list_prepend(0::BIGINT,
+                     [CASE WHEN bytes[i+1] * 16 > total THEN (1::BIGINT << i)
+                           ELSE 0::BIGINT END for i in range(0, 16)]),
+                     (a, b) -> a + b) AS BIGINT) AS phash
+            FROM t),
+          mi AS (
+            SELECT media_id,
+                   CAST(list_reduce(list_prepend(0::BIGINT,
+                     [CASE WHEN bytes[(i // 4) * 4 + (3 - i % 4) + 1] * 16 > total
+                           THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                      for i in range(0, 16)]),
+                     (a, b) -> a + b) AS BIGINT) AS mhash
+            FROM t)
+          SELECT a.media_id AS ida, b.media_id AS idb,
+                 CAST(bit_count(xor(a.phash, b.mhash)) AS BIGINT) AS ham
+          FROM ph a JOIN mi b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.phash, b.mhash)) <= 3
           ORDER BY ida, idb""",
 
     "q_mm_image_entropy" ->
