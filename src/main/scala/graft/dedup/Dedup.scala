@@ -134,32 +134,11 @@ object Dedup {
     * @param maxDf    candidate-stage document-frequency cutoff */
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, hashesCol: Column,
                         minJaccard: Double, maxDf: Int): DataFrame = {
-    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 shingle pairs nothing), got $maxDf")
     val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
-    val ex = base.select(col("id"), explode(col("hs")).as("h"))
-    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("h")
-    val kept = ex.join(hot, Seq("h"), "left_anti")
-    // per-doc total / kept-set sizes (docs with zero kept shingles generate
-    // no candidates, so the inner join loses nothing)
-    val sizes = base.select(col("id"), size(col("hs")).as("n"))
-    val keptSizes = kept.groupBy(col("id")).agg(count(lit(1)).as("kn"))
-    val stats = sizes.join(keptSizes, "id")
-    // candidate pairs with their KEPT-shared count (the groupBy doubles as
-    // the distinct): ks is a lower bound on the true shared count
-    val cand = kept.as("a").join(kept.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("ks"))
-    // lossless upper-bound prune before the expensive exact intersect:
-    // shared <= ks + min(na-ka, nb-kb) (a pair can at best also share every
-    // hot shingle of the smaller hot set), and jac = s/(na+nb-s) is
-    // monotone increasing in s — so a pair whose bound misses the threshold
-    // provably cannot qualify, and no qualifying pair is ever dropped
-    val pruned = cand
-      .join(stats.select(col("id").as("ida"), col("n").as("na"), col("kn").as("ka")), "ida")
-      .join(stats.select(col("id").as("idb"), col("n").as("nb"), col("kn").as("kb")), "idb")
-      .withColumn("ub", col("ks") + least(col("na") - col("ka"), col("nb") - col("kb")))
+    // jac = s/(na+nb−s) is monotone increasing in s, so the ub bound is a
+    // lossless prune: a pair whose bound misses the threshold provably
+    // cannot qualify, and no qualifying pair is ever dropped
+    val pruned = candidateBounds(base, maxDf)
       .where(col("ub").cast("double") >=
         lit(minJaccard) * (col("na") + col("nb") - col("ub")).cast("double"))
       .select("ida", "idb")
@@ -172,6 +151,31 @@ object Dedup {
           col("shared").cast("double")))
       .where(col("jac") >= minJaccard)
       .select("ida", "idb", "shared", "jac")
+  }
+
+  /** Shared candidate stage of the jaccard / containment verifiers:
+    * df-capped inverted-index pairs with the kept-shared count `ks`,
+    * full/kept set sizes, and the lossless shared-count upper bound
+    * `ub = ks + min(na−ka, nb−kb)` (a pair can at best also share every
+    * hot shingle of the smaller hot set). Docs with zero kept shingles
+    * generate no candidates, so the inner joins lose nothing; the
+    * hot-shingle dictionary is a tiny aggregate that AQE broadcasts. */
+  private def candidateBounds(base: DataFrame, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 shingle pairs nothing), got $maxDf")
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val kept = ex.join(hot, Seq("h"), "left_anti")
+    val sizes = base.select(col("id"), size(col("hs")).as("n"))
+    val keptSizes = kept.groupBy(col("id")).agg(count(lit(1)).as("kn"))
+    val stats = sizes.join(keptSizes, "id")
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("ks"))
+      .join(stats.select(col("id").as("ida"), col("n").as("na"), col("kn").as("ka")), "ida")
+      .join(stats.select(col("id").as("idb"), col("n").as("nb"), col("kn").as("kb")), "idb")
+      .withColumn("ub", col("ks") + least(col("na") - col("ka"), col("nb") - col("kb")))
   }
 
   /** Near-subset pairs by CONTAINMENT of the smaller shingle set in the
@@ -188,23 +192,9 @@ object Dedup {
     * in s, so no qualifying pair is dropped. */
   def containmentPairs(docs: DataFrame, idCol: Column, hashesCol: Column,
                        minContainment: Double, maxDf: Int): DataFrame = {
-    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
-    val ex = base.select(col("id"), explode(col("hs")).as("h"))
-    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("h")
-    val kept = ex.join(hot, Seq("h"), "left_anti")
-    val sizes = base.select(col("id"), size(col("hs")).as("n"))
-    val keptSizes = kept.groupBy(col("id")).agg(count(lit(1)).as("kn"))
-    val stats = sizes.join(keptSizes, "id")
-    val cand = kept.as("a").join(kept.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("ks"))
-    val pruned = cand
-      .join(stats.select(col("id").as("ida"), col("n").as("na"), col("kn").as("ka")), "ida")
-      .join(stats.select(col("id").as("idb"), col("n").as("nb"), col("kn").as("kb")), "idb")
-      .withColumn("ub", col("ks") + least(col("na") - col("ka"), col("nb") - col("kb")))
+    // C = s/min(na,nb) is monotone in s — same lossless-prune argument
+    val pruned = candidateBounds(base, maxDf)
       .where(col("ub").cast("double") >=
         lit(minContainment) * least(col("na"), col("nb")).cast("double"))
       .select("ida", "idb")
