@@ -81,6 +81,35 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // leave-one-out 5-NN classifier evaluation over the labeled
+    // embeddings: majority vote among the 5 nearest (self excluded by
+    // construction), deterministic tie-break (count DESC, label ASC),
+    // per-class accuracy. The eval slice (vec_id % 5 = 0) keeps the
+    // brute-force pass bounded; the 100 TB path swaps in the LSH/IVF
+    // candidate stage exactly as q_sim_recall_eval measures
+    "q_sim_knn_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val nn = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") % 5 === 0), emb, 5)
+      val votes = nn
+        .join(labels.select(col("vec_id").as("nid"),
+          col("label").as("nlabel")), "nid")
+        .groupBy(col("qid"), col("nlabel")).agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("nlabel"))
+      val pred = votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("qid"), col("nlabel").as("pred"))
+      pred
+        .join(labels.select(col("vec_id").as("qid"),
+          col("label").as("truth")), "qid")
+        .groupBy(col("truth"))
+        .agg(count(lit(1)).as("n_eval"),
+          count(when(col("pred") === col("truth"), 1)).as("n_correct"))
+        .orderBy("truth")
+    }),
+
     // k-center (farthest-point) coreset selection: start from the lowest
     // id, repeatedly add the vector MOST DISSIMILAR to the selected set
     // (argmin of running max-cos, ties → lowest id) — the greedy
@@ -454,6 +483,35 @@ object SimilarityQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM scored)
           SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q_sim_knn_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          l AS (SELECT vec_id, label FROM embeddings),
+          scored AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id
+            WHERE x.vec_id % 5 = 0),
+          nn AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, nid) AS rk
+              FROM scored) WHERE rk <= 5),
+          votes AS (
+            SELECT nn.qid, l.label AS nlabel, CAST(count(*) AS BIGINT) AS votes
+            FROM nn JOIN l ON l.vec_id = nn.nid
+            GROUP BY 1, 2),
+          pred AS (
+            SELECT qid, nlabel AS pred FROM (
+              SELECT qid, nlabel,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY votes DESC, nlabel) AS rk
+              FROM votes) WHERE rk = 1)
+          SELECT l.label AS truth, CAST(count(*) AS BIGINT) AS n_eval,
+                 CAST(count(CASE WHEN pred.pred = l.label THEN 1 END) AS BIGINT)
+                   AS n_correct
+          FROM pred JOIN l ON l.vec_id = pred.qid
+          GROUP BY 1 ORDER BY truth""",
 
     "q_sim_kcenter" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
