@@ -1084,6 +1084,28 @@ object EngineQueries {
       graft.operators.Graph.countOriented(dir, e)
     }),
 
+    // log2-bucketed degree distribution of the co-purchase graph — the
+    // first diagnostic before choosing graph-algorithm parameters (is
+    // there a heavy tail?). Reuses the suite-cached edge table; the
+    // bucket key is integer (bit-length − 1), identical in both engines
+    "q_eng_degree_dist" -> ((s, d) => {
+      val e = QueryCaches.memo(s, d, "tri_edges") {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = op.as("a")
+          .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("pu"), col("b.p").as("pv"))
+        graft.operators.Graph.canonicalEdges(edges, "pu", "pv")
+      }
+      e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .groupBy((length(bin(col("deg"))) - 1).cast("long").as("log2_deg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy("log2_deg")
+    }),
+
     // k-core peeling on the part co-purchase graph: 3 rounds of
     // drop-degree-below-80, reusing the suite-cached canonical edge
     // table. Per round one degree shuffle + two semi joins against the
@@ -2075,6 +2097,20 @@ object EngineQueries {
                  FROM e e1
                  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""",
+
+    "q_eng_degree_dist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+         d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+               GROUP BY 1)
+         SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_deg,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(min(deg) AS BIGINT) AS min_deg,
+                CAST(max(deg) AS BIGINT) AS max_deg
+         FROM d GROUP BY 1 ORDER BY log2_deg""",
 
     "q_eng_kcore" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -228,6 +228,26 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // term burstiness (Church–Gale): variance-to-mean ratio of per-doc
+    // counts over ALL docs (zeros included via the closed form
+    // (N·Σc² − (Σc)²)/(N·Σc)) — bursty terms concentrate in few docs,
+    // uniform terms spread evenly; the signal separating topical terms
+    // from function words. Exact integer ppm; one (tok, doc) aggregate
+    // then vocab-sized arithmetic
+    "q_text_burstiness" -> ((s, d) => {
+      val perDoc = postings(s, d).groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("nd"))
+      perDoc.groupBy(col("tok"))
+        .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"),
+          count(lit(1)).as("n_docs_with"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("n_docs_with"), col("sc").as("total"),
+          expr("(nd * sc2 - sc * sc) * 1000000 DIV (nd * sc)").as("vmr_ppm"))
+        .orderBy(col("total").desc, col("tok"))
+        .limit(20)
+    }),
+
     // shard-boundary stitch detection: doc A's last m tokens equal doc
     // B's first m — the signature of a document split across shard
     // boundaries, found as one md5 equi-join of a suffix-hash table
@@ -1116,6 +1136,26 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_burstiness" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM x GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM t),
+         st AS (SELECT tok, CAST(sum(c) AS BIGINT) AS sc,
+                       CAST(sum(c * c) AS BIGINT) AS sc2,
+                       CAST(count(*) AS BIGINT) AS n_docs_with
+                FROM pd GROUP BY 1)
+         SELECT tok, n_docs_with, sc AS total,
+                CAST((nd.nd * sc2 - sc * sc) * 1000000 // (nd.nd * sc)
+                  AS BIGINT) AS vmr_ppm
+         FROM st, nd
+         ORDER BY total DESC, tok LIMIT 20""",
 
     "q_text_stitch_pairs" ->
       """WITH t AS (
