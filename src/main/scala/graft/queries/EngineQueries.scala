@@ -78,6 +78,55 @@ object EngineQueries {
             .as("revenue"))
         .orderBy("p_brand")),
 
+    // weekday seasonality: order volume + revenue share per weekday.
+    // The weekday derives from an anchor-Monday day difference with a
+    // sign-safe double mod — engine-independent (no dayofweek() calendar
+    // convention mismatch); shares are integer ppm on the 7-row table
+    "q_eng_weekday_seasonality" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(pmod(datediff(col("o_orderdate"),
+            to_date(lit("1995-01-02"))).cast("long"), lit(7L)).as("dow"),
+          col("o_totalprice"))
+      val tot = o.agg(count(lit(1)).as("nt"))
+      o.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_orders"), col("revenue"),
+          expr("n_orders * 1000000 DIV nt").as("share_ppm"))
+        .orderBy("dow")
+    }),
+
+    // revenue Lorenz curve: cumulative revenue share of customer deciles
+    // (ranked richest-first) — the concentration profile behind the Gini
+    // in q_eng_skew_report. Money moves as exact integer cents
+    // (floor(x·100+0.5): 2dp doubles sit ~1e-10 from the cent, never at
+    // the 0.5 boundary), so every share is integer ppm; all windows run
+    // on the keys-sized customer table
+    "q_eng_lorenz" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val n = rev.agg(count(lit(1)).as("nc"))
+      val ranked = rev
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("(rk - 1) * 10 DIV nc"))
+      val perDecile = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
+      val tot = perDecile.agg(sum(col("dc")).as("tc"))
+      perDecile
+        .withColumn("cum", sum(col("dc")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          expr("cum * 1000000 DIV tc").as("cum_share_ppm"))
+        .orderBy("decile")
+    }),
+
     // inter-order gap histogram: per-customer lag() on the customer
     // shuffle gives consecutive-order gaps; the weekly histogram
     // partial-aggregates on a handful of bucket keys — the re-purchase
@@ -1370,6 +1419,52 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_eng_weekday_seasonality" ->
+      s"""WITH o AS (
+            SELECT ((datediff('day', TIMESTAMP '1995-01-02', o_orderdate) % 7)
+                    + 7) % 7 AS dow,
+                   o_totalprice
+            FROM orders),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM o),
+          g AS (
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   ${sqlMoneySum("o_totalprice")} AS revenue
+            FROM o GROUP BY 1)
+          SELECT dow, n_orders, revenue,
+                 CAST(n_orders * 1000000 // t.nt AS BIGINT) AS share_ppm
+          FROM g, t ORDER BY dow""",
+
+    "q_eng_lorenz" ->
+      """WITH r AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM r),
+         rk AS (
+           SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS rk
+           FROM r),
+         dec AS (
+           SELECT (rk - 1) * 10 // nc AS decile, cents FROM rk, n),
+         pd AS (
+           SELECT CAST(decile AS BIGINT) AS decile,
+                  CAST(count(*) AS BIGINT) AS n_customers,
+                  CAST(sum(cents) AS BIGINT) AS dc
+           FROM dec GROUP BY 1),
+         t AS (SELECT CAST(sum(dc) AS BIGINT) AS tc FROM pd),
+         c AS (
+           SELECT decile, n_customers,
+                  CAST(sum(dc) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM pd)
+         SELECT decile, n_customers,
+                CAST(cum * 1000000 // t.tc AS BIGINT) AS cum_share_ppm
+         FROM c, t ORDER BY decile""",
 
     "q_eng_order_gaps" ->
       """WITH g AS (
