@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      EngineQueries.queries
+      EngineQueries.queries ++ AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      EngineQueries.oracleSql
+      EngineQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

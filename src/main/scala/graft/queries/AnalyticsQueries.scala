@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Round-5 analytics wave: the remaining TPC-H shapes expressible on the
+  * harness schema, graph traversal (BFS hop distance), and robust statistics
+  * (exact median-absolute-deviation outliers).
+  *
+  * Same determinism contract as [[EngineQueries]]: money through exact
+  * DECIMAL accumulation, medians through exact integer cents + rank
+  * selection (no interpolation), doubles only as the final cast of
+  * identical IEEE expression trees over exact integer inputs.
+  */
+object AnalyticsQueries {
+
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  private def sqlMoneySum(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q13 shape: how many customers placed exactly k orders,
+    // including the zero-order tail the inner join would drop. Orders
+    // pre-aggregate by custkey first (partial agg before the one shuffle);
+    // the left join then moves only (custkey, count) — never order rows —
+    // and the final histogram aggregate is vocabulary-sized
+    "q_eng_customer_dist" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("n_orders").desc)
+    }),
+
+    // TPC-H Q6 shape: forecasting-revenue-change — a pure
+    // scan→filter→aggregate with NO join. The whole point at 100 TB is
+    // the plan: every predicate (date range, discount band, quantity)
+    // pushes to the parquet scan, the projection prunes to 4 columns,
+    // and one partial-aggregated exchange carries two numbers
+    "q_eng_discount_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(to_date(col("l_shipdate")) >= to_date(lit("1995-01-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1996-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // single-source BFS hop distance over the co-purchase graph (parts
+    // sharing an order ≥ 2 times), seeded at the smallest node. Classic
+    // iterative frontier expansion: per hop ONE equi-join of the edge
+    // table against the (broadcast-small) frontier plus an anti-join
+    // against the visited set — no transitive-closure blow-up, and the
+    // dedup inside each hop keeps frontier rows ≤ |V| regardless of edge
+    // multiplicity. The oracle's recursive CTE (UNION dedup + min(hop))
+    // proves the unrolled joins compute true shortest hop counts
+    "q_eng_bfs_hops" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val und = op.as("a")
+        .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+      val seed = edges.agg(min(col("src")).as("node"))
+        .select(col("node"), lit(0L).as("hop"))
+      var visited = seed
+      var frontier = seed.select("node")
+      for (h <- 1 to 3) {
+        val next = edges
+          .join(broadcast(frontier), col("src") === col("node"))
+          .select(col("dst").as("node"))
+          .distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+        visited = visited
+          .union(next.select(col("node"), lit(h.toLong).as("hop")))
+        frontier = next
+      }
+      visited.orderBy("node")
+    }),
+
+    // robust outlier report: per market segment, the exact median and
+    // median-absolute-deviation of account balances in integer cents,
+    // and the count of |x − med| > 3·MAD outliers. Medians come from the
+    // rank-selection trick (the two middle ranks, summed — so even-n
+    // medians stay integer at 2× scale, no float interpolation), applied
+    // twice: once on balances, once on the absolute deviations. Group
+    // windows are per-segment sorts; at 100 TB the bucket-pruned
+    // two-phase [[graft.operators.WeightedMedian]] replaces the full
+    // window pass — the contract here is exactness of the rank rule
+    "q_eng_mad_outliers" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_mktsegment").as("seg"), col("c_custkey").as("ck"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+
+      def med2(df: DataFrame, value: String, ord: String, out: String): DataFrame = {
+        val wR = Window.partitionBy("seg").orderBy(col(value), col(ord))
+        val wN = Window.partitionBy("seg")
+        df.withColumn("rn", row_number().over(wR).cast("long"))
+          .withColumn("n", count(lit(1)).over(wN))
+          .groupBy("seg")
+          .agg((max(when(col("rn") === expr("(n + 1) DIV 2"), col(value))) +
+            max(when(col("rn") === expr("n DIV 2 + 1"), col(value))))
+            .as(out))
+      }
+
+      val m = med2(c, "cents", "ck", "median_cents2")
+      val dev = c.join(broadcast(m), "seg")
+        .withColumn("d2", abs(col("cents") * 2 - col("median_cents2")))
+      val mad = med2(dev, "d2", "ck", "mad_cents4")
+      dev.join(broadcast(mad), "seg")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          first(col("median_cents2")).as("median_cents2"),
+          first(col("mad_cents4")).as("mad_cents4"),
+          count(when(col("d2") * 2 > col("mad_cents4") * 3, 1)).as("n_outliers"))
+        .orderBy("seg")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_eng_customer_dist" ->
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+                     FROM orders GROUP BY 1)
+         SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+         FROM (SELECT COALESCE(cnt, 0) AS n_orders
+               FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+         GROUP BY 1
+         ORDER BY n_custs DESC, n_orders DESC""",
+
+    "q_eng_discount_revenue" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                 ${sqlMoneySum("l_extendedprice * l_discount")} AS revenue
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+            AND l_discount >= 0.05 AND l_discount <= 0.07
+            AND l_quantity < 24""",
+
+    "q_eng_bfs_hops" ->
+      """WITH RECURSIVE
+         op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         und AS (SELECT a.p AS u, b.p AS v
+                 FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT u AS src, v AS dst FROM und
+               UNION ALL SELECT v, u FROM und),
+         seed AS (SELECT min(src) AS s FROM e),
+         bfs(node, hop) AS (
+           SELECT s, 0 FROM seed
+           UNION
+           SELECT e.dst, bfs.hop + 1
+           FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 3)
+         SELECT node, CAST(min(hop) AS BIGINT) AS hop
+         FROM bfs GROUP BY 1 ORDER BY node""",
+
+    "q_eng_mad_outliers" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_custkey AS ck,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer),
+         r1 AS (
+           SELECT seg, cents,
+                  row_number() OVER (PARTITION BY seg ORDER BY cents, ck) AS rn,
+                  count(*) OVER (PARTITION BY seg) AS n
+           FROM c),
+         m AS (
+           SELECT seg,
+                  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                     + max(CASE WHEN rn = n // 2 + 1 THEN cents END)
+                   AS BIGINT) AS median_cents2
+           FROM r1 GROUP BY seg),
+         dv AS (
+           SELECT c.seg, c.ck, abs(c.cents * 2 - m.median_cents2) AS d2,
+                  m.median_cents2
+           FROM c JOIN m ON c.seg = m.seg),
+         r2 AS (
+           SELECT seg, d2,
+                  row_number() OVER (PARTITION BY seg ORDER BY d2, ck) AS rn,
+                  count(*) OVER (PARTITION BY seg) AS n
+           FROM dv),
+         mad AS (
+           SELECT seg,
+                  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN d2 END)
+                     + max(CASE WHEN rn = n // 2 + 1 THEN d2 END)
+                   AS BIGINT) AS mad_cents4
+           FROM r2 GROUP BY seg)
+         SELECT dv.seg AS seg, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(dv.median_cents2) AS BIGINT) AS median_cents2,
+                CAST(min(mad.mad_cents4) AS BIGINT) AS mad_cents4,
+                CAST(count(CASE WHEN dv.d2 * 2 > mad.mad_cents4 * 3 THEN 1 END)
+                  AS BIGINT) AS n_outliers
+         FROM dv JOIN mad ON dv.seg = mad.seg
+         GROUP BY 1 ORDER BY seg""")
+}
