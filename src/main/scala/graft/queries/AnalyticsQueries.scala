@@ -126,6 +126,75 @@ object AnalyticsQueries {
           first(col("mad_cents4")).as("mad_cents4"),
           count(when(col("d2") * 2 > col("mad_cents4") * 3, 1)).as("n_outliers"))
         .orderBy("seg")
+    }),
+
+    // last-touch marketing attribution: each purchase is credited to the
+    // same user's most recent preceding click within a 7-day lookback.
+    // One window over the per-user event stream (a single user_id
+    // shuffle) carries the last-click timestamp forward — no self-join,
+    // no per-purchase range scan; the as-of semantics ride the running
+    // `last(..., ignoreNulls)` frame
+    "q_eng_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("bucket",
+          when(col("click_ts").isNotNull &&
+            col("ts") <= col("click_ts") + expr("INTERVAL 7 DAYS"),
+            lit("attributed")).otherwise(lit("organic")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct("user_id").as("n_users"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy("bucket")
+    }),
+
+    // chi-square independence scan (event type × weekday): per-cell
+    // contribution (O·N − R·C)²/(R·C·N) from exact long counts — the
+    // margins are two vocabulary-sized aggregates joined back to the
+    // contingency cells, all broadcast-scale after the one fact
+    // aggregation. Doubles appear only as identically-shaped IEEE
+    // expressions over the exact integers, so the gate stays bitwise
+    "q_eng_chi_square" -> ((s, d) => {
+      val base = Tables.events(s, d).select(col("event_type").as("et"),
+        pmod(datediff(to_date(col("ts")), to_date(lit("1995-01-02")))
+          .cast("long"), lit(7L)).as("dow"))
+      val cells = base.groupBy("et", "dow").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("et").agg(sum("o").as("r"))
+      val colT = cells.groupBy("dow").agg(sum("o").as("c"))
+      val tot = cells.agg(sum("o").as("n"))
+      val dvn = (col("o") * col("n") - col("r") * col("c")).cast("double")
+      cells.join(broadcast(rowT), "et").join(broadcast(colT), "dow")
+        .crossJoin(broadcast(tot))
+        .select(col("et"), col("dow"), col("o").as("observed"),
+          (dvn * dvn / (col("r").cast("double") * col("c").cast("double") *
+            col("n").cast("double"))).as("chi2_contrib"))
+        .orderBy("et", "dow")
+    }),
+
+    // minority-class balancing: downsample every language class to the
+    // size of the smallest one, selecting rows in content-hash order
+    // (layout-independent, reproducible — the sampler family's R6
+    // contract). The per-class rank is one window over the lang shuffle;
+    // the data-derived k arrives as a broadcast scalar
+    "q_sample_balanced" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      val kMin = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("c"))
+        .agg(min("c").as("k"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(kMin))
+        .where(col("rn") <= col("k"))
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -201,5 +270,57 @@ object AnalyticsQueries {
                 CAST(count(CASE WHEN dv.d2 * 2 > mad.mad_cents4 * 3 THEN 1 END)
                   AS BIGINT) AS n_outliers
          FROM dv JOIN mad ON dv.seg = mad.seg
-         GROUP BY 1 ORDER BY seg""")
+         GROUP BY 1 ORDER BY seg""",
+
+    "q_eng_attribution" ->
+      """WITH w AS (
+           SELECT event_id, user_id, ts, event_type, value,
+                  last_value(CASE WHEN event_type = 'click' THEN ts END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS click_ts
+           FROM events)
+         SELECT CASE WHEN click_ts IS NOT NULL
+                      AND ts <= click_ts + INTERVAL 7 DAY
+                     THEN 'attributed' ELSE 'organic' END AS bucket,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM w WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY bucket""",
+
+    "q_eng_chi_square" ->
+      """WITH base AS (
+           SELECT event_type AS et,
+                  ((datediff('day', DATE '1995-01-02', CAST(ts AS DATE)) % 7)
+                   + 7) % 7 AS dow
+           FROM events),
+         cells AS (SELECT et, CAST(dow AS BIGINT) AS dow,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM base GROUP BY 1, 2),
+         rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+         SELECT et, dow, o AS observed,
+                CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+                  / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                  AS chi2_contrib
+         FROM cells
+         JOIN rt USING (et)
+         JOIN ct USING (dow)
+         CROSS JOIN t
+         ORDER BY et, dow""",
+
+    "q_sample_balanced" ->
+      """WITH k AS (
+           SELECT min(c) AS k
+           FROM (SELECT lang, count(*) AS c FROM documents GROUP BY 1)),
+         r AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(text), doc_id) AS rn
+           FROM documents)
+         SELECT lang, doc_id FROM r, k WHERE rn <= k.k
+         ORDER BY lang, doc_id""")
 }

@@ -130,7 +130,28 @@ object MultimodalQueries {
     // of feature extraction
     "q_mm_exposure" -> ((s, d) =>
       Multimodal.exposure(media(s, d), lo = 64, hi = 192)
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // focus/blur metric: Laplacian energy over the 4×4 pixel grid — the
+    // variance-of-Laplacian sharpness test at the fixture's grid size.
+    // The 4-neighbor Laplacian at each inner cell is exact integer
+    // arithmetic on the decoded bytes (map-side expressions only: no
+    // shuffle, no UDF), so the blur flag is bitwise across engines
+    "q_mm_blur_energy" -> ((s, d) => {
+      def px(i: Int) =
+        conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+      val terms = for { r <- 1 to 2; c <- 1 to 2 } yield {
+        val l = px(4 * r + c) * 4 - px(4 * (r - 1) + c) - px(4 * (r + 1) + c) -
+          px(4 * r + c - 1) - px(4 * r + c + 1)
+        l * l
+      }
+      media(s, d).where(col("meta.media_type") === "image")
+        .select(col("media_id"), terms.reduce(_ + _).as("lap_energy"))
+        .withColumn("focus",
+          when(col("lap_energy") < 150000L, lit("blurry"))
+            .otherwise(lit("sharp")))
+        .orderBy("media_id")
+    })
   )
 
   /** payload bytes as BIGINTs, parsed from the md5 hex (payload = unhex(md5)). */
@@ -407,6 +428,31 @@ object MultimodalQueries {
                  CASE WHEN n_dark >= 8 THEN 'under'
                       WHEN n_bright >= 8 THEN 'over'
                       ELSE 'ok' END AS exposure
-          FROM e ORDER BY media_id"""
+          FROM e ORDER BY media_id""",
+
+    "q_mm_blur_energy" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          l AS (
+            SELECT media_id,
+                   CAST(
+                     (4*bytes[6]  - bytes[2] - bytes[10] - bytes[5]  - bytes[7])
+                   * (4*bytes[6]  - bytes[2] - bytes[10] - bytes[5]  - bytes[7])
+                   + (4*bytes[7]  - bytes[3] - bytes[11] - bytes[6]  - bytes[8])
+                   * (4*bytes[7]  - bytes[3] - bytes[11] - bytes[6]  - bytes[8])
+                   + (4*bytes[10] - bytes[6] - bytes[14] - bytes[9]  - bytes[11])
+                   * (4*bytes[10] - bytes[6] - bytes[14] - bytes[9]  - bytes[11])
+                   + (4*bytes[11] - bytes[7] - bytes[15] - bytes[10] - bytes[12])
+                   * (4*bytes[11] - bytes[7] - bytes[15] - bytes[10] - bytes[12])
+                   AS BIGINT) AS lap_energy
+            FROM b)
+          SELECT media_id, lap_energy,
+                 CASE WHEN lap_energy < 150000 THEN 'blurry'
+                      ELSE 'sharp' END AS focus
+          FROM l ORDER BY media_id"""
   )
 }

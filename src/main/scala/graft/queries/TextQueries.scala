@@ -873,6 +873,38 @@ object TextQueries {
           .as("entropy_micro"),
           max(col("dl")).as("dl"))
         .orderBy("doc_id")
+    }),
+
+    // Zipf rank-frequency fit per source: OLS slope of ln(freq) on
+    // ln(rank) over the source's term table (slope ≈ −1 for natural
+    // text — a corpus-health diagnostic that flags synthetic or
+    // boilerplate-heavy sources). ln is quantized at the leaf per
+    // distinct rank/frequency (both small-integer domains — audited
+    // sites), the OLS moments accumulate as exact integers (DECIMAL(38)
+    // headroom for web-scale vocabularies), and the slope is the same
+    // fixed-shape IEEE expression over those exact sums on both engines
+    "q_text_zipf_slope" -> ((s, d) => {
+      val tf = postings(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("source").orderBy(col("f").desc, col("tok"))
+      val xy = tf.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("source"),
+          floor(log(col("rk").cast("double")) * 1000000.0 + 0.5)
+            .cast("long").as("x"),
+          floor(log(col("f").cast("double")) * 1000000.0 + 0.5)
+            .cast("long").as("y"))
+      xy.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"))
+        .select(col("source"), col("n"),
+          ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+            .as("zipf_slope"))
+        .orderBy("source")
     })
   )
 
@@ -1792,6 +1824,36 @@ object TextQueries {
                 CAST(CAST(sum(c * t) AS BIGINT) // max(dl) AS BIGINT)
                   AS entropy_micro,
                 CAST(max(dl) AS BIGINT) AS dl
-         FROM term GROUP BY doc_id ORDER BY doc_id"""
+         FROM term GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_text_zipf_slope" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         tf AS (SELECT d.source, x.tok, CAST(count(*) AS BIGINT) AS f
+                FROM x JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         r AS (SELECT source, f,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY f DESC, tok) AS rk
+               FROM tf),
+         xy AS (SELECT source,
+                       CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS x,
+                       CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS y
+                FROM r),
+         m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS DOUBLE) AS sx,
+                      CAST(sum(y) AS DOUBLE) AS sy,
+                      CAST(sum(x * x) AS DOUBLE) AS sxx,
+                      CAST(sum(x * y) AS DOUBLE) AS sxy
+               FROM xy GROUP BY 1)
+         SELECT source, n,
+                (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope
+         FROM m ORDER BY source"""
   )
 }
