@@ -147,6 +147,24 @@ class QuantBoundarySpec extends SparkSpec {
     assert(d > 1e-4, s"ln(16/c) within $d of a floor boundary")
   }
 
+  test("Zipf ln(rank) and ln(freq) values clear the micro boundary") {
+    // q_text_zipf_slope quantizes ln at the leaf per distinct rank and
+    // per distinct term frequency — both small-integer domains
+    for (dir <- gateSfs) {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val freqs = toks.groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      val nMax = freqs.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(max("n")).as[Long].head()
+      val ranks = spark.range(1, nMax + 1).toDF("v")
+        .select(col("v").cast("double").as("x"))
+      val fs = freqs.select(col("f").cast("double").as("x")).distinct()
+      val d = minBoundaryDist(ranks.union(fs), log(col("x")))
+      assert(d > 1e-4, s"$dir: zipf ln value within $d of a floor boundary")
+    }
+  }
+
   test("temperature-mix sqrt(token count) values clear the micro boundary") {
     // sqrt is IEEE correctly rounded (identical across engines), so the
     // only drift surface is the floor(·1e6+0.5) site itself — raw-element
