@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Batch MERGE INTO — the lakehouse upsert statement (WHEN MATCHED UPDATE /
+  * WHEN MATCHED [cond] DELETE / WHEN NOT MATCHED INSERT) as ONE full-outer
+  * equi-join on the merge key.
+  *
+  * Plan shape at 100 TB: a single hash shuffle of each side on the key
+  * (zero exchanges when both sides are bucketed on it); no per-row lookups,
+  * no driver loop. The changeset is usually much smaller than the target —
+  * AQE turns the join into a broadcast automatically when it fits, which
+  * is the "merge-on-read with small deltas" fast path.
+  *
+  * Semantics (standard SQL MERGE):
+  *   - matched & `deleteWhen` (evaluated on the SOURCE row) → row dropped;
+  *   - matched otherwise → source row wins (the update);
+  *   - source-only → inserted (delete clauses never apply to inserts);
+  *   - target-only → kept unchanged.
+  */
+object Merge {
+
+  /** Both inputs must carry the same columns. `deleteWhen` may reference
+    * source fields via `col("_src.<field>")`. */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+                deleteWhen: Column = lit(false)): DataFrame = {
+    val cols = target.columns.toSeq
+    require(source.columns.toSeq == cols,
+      s"source columns ${source.columns.mkString(",")} must match target ${cols.mkString(",")}")
+    def pack(df: DataFrame, as: String) =
+      df.select(struct(cols.map(col): _*).as(as))
+        .select(keys.map(k => col(s"$as.$k").as(k)) :+ col(as): _*)
+    val matched = col("_tgt").isNotNull && col("_src").isNotNull
+    pack(target, "_tgt")
+      .join(pack(source, "_src"), keys, "full_outer")
+      .where(!(matched && deleteWhen))
+      .select(cols.map(c =>
+        when(col("_src").isNotNull, col(s"_src.$c"))
+          .otherwise(col(s"_tgt.$c")).as(c)): _*)
+  }
+}

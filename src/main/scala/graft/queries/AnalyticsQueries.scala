@@ -195,6 +195,60 @@ object AnalyticsQueries {
         .where(col("rn") <= col("k"))
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
+    }),
+
+    // batch MERGE INTO (lakehouse upsert): target = snapshot without the
+    // %13 keys, source = the %7 keys with bumped prices, matched 'F' rows
+    // deleted. One full-outer join on the key (see operators/Merge for
+    // the 100 TB notes); the oracle spells out the same MERGE semantics
+    // longhand, so gate equality proves update/insert/delete/keep rows all
+    // land bit-identically
+    "q_eng_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val target = o.where(col("o_orderkey") % 13 =!= 0)
+      val source = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      graft.operators.Merge.mergeInto(target, source, Seq("o_orderkey"),
+          deleteWhen = col("_src.o_orderstatus") === "F")
+        .orderBy("o_orderkey")
+    }),
+
+    // KMV sketch set algebra: distinct-count estimates for two customer
+    // cohorts (urgent-priority vs finished-status), their union, Jaccard,
+    // and intersection — all from two 128-value bottom-k sketches, never
+    // rescanning the data for the set operations. Integer 52-bit hash
+    // arithmetic end to end, so the ESTIMATES themselves gate bitwise
+    "q_eng_kmv_sets" -> ((s, d) => {
+      val k = 128
+      val o = Tables.orders(s, d)
+      val e = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("set"), col("o_custkey").as("v"))
+        .unionByName(o.where(col("o_orderstatus") === "F")
+          .select(lit("final").as("set"), col("o_custkey").as("v")))
+      val sk = graft.operators.KmvSketch.sketch(e, col("set"), col("v"), k)
+      val est = graft.operators.KmvSketch.estimate(sk, k)
+      // merged (union) sketch: k smallest of the two sketches' members —
+      // sketch-scale data (≤ 2k rows), so the unpartitioned rank is safe
+      val uk = sk.select("h").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))).cast("long"))
+        .where(col("rn") <= k)
+      val ue = uk.agg(count(lit(1)).as("kn"), max("h").as("hk"))
+        .select(when(col("kn") < k, col("kn"))
+          .otherwise(expr(s"(${k - 1} * ${graft.operators.KmvSketch.HashSpace}L) DIV hk"))
+          .as("union_est"))
+      val m = uk
+        .join(sk.where(col("set") === "urgent").select("h"), Seq("h"), "left_semi")
+        .join(sk.where(col("set") === "final").select("h"), Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      est.where(col("set") === "urgent")
+        .select(col("distinct_est").as("urgent_est"))
+        .crossJoin(est.where(col("set") === "final")
+          .select(col("distinct_est").as("final_est")))
+        .crossJoin(ue).crossJoin(m)
+        .select(col("urgent_est"), col("final_est"), col("union_est"),
+          expr(s"m * 1000000 DIV $k").as("jaccard_ppm"),
+          expr(s"m * union_est DIV $k").as("intersect_est"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -322,5 +376,58 @@ object AnalyticsQueries {
                                      ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          SELECT lang, doc_id FROM r, k WHERE rn <= k.k
-         ORDER BY lang, doc_id""")
+         ORDER BY lang, doc_id""",
+
+    "q_eng_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 13 <> 0),
+         s AS (SELECT o_orderkey, o_orderstatus,
+                      o_totalprice + 100.0 AS o_totalprice
+               FROM orders WHERE o_orderkey % 7 = 0),
+         j AS (SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                      t.o_orderkey IS NOT NULL AS in_t,
+                      s.o_orderkey IS NOT NULL AS in_s,
+                      COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+                      COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+                      s.o_orderstatus AS s_status
+               FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+         SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM j WHERE NOT (in_t AND in_s AND s_status = 'F')
+         ORDER BY o_orderkey""",
+
+    "q_eng_kmv_sets" ->
+      """WITH e AS (
+           SELECT 'urgent' AS s, o_custkey AS v FROM orders
+           WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT 'final', o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         hh AS (SELECT DISTINCT s,
+                       CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13)
+                         AS BIGINT) AS h
+                FROM e),
+         r AS (SELECT s, h,
+                      row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+               FROM hh),
+         sk AS (SELECT s, h FROM r WHERE rn <= 128),
+         est AS (SELECT s,
+                        CAST(CASE WHEN count(*) < 128 THEN count(*)
+                             ELSE (127 * 4503599627370496) // max(h) END
+                          AS BIGINT) AS de
+                 FROM sk GROUP BY s),
+         u AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+               FROM (SELECT DISTINCT h FROM sk)),
+         uk AS (SELECT h FROM u WHERE rn <= 128),
+         ue AS (SELECT CAST(CASE WHEN count(*) < 128 THEN count(*)
+                       ELSE (127 * 4503599627370496) // max(h) END
+                    AS BIGINT) AS union_est
+                FROM uk),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM uk
+               WHERE h IN (SELECT h FROM sk WHERE s = 'urgent')
+                 AND h IN (SELECT h FROM sk WHERE s = 'final'))
+         SELECT (SELECT de FROM est WHERE s = 'urgent') AS urgent_est,
+                (SELECT de FROM est WHERE s = 'final') AS final_est,
+                ue.union_est,
+                CAST(m.m * 1000000 // 128 AS BIGINT) AS jaccard_ppm,
+                CAST(m.m * ue.union_est // 128 AS BIGINT) AS intersect_est
+         FROM ue, m""")
 }

@@ -905,6 +905,28 @@ object TextQueries {
             (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
             .as("zipf_slope"))
         .orderBy("source")
+    }),
+
+    // TextRank keyword extraction: PageRank over the word co-occurrence
+    // graph (adjacent-token pairs, undirected). Reuses the integer
+    // PageRank operator — ranks in 1e-12 units, bitwise across engines —
+    // so the oracle is the same unrolled recurrence over string nodes.
+    // Graph build is one self-join of the shared postings projection on
+    // (doc, pos+1); vertices are vocabulary-sized, so the per-iteration
+    // rank table broadcasts and each iteration costs one exchange
+    "q_text_textrank" -> ((s, d) => {
+      val p = postings(s, d)
+      val adj = p.as("a").join(p.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") === col("a.pos") + 1 &&
+            col("a.tok") =!= col("b.tok"))
+        .select(col("a.tok").as("u"), col("b.tok").as("v"))
+      val edges = adj.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(adj.select(col("v").as("src"), col("u").as("dst")))
+        .distinct()
+      graft.operators.PageRank.integerPageRank(edges, col("src"), col("dst"),
+          iters = 3, broadcastRanks = true)
+        .orderBy(col("pr").desc, col("node")).limit(25)
     })
   )
 
@@ -1854,6 +1876,43 @@ object TextQueries {
          SELECT source, n,
                 (CAST(n AS DOUBLE) * sxy - sx * sy)
                   / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope
-         FROM m ORDER BY source"""
+         FROM m ORDER BY source""",
+
+    "q_text_textrank" -> {
+      def iter(k: Int, prev: String) =
+        s"""c$k AS (SELECT r.node, r.pr // d.deg AS c
+                    FROM $prev r JOIN deg d USING (node)),
+            s$k AS (SELECT e.dst AS node, CAST(sum(c.c) AS BIGINT) AS s
+                    FROM e JOIN c$k c ON e.src = c.node GROUP BY 1),
+            r$k AS (SELECT nodes.node,
+                           15 * (1000000000000 // n.n) // 100
+                             + 85 * coalesce(s$k.s, 0) // 100 AS pr
+                    FROM nodes LEFT JOIN s$k USING (node), n)"""
+      s"""WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+') END
+                     AS toks
+            FROM documents),
+          tok AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS pos
+            FROM t),
+          adj AS (
+            SELECT a.tok AS u, b.tok AS v
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.tok <> b.tok),
+          e AS (SELECT u AS src, v AS dst FROM adj
+                UNION SELECT v, u FROM adj),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                  FROM e GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          r0 AS (SELECT node, 1000000000000 // n.n AS pr FROM nodes, n),
+          ${iter(1, "r0")},
+          ${iter(2, "r1")},
+          ${iter(3, "r2")}
+          SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 25"""
+    }
   )
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tgt = Seq(
+    (1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0)
+  ).toDF("k", "status", "price")
+
+  test("matched rows take the source values, unmatched target rows survive") {
+    val src = Seq((2L, "O", 99.0), (9L, "O", 90.0)).toDF("k", "status", "price")
+    val out = Merge.mergeInto(tgt, src, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out === Seq((1L, "O", 10.0), (2L, "O", 99.0), (3L, "O", 30.0),
+      (9L, "O", 90.0)))
+  }
+
+  test("matched delete clause drops the row; source-only rows still insert") {
+    val src = Seq((2L, "F", 99.0), (9L, "F", 90.0)).toDF("k", "status", "price")
+    val out = Merge.mergeInto(tgt, src, Seq("k"),
+        deleteWhen = col("_src.status") === "F")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    // key 2 matched an 'F' source → deleted; key 9 is an insert, so the
+    // delete clause does not apply to it
+    assert(out === Seq((1L, "O", 10.0), (3L, "O", 30.0), (9L, "F", 90.0)))
+  }
+
+  test("empty source is a no-op merge") {
+    val src = tgt.where(lit(false))
+    val out = Merge.mergeInto(tgt, src, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out === Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0)))
+  }
+
+  test("column mismatch is rejected") {
+    val bad = Seq((1L, "O")).toDF("k", "status")
+    assertThrows[IllegalArgumentException] {
+      Merge.mergeInto(tgt, bad, Seq("k"))
+    }
+  }
+}
