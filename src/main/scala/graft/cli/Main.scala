@@ -32,6 +32,8 @@ import scala.util.Try
   *   manifest --in DIR --key COL [--out PATH]                          (extension)
   *   ann     --in DIR --queries id,... [--topk K] [--mode brute|lsh]
   *           [--id-col C] [--vec-col C] --out PATH                     (extension)
+  *   merge   --target DIR --source DIR --key k1,... --out DIR
+  *           [--delete-when-equals COL=VALUE]                          (extension)
   *
   * Error contract (main.py:49-57,118-156): invalid dates, start > end,
   * filtered mode without --filter, --stratify without --n-per-group, and
@@ -52,10 +54,11 @@ object Main {
     case "prepare" :: rest => withSpark(s => prepare(s, parseFlags(rest)))
     case "manifest" :: rest => withSpark(s => manifestCmd(s, parseFlags(rest)))
     case "ann" :: rest     => withSpark(s => annCmd(s, parseFlags(rest)))
+    case "merge" :: rest   => withSpark(s => mergeCmd(s, parseFlags(rest)))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
-          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare | manifest | ann)")
+          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare | manifest | ann | merge)")
   }
 
   // ------------------------------------------------------------ commands
@@ -248,6 +251,36 @@ object Main {
     graft.operators.ChangeData.snapshotDiff(prev, next, key, compare)
       .write.mode("overwrite").parquet(out)
     println(s"diff: wrote $out")
+  }
+
+  /** `merge --target DIR --source DIR --key k1[,k2...] --out DIR
+    *        [--delete-when-equals COL=VALUE]`:
+    * batch MERGE INTO (operators/Merge) — matched rows update from the
+    * source, unmatched source rows insert, target-only rows survive;
+    * `--delete-when-equals` drops matched rows whose SOURCE column equals
+    * the literal. Refuses mismatched schemas before any job starts. */
+  private def mergeCmd(spark: SparkSession, flags: Flags): Unit = {
+    val target = spark.read.parquet(flags.req("target"))
+    val source = spark.read.parquet(flags.req("source"))
+    val keys = flags.req("key").split(',').toSeq
+    val unknown = keys.filterNot(k =>
+      target.columns.contains(k) && source.columns.contains(k))
+    require(unknown.isEmpty, s"Unknown key columns: ${unknown.mkString(", ")}")
+    val deleteWhen = flags.get("delete-when-equals") match {
+      case Some(spec) => spec.split("=", 2) match {
+        case Array(c, v) if source.columns.contains(c) =>
+          col(s"_src.$c") === v
+        case Array(c, _) => throw new IllegalArgumentException(
+          s"Unknown --delete-when-equals column: $c")
+        case _ => throw new IllegalArgumentException(
+          "--delete-when-equals must be COL=VALUE")
+      }
+      case None => org.apache.spark.sql.functions.lit(false)
+    }
+    val out = flags.req("out")
+    graft.operators.Merge.mergeInto(target, source, keys, deleteWhen)
+      .write.mode("overwrite").parquet(out)
+    println(s"merge: wrote $out")
   }
 
   /** `prepare --in DIR... --out DIR [--min-quality Q] [--budget N]`:

@@ -249,6 +249,47 @@ object AnalyticsQueries {
         .select(col("urgent_est"), col("final_est"), col("union_est"),
           expr(s"m * 1000000 DIV $k").as("jaccard_ppm"),
           expr(s"m * union_est DIV $k").as("intersect_est"))
+    }),
+
+    // clickstream path mining: the 20 most common 3-step event sequences.
+    // Two lead() columns over ONE per-user window (a single user_id
+    // exchange feeds both), then a vocabulary-sized path histogram — the
+    // sequence analogue of the Markov transition matrix, kept exact
+    "q_eng_user_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
+    // month-over-month brand revenue velocity: exact integer-cents monthly
+    // aggregate, lag window per brand (brand×month table — tiny), growth
+    // in ppm via the shifted non-negative division (cents·10⁶ div prev −
+    // 10⁶) so Spark's truncating DIV and DuckDB's flooring // agree on
+    // every sign
+    "q_eng_brand_velocity" -> ((s, d) => {
+      val monthly = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val w = Window.partitionBy("p_brand").orderBy("month")
+      monthly.withColumn("prev", lag(col("cents"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") > 0)
+        .select(col("p_brand"), col("month").cast("string").as("month"),
+          col("cents"),
+          expr("cents * 1000000 DIV prev - 1000000").as("growth_ppm"))
+        .orderBy(col("growth_ppm").desc, col("p_brand"), col("month"))
+        .limit(20)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -429,5 +470,36 @@ object AnalyticsQueries {
                 ue.union_est,
                 CAST(m.m * 1000000 // 128 AS BIGINT) AS jaccard_ppm,
                 CAST(m.m * ue.union_est // 128 AS BIGINT) AS intersect_est
-         FROM ue, m""")
+         FROM ue, m""",
+
+    "q_eng_user_paths" ->
+      """WITH w AS (
+           SELECT event_type AS e1,
+                  lead(event_type, 1) OVER win AS e2,
+                  lead(event_type, 2) OVER win AS e3
+           FROM events
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1 || '>' || e2 || '>' || e3 AS path,
+                CAST(count(*) AS BIGINT) AS n
+         FROM w WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+
+    "q_eng_brand_velocity" ->
+      """WITH monthly AS (
+           SELECT p_brand,
+                  CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         lagd AS (
+           SELECT p_brand, month, cents,
+                  lag(cents, 1) OVER (PARTITION BY p_brand ORDER BY month)
+                    AS prev
+           FROM monthly)
+         SELECT p_brand, CAST(month AS VARCHAR) AS month, cents,
+                CAST(cents * 1000000 // prev - 1000000 AS BIGINT)
+                  AS growth_ppm
+         FROM lagd WHERE prev IS NOT NULL AND prev > 0
+         ORDER BY growth_ppm DESC, p_brand, month LIMIT 20""")
 }

@@ -132,6 +132,30 @@ object MultimodalQueries {
       Multimodal.exposure(media(s, d), lo = 64, hi = 192)
         .orderBy("media_id")),
 
+    // silence-run detection (gaps-and-islands over the sample stream):
+    // consecutive below-threshold samples group into runs via the
+    // pos − row_number() trick — one window per audio keyed on media_id,
+    // no self-join, runs of any length in a single pass. The curation
+    // signal: clips that are mostly silence get dropped before decode
+    "q_mm_audio_silence" -> ((s, d) => {
+      def px(i: Int) =
+        conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("pos")
+      val samples = media(s, d).where(col("meta.media_type") === "audio")
+        .select(col("media_id"),
+          posexplode(array((0 until 16).map(px): _*)).as(Seq("pos", "amp")))
+      val runs = samples.where(col("amp") < 64)
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("media_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy("media_id")
+        .agg(count(lit(1)).as("n_runs"),
+          max("run_len").as("longest_run"),
+          sum("run_len").as("n_silent"))
+        .orderBy("media_id")
+    }),
+
     // focus/blur metric: Laplacian energy over the 4×4 pixel grid — the
     // variance-of-Laplacian sharpness test at the fixture's grid size.
     // The 4-neighbor Laplacian at each inner cell is exact integer
@@ -429,6 +453,29 @@ object MultimodalQueries {
                       WHEN n_bright >= 8 THEN 'over'
                       ELSE 'ok' END AS exposure
           FROM e ORDER BY media_id""",
+
+    "q_mm_audio_silence" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'audio'),
+          sm AS (
+            SELECT media_id, i AS pos, bytes[i + 1] AS amp
+            FROM b, range(0, 16) t(i)),
+          sil AS (
+            SELECT media_id, pos,
+                   pos - row_number() OVER (PARTITION BY media_id
+                                            ORDER BY pos) AS grp
+            FROM sm WHERE amp < 64),
+          runs AS (
+            SELECT media_id, grp, CAST(count(*) AS BIGINT) AS run_len
+            FROM sil GROUP BY 1, 2)
+          SELECT media_id, CAST(count(*) AS BIGINT) AS n_runs,
+                 CAST(max(run_len) AS BIGINT) AS longest_run,
+                 CAST(sum(run_len) AS BIGINT) AS n_silent
+          FROM runs GROUP BY 1 ORDER BY media_id""",
 
     "q_mm_blur_energy" ->
       s"""$bytesCte,

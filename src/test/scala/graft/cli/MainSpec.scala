@@ -245,4 +245,28 @@ class MainSpec extends SparkSpec {
       "ann", "--in", "/root/testdata/sf0.001/embeddings.parquet",
       "--queries", "0", "--id-col", "nope", "--out", s"$dir/x")))
   }
+
+  test("merge: upsert with delete clause through the CLI; error contract") {
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft_merge_cli").toString
+    Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0))
+      .toDF("k", "st", "v").write.parquet(s"$dir/target")
+    Seq((2L, "F", 99.0), (3L, "O", 33.0), (9L, "O", 90.0))
+      .toDF("k", "st", "v").write.parquet(s"$dir/source")
+    Main.main(Array("merge", "--target", s"$dir/target",
+      "--source", s"$dir/source", "--key", "k",
+      "--delete-when-equals", "st=F", "--out", s"$dir/out"))
+    val out = spark.read.parquet(s"$dir/out").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    // 1 kept, 2 deleted (matched F), 3 updated, 9 inserted
+    assert(out == Seq((1L, "O", 10.0), (3L, "O", 33.0), (9L, "O", 90.0)))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "merge", "--target", s"$dir/target", "--source", s"$dir/source",
+      "--key", "nope", "--out", s"$dir/x")))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "merge", "--target", s"$dir/target", "--source", s"$dir/source",
+      "--key", "k", "--delete-when-equals", "nope=F", "--out", s"$dir/x")))
+    intercept[IllegalArgumentException](Main.main(Array(
+      "merge", "--target", s"$dir/target", "--out", s"$dir/x")))
+  }
 }
