@@ -63,16 +63,22 @@ object AnalyticsQueries {
     // multiplicity. The oracle's recursive CTE (UNION dedup + min(hop))
     // proves the unrolled joins compute true shortest hop counts
     "q_eng_bfs_hops" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val und = op.as("a")
-        .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-      val edges = und.select(col("u").as("src"), col("v").as("dst"))
-        .union(und.select(col("v").as("src"), col("u").as("dst")))
+      // every hop joins the edge table against the frontier AND
+      // anti-joins the visited set — memoize the co-purchase edge build
+      // (a lineitem self-join) so the three hops reuse one
+      // materialization instead of re-running it per reference
+      val edges = QueryCaches.memo(s, d, "bfs_copurchase_edges") {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val und = op.as("a")
+          .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+        und.select(col("u").as("src"), col("v").as("dst"))
+          .union(und.select(col("v").as("src"), col("u").as("dst")))
+      }
       val seed = edges.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("hop"))
       var visited = seed
