@@ -22,6 +22,33 @@ object AnalyticsQueries {
   private def sqlMoneySum(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Memoized weighted co-purchase graph (parts sharing ≥ 2 orders),
+    * directed both ways: (src, dst, w) with w = co-occurrence count. The
+    * BFS and shortest-path queries reference it once per hop — without
+    * the cache every reference re-runs the lineitem self-join. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "copurchase_edges") {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val und = op.as("a")
+        .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .union(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    }
+
+  /** Shared SQL CTE chain for the same graph (mirrors [[copurchaseEdges]]). */
+  private val copurchaseSql =
+    """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       und AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+               FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+       e AS (SELECT u AS src, v AS dst, w FROM und
+             UNION ALL SELECT v, u, w FROM und)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q13 shape: how many customers placed exactly k orders,
     // including the zero-order tail the inner join would drop. Orders
@@ -67,18 +94,7 @@ object AnalyticsQueries {
       // anti-joins the visited set — memoize the co-purchase edge build
       // (a lineitem self-join) so the three hops reuse one
       // materialization instead of re-running it per reference
-      val edges = QueryCaches.memo(s, d, "bfs_copurchase_edges") {
-        val op = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val und = op.as("a")
-          .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .where(col("w") >= 2)
-        und.select(col("u").as("src"), col("v").as("dst"))
-          .union(und.select(col("v").as("src"), col("u").as("dst")))
-      }
+      val edges = copurchaseEdges(s, d)
       val seed = edges.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("hop"))
       var visited = seed
@@ -296,6 +312,40 @@ object AnalyticsQueries {
           expr("cents * 1000000 DIV prev - 1000000").as("growth_ppm"))
         .orderBy(col("growth_ppm").desc, col("p_brand"), col("month"))
         .limit(20)
+    }),
+
+    // tumbling-window time-series rollup: Spark's batch window() function
+    // (the same operator Structured Streaming aggregates on) bucketing the
+    // event stream into hours — one hash aggregate on (bucket, type),
+    // money through exact decimal accumulation
+    "q_eng_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("w.start").cast("string").as("bucket"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")),
+
+    // weighted shortest paths (Bellman-Ford, 3 relaxation rounds) over the
+    // co-purchase graph — edge cost 10⁶ div w, so STRONGER ties are
+    // CHEAPER hops and the result ranks association closeness. Each round
+    // is one edge⋈dist join + a min aggregate (the frontier-less textbook
+    // form); the oracle enumerates every ≤3-edge path recursively and
+    // takes the min — equality proves the relaxation computes true
+    // shortest distances. Integer costs end to end
+    "q_eng_shortest_path" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val seed = edges.agg(min(col("src")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+      var dist = seed
+      for (_ <- 1 to 3) {
+        val relax = edges.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"),
+            (col("dist") + expr("1000000 DIV w")).as("dist"))
+        dist = dist.union(relax).groupBy("node").agg(min("dist").as("dist"))
+      }
+      dist.orderBy("node")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -318,13 +368,8 @@ object AnalyticsQueries {
             AND l_quantity < 24""",
 
     "q_eng_bfs_hops" ->
-      """WITH RECURSIVE
-         op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         und AS (SELECT a.p AS u, b.p AS v
-                 FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-                 GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT u AS src, v AS dst FROM und
-               UNION ALL SELECT v, u FROM und),
+      s"""WITH RECURSIVE
+         $copurchaseSql,
          seed AS (SELECT min(src) AS s FROM e),
          bfs(node, hop) AS (
            SELECT s, 0 FROM seed
@@ -507,5 +552,23 @@ object AnalyticsQueries {
                 CAST(cents * 1000000 // prev - 1000000 AS BIGINT)
                   AS growth_ppm
          FROM lagd WHERE prev IS NOT NULL AND prev > 0
-         ORDER BY growth_ppm DESC, p_brand, month LIMIT 20""")
+         ORDER BY growth_ppm DESC, p_brand, month LIMIT 20""",
+
+    "q_eng_tumbling" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS bucket,
+                event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q_eng_shortest_path" ->
+      s"""WITH RECURSIVE
+         $copurchaseSql,
+         seed AS (SELECT min(src) AS s FROM e),
+         paths(node, dist, hops) AS (
+           SELECT s, CAST(0 AS BIGINT), 0 FROM seed
+           UNION
+           SELECT e.dst, paths.dist + 1000000 // e.w, paths.hops + 1
+           FROM paths JOIN e ON e.src = paths.node WHERE paths.hops < 3)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         FROM paths GROUP BY 1 ORDER BY node""")
 }

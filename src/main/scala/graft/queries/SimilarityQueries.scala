@@ -400,6 +400,26 @@ object SimilarityQueries {
           element_at(p, 1).as("p1"),
           element_at(p, 8).as("p8"))
         .orderBy("vec_id")
+    }),
+
+    // Matryoshka-style truncation evaluation: recall@5 of the 8-dim
+    // PREFIX against the full 64-dim brute-force neighbors, per query —
+    // the measurement behind "how many dims can retrieval afford to
+    // drop". Both arms are the same broadcast-queries × corpus kernel on
+    // different widths; the overlap join is neighbor-set sized
+    "q_sim_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < QuerySetMax)
+      val full = Similarity.bruteForceTopK(q, emb, 5).select("qid", "nid")
+      def trunc8(df: DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      val short = Similarity.bruteForceTopK(trunc8(q), trunc8(emb), 5)
+        .select("qid", "nid")
+      val hits = full.join(short, Seq("qid", "nid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("recall5_hits"))
+        .orderBy("qid")
     })
   )
 
@@ -470,6 +490,9 @@ object SimilarityQueries {
     """list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
        / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
         * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)))"""
+
+  /** 8-dim-prefix variant of [[cosSql]] (the Matryoshka truncation arm). */
+  private val cos8Sql = cosSql.replace("range(0, 64)", "range(0, 8)")
 
   val oracleSql: Map[String, String] = Map(
     "q_sim_topk_brute" ->
@@ -878,6 +901,30 @@ object SimilarityQueries {
             SELECT qid, nid, cos,
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
             FROM cos)
-          SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+          SELECT qid, nid, rank, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "q_sim_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          fs AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id
+            WHERE x.vec_id < $QuerySetMax),
+          fr AS (SELECT qid, nid FROM (
+                   SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, nid) AS rk FROM fs) WHERE rk <= 5),
+          s8 AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cos8Sql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id
+            WHERE x.vec_id < $QuerySetMax),
+          r8 AS (SELECT qid, nid FROM (
+                   SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, nid) AS rk FROM s8) WHERE rk <= 5),
+          hits AS (SELECT fr.qid, CAST(count(*) AS BIGINT) AS h
+                   FROM fr JOIN r8 USING (qid, nid) GROUP BY 1)
+          SELECT q.vec_id AS qid,
+                 CAST(COALESCE(hits.h, 0) AS BIGINT) AS recall5_hits
+          FROM embeddings q LEFT JOIN hits ON hits.qid = q.vec_id
+          WHERE q.vec_id < $QuerySetMax
+          ORDER BY qid"""
   )
 }
