@@ -346,6 +346,49 @@ object AnalyticsQueries {
         dist = dist.union(relax).groupBy("node").agg(min("dist").as("dist"))
       }
       dist.orderBy("node")
+    }),
+
+    // RFM customer segmentation: recency/frequency/monetary quintiles
+    // (ntile over the per-customer AGGREGATE — #customers-sized, the
+    // same global-window-on-aggregate discipline as the Lorenz curve;
+    // the fact table contributes one partial-aggregated shuffle).
+    // Money as exact integer cents; unique custkey tiebreaks make every
+    // ntile boundary deterministic across engines
+    "q_eng_rfm" -> ((s, d) => {
+      val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(datediff(to_date(lit("1996-01-01")),
+          max(to_date(col("o_orderdate")))).cast("long").as("rec"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      val r = ntile(5).over(Window.orderBy(col("rec"), col("o_custkey")))
+      val f = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+      val m = ntile(5).over(Window.orderBy(col("cents").desc, col("o_custkey")))
+      cust.select(col("o_custkey"), col("cents"),
+          r.cast("long").as("r_bin"), f.cast("long").as("f_bin"),
+          m.cast("long").as("m_bin"))
+        .groupBy("r_bin", "f_bin", "m_bin")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    }),
+
+    // Benford first-digit forensics: observed first-digit shares of order
+    // totals vs the Benford expectation — the data-quality screen for
+    // fabricated or truncated money columns. Digit extraction through
+    // exact integer → string (no float formatting); both shares in ppm;
+    // the 9 expected log10 values are a fixed input set far from floor
+    // boundaries (same audit argument as the image-entropy ln table)
+    "q_eng_benford" -> ((s, d) => {
+      val t = Tables.orders(s, d).where(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = t.agg(sum(col("n")).as("nt"))
+      t.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 DIV nt").as("share_ppm"),
+          floor(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            * 1000000.0 + 0.5).cast("long").as("benford_ppm"))
+        .orderBy("digit")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -570,5 +613,39 @@ object AnalyticsQueries {
            SELECT e.dst, paths.dist + 1000000 // e.w, paths.hops + 1
            FROM paths JOIN e ON e.src = paths.node WHERE paths.hops < 3)
          SELECT node, CAST(min(dist) AS BIGINT) AS dist
-         FROM paths GROUP BY 1 ORDER BY node""")
+         FROM paths GROUP BY 1 ORDER BY node""",
+
+    "q_eng_rfm" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+                  datediff('day', CAST(max(o_orderdate) AS DATE),
+                           DATE '1996-01-01') AS rec,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         bins AS (
+           SELECT cents,
+                  CAST(ntile(5) OVER (ORDER BY rec, o_custkey) AS BIGINT)
+                    AS r_bin,
+                  CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT)
+                    AS f_bin,
+                  CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+                    AS m_bin
+           FROM cust)
+         SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM bins GROUP BY 1, 2, 3 ORDER BY r_bin, f_bin, m_bin""",
+
+    "q_eng_benford" ->
+      """WITH t AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM t)
+         SELECT digit, n, CAST(n * 1000000 // nt AS BIGINT) AS share_ppm,
+                CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS benford_ppm
+         FROM t, tot ORDER BY digit""")
 }

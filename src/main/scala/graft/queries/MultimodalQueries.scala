@@ -156,6 +156,26 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // letterbox detection: near-constant top/bottom pixel rows (the
+    // black-bar artifact that wastes training pixels). Row dynamic range
+    // from greatest/least over the decoded row bytes — map-side integer
+    // expressions, one scan, no aggregation
+    "q_mm_letterbox" -> ((s, d) => {
+      def px(i: Int) =
+        conv(substring(col("payload_md5"), 2 * i + 1, 2), 16, 10).cast("long")
+      def rowRange(r: Int) = {
+        val b = (0 to 3).map(c => px(4 * r + c))
+        greatest(b: _*) - least(b: _*)
+      }
+      media(s, d).where(col("meta.media_type") === "image")
+        .select(col("media_id"), rowRange(0).as("top_range"),
+          rowRange(3).as("bottom_range"))
+        .withColumn("letterboxed",
+          when(col("top_range") < 32 || col("bottom_range") < 32, lit("bar"))
+            .otherwise(lit("clean")))
+        .orderBy("media_id")
+    }),
+
     // focus/blur metric: Laplacian energy over the 4×4 pixel grid — the
     // variance-of-Laplacian sharpness test at the fixture's grid size.
     // The 4-neighbor Laplacian at each inner cell is exact integer
@@ -476,6 +496,27 @@ object MultimodalQueries {
                  CAST(max(run_len) AS BIGINT) AS longest_run,
                  CAST(sum(run_len) AS BIGINT) AS n_silent
           FROM runs GROUP BY 1 ORDER BY media_id""",
+
+    "q_mm_letterbox" ->
+      s"""$bytesCte,
+          b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM m WHERE media_type = 'image'),
+          r AS (
+            SELECT media_id,
+                   CAST(greatest(bytes[1], bytes[2], bytes[3], bytes[4])
+                      - least(bytes[1], bytes[2], bytes[3], bytes[4])
+                     AS BIGINT) AS top_range,
+                   CAST(greatest(bytes[13], bytes[14], bytes[15], bytes[16])
+                      - least(bytes[13], bytes[14], bytes[15], bytes[16])
+                     AS BIGINT) AS bottom_range
+            FROM b)
+          SELECT media_id, top_range, bottom_range,
+                 CASE WHEN top_range < 32 OR bottom_range < 32 THEN 'bar'
+                      ELSE 'clean' END AS letterboxed
+          FROM r ORDER BY media_id""",
 
     "q_mm_blur_energy" ->
       s"""$bytesCte,

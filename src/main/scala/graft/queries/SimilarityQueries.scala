@@ -420,6 +420,24 @@ object SimilarityQueries {
       q.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
         .select(col("qid"), coalesce(col("h"), lit(0L)).as("recall5_hits"))
         .orderBy("qid")
+    }),
+
+    // IVF index-health diagnostic: per-cell population share and the
+    // max·cells/total imbalance ratio — the skew report that decides
+    // whether the coarse quantizer needs retraining (a hot cell turns
+    // single-probe search into a near-scan). Cell counts are one
+    // aggregate over the assignment; everything downstream is
+    // cells-sized and broadcast
+    "q_sim_ivf_balance" -> ((s, d) => {
+      val cells = Similarity.ivfAssign(Tables.embeddings(s, d), 8)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      val stats = cells.agg(sum("n").as("tot"), max("n").as("mx"),
+        count(lit(1)).as("nc"))
+      cells.crossJoin(broadcast(stats))
+        .select(col("cell"), col("n"),
+          expr("n * 1000000 DIV tot").as("share_ppm"),
+          expr("mx * nc * 1000000 DIV tot").as("imbalance_ppm"))
+        .orderBy("cell")
     })
   )
 
@@ -925,6 +943,29 @@ object SimilarityQueries {
                  CAST(COALESCE(hits.h, 0) AS BIGINT) AS recall5_hits
           FROM embeddings q LEFT JOIN hits ON hits.qid = q.vec_id
           WHERE q.vec_id < $QuerySetMax
-          ORDER BY qid"""
+          ORDER BY qid""",
+
+    "q_sim_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id AS id, cid, ${dotSql("v", "cv")} AS score
+            FROM e CROSS JOIN cents),
+          assigned AS (
+            SELECT id, cid AS cell
+            FROM (SELECT id, cid,
+                         row_number() OVER (PARTITION BY id
+                           ORDER BY score DESC, cid) AS rn
+                  FROM scored)
+            WHERE rn = 1),
+          cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                    FROM assigned GROUP BY 1),
+          st AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                        CAST(max(n) AS BIGINT) AS mx,
+                        CAST(count(*) AS BIGINT) AS nc
+                 FROM cells)
+          SELECT cell, n, CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+                 CAST(mx * nc * 1000000 // tot AS BIGINT) AS imbalance_ppm
+          FROM cells, st ORDER BY cell"""
   )
 }

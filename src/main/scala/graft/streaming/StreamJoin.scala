@@ -37,6 +37,33 @@ object StreamJoin {
       .drop(rk)
   }
 
+  /** Left-outer variant of [[intervalJoin]]: unmatched left rows ARE
+    * emitted (right columns null) — but only once the right-side
+    * watermark has passed `leftTs + maxLagMs`, because until then a
+    * matching right row could still arrive. That deferred emission is
+    * the semantic difference from a batch left join, and the reason the
+    * time-range condition is mandatory here too: it is what lets Spark
+    * prove a left row can no longer match and release both the state
+    * entry and the null-joined result. */
+  def leftOuterIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            maxLagMs: Long): DataFrame = {
+    require(maxLagMs > 0, s"maxLagMs must be positive, got $maxLagMs")
+    require(left.columns.contains(key) && right.columns.contains(key),
+      s"both sides need key column '$key'")
+    require(leftTs != rightTs,
+      "left and right timestamp columns must be named differently")
+    val rk = "__sj_rk"
+    require(!left.columns.contains(rk) && !right.columns.contains(rk),
+      s"column '$rk' is reserved")
+    left.join(right.withColumnRenamed(key, rk),
+        col(key) === col(rk) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLagMs MILLISECONDS"),
+        "leftOuter")
+      .drop(rk)
+  }
+
   /** Stream-static enrichment: left-join a static dimension onto a
     * stream — the lookup pattern (event → user segment / product
     * attributes) that needs NO state store: the dimension broadcasts to

@@ -112,6 +112,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer interval join: unmatched rows emit with nulls after the watermark passes") {
+    val imps = MemoryStream[(Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    val joined = StreamJoin.leftOuterIntervalJoin(
+      imps.toDF().toDF("ad_id", "its").withWatermark("its", "1 minute"),
+      clicks.toDF().toDF("ad_id", "cts").withWatermark("cts", "1 minute"),
+      key = "ad_id", leftTs = "its", rightTs = "cts",
+      maxLagMs = 10 * 60 * 1000)
+    val q = joined.writeStream.format("memory").queryName("louter")
+      .outputMode("append").start()
+    imps.addData((1L, ts("10:00")), (2L, ts("10:00")))
+    clicks.addData((1L, ts("10:05"))) // 2 never clicks
+    q.processAllAvailable()
+    // the matched row may emit now; the unmatched one must NOT yet —
+    // a click for ad 2 could still arrive inside the lag window
+    val early = spark.table("louter").where(col("cts").isNull).count()
+    assert(early == 0, "null-joined row emitted before the watermark allowed it")
+    // push both watermarks far past 10:00 + lag
+    imps.addData((99L, ts("11:00")))
+    clicks.addData((98L, ts("11:00")))
+    q.processAllAvailable()
+    imps.addData((97L, ts("11:30")))
+    clicks.addData((96L, ts("11:30")))
+    q.processAllAvailable()
+    val rows = spark.table("louter")
+      .select("ad_id", "cts").as[(Long, Option[Timestamp])].collect().toSet
+    assert(rows.contains((1L, Some(ts("10:05")))), "matched row missing")
+    assert(rows.contains((2L, None)),
+      "unmatched left row must emit with nulls once provably unmatched")
+    q.stop()
+  }
+
   test("stream-static enrich: broadcast lookup, no state store allocated") {
     val mem = MemoryStream[(Long, Double)](spark)
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
