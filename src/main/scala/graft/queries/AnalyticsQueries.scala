@@ -389,6 +389,71 @@ object AnalyticsQueries {
           floor(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
             * 1000000.0 + 0.5).cast("long").as("benford_ppm"))
         .orderBy("digit")
+    }),
+
+    // PSI distribution-drift monitor: per-bucket Population Stability
+    // Index contribution between the pre/post-1998 order populations —
+    // the ML-ops screen for "did the feature distribution move". Laplace
+    // smoothing keeps empty bins defined; shares quantize to ppm via
+    // non-negative DIV, the ln quantizes at the leaf per bin (a ≤ #bins
+    // input set, boundary-audited), and the contribution is a pure
+    // signed integer product in pico units — no float crosses the gate
+    "q_eng_psi_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+        (to_date(col("o_orderdate")) < to_date(lit("1998-01-01"))).as("isA"))
+      val cells = o.groupBy("bin").agg(
+        count(when(col("isA"), 1)).as("na"),
+        count(when(!col("isA"), 1)).as("nb"))
+      val tots = cells.agg(sum("na").as("ta"), sum("nb").as("tb"),
+        count(lit(1)).as("nbins"))
+      cells.crossJoin(broadcast(tots))
+        .select(col("bin"), col("na"), col("nb"),
+          expr("(na + 1) * 1000000 DIV (ta + nbins)").as("sa_ppm"),
+          expr("(nb + 1) * 1000000 DIV (tb + nbins)").as("sb_ppm"),
+          floor(log(((col("na") + 1) * (col("tb") + col("nbins"))).cast("double") /
+            ((col("nb") + 1) * (col("ta") + col("nbins"))).cast("double"))
+            * 1000000.0 + 0.5).cast("long").as("ln_micro"))
+        .withColumn("psi_pico", (col("sa_ppm") - col("sb_ppm")) * col("ln_micro"))
+        .orderBy("bin")
+    }),
+
+    // CUSUM changepoint scan over daily revenue: the cumulative deviation
+    // n·xᵢ − T (integer cents, mean-free without a division) peaks at the
+    // most likely level shift. One days-sized window after the daily
+    // aggregate; the top-5 |CUSUM| days are the changepoint candidates
+    "q_eng_cusum" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"))
+      val tot = daily.agg(sum("x").as("t"), count(lit(1)).as("n"))
+      val w = Window.orderBy("day")
+      daily.crossJoin(broadcast(tot))
+        .withColumn("dev", col("n") * col("x") - col("t"))
+        .withColumn("cusum", sum("dev").over(w))
+        .select(col("day").cast("string").as("day"), col("x"), col("cusum"))
+        .orderBy(abs(col("cusum")).desc, col("day"))
+        .limit(5)
+    }),
+
+    // DAU/WAU engagement: windowed distinct users WITHOUT a windowed
+    // distinct — each (user, day) activity covers the 7 days it counts
+    // toward (one explode), so WAU is a plain distinct + aggregate. The
+    // coverage trick turns an O(days × window) rescan into one pass;
+    // stickiness = DAU/WAU in ppm
+    "q_eng_dau_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day").cast("string").as("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 DIV wau").as("stickiness_ppm"))
+        .orderBy("day")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -647,5 +712,62 @@ object AnalyticsQueries {
          SELECT digit, n, CAST(n * 1000000 // nt AS BIGINT) AS share_ppm,
                 CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
                   * 1000000.0 + 0.5) AS BIGINT) AS benford_ppm
-         FROM t, tot ORDER BY digit""")
+         FROM t, tot ORDER BY digit""",
+
+    "q_eng_psi_drift" ->
+      """WITH o AS (
+           SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+                  CAST(o_orderdate AS DATE) < DATE '1998-01-01' AS isA
+           FROM orders),
+         cells AS (
+           SELECT bin, CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS na,
+                  CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS nb
+           FROM o GROUP BY 1),
+         tots AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                         CAST(sum(nb) AS BIGINT) AS tb,
+                         CAST(count(*) AS BIGINT) AS nbins
+                  FROM cells),
+         t AS (
+           SELECT bin, na, nb,
+                  CAST((na + 1) * 1000000 // (ta + nbins) AS BIGINT) AS sa_ppm,
+                  CAST((nb + 1) * 1000000 // (tb + nbins) AS BIGINT) AS sb_ppm,
+                  CAST(floor(ln(CAST((na + 1) * (tb + nbins) AS DOUBLE)
+                               / CAST((nb + 1) * (ta + nbins) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS ln_micro
+           FROM cells, tots)
+         SELECT bin, na, nb, sa_ppm, sb_ppm, ln_micro,
+                CAST((sa_ppm - sb_ppm) * ln_micro AS BIGINT) AS psi_pico
+         FROM t ORDER BY bin""",
+
+    "q_eng_cusum" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(x) AS BIGINT) AS t,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM daily),
+         c AS (
+           SELECT day, x,
+                  CAST(sum(n * x - t) OVER (ORDER BY day) AS BIGINT) AS cusum
+           FROM daily, tot)
+         SELECT CAST(day AS VARCHAR) AS day, x, cusum
+         FROM c ORDER BY abs(cusum) DESC, day LIMIT 5""",
+
+    "q_eng_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+         cov AS (SELECT DISTINCT CAST(t.d2 AS DATE) AS day, user_id
+                 FROM ud, unnest(generate_series(CAST(day AS TIMESTAMP),
+                          CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                          INTERVAL 1 DAY)) t(d2)),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+                 FROM cov GROUP BY 1)
+         SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+                CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+                  AS stickiness_ppm
+         FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""")
 }

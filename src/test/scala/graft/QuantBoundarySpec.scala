@@ -165,6 +165,26 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("PSI drift ln ratios clear the micro boundary") {
+    // q_eng_psi_drift quantizes ln of the smoothed share ratio per price
+    // bin — a ≤ #bins input set per fixture
+    for (dir <- gateSfs) {
+      val o = Tables.orders(spark, dir).select(
+        floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+        (to_date(col("o_orderdate")) < to_date(lit("1998-01-01"))).as("isA"))
+      val cells = o.groupBy("bin").agg(
+        count(when(col("isA"), 1)).as("na"),
+        count(when(!col("isA"), 1)).as("nb"))
+      val tots = cells.agg(sum("na").as("ta"), sum("nb").as("tb"),
+        count(lit(1)).as("nbins"))
+      val ratios = cells.crossJoin(tots).select(
+        (((col("na") + 1) * (col("tb") + col("nbins"))).cast("double") /
+          ((col("nb") + 1) * (col("ta") + col("nbins"))).cast("double")).as("r"))
+      val d = minBoundaryDist(ratios, log(col("r")))
+      assert(d > 1e-4, s"$dir: psi ln ratio within $d of a floor boundary")
+    }
+  }
+
   test("temperature-mix sqrt(token count) values clear the micro boundary") {
     // sqrt is IEEE correctly rounded (identical across engines), so the
     // only drift surface is the floor(·1e6+0.5) site itself — raw-element
