@@ -454,6 +454,27 @@ object AnalyticsQueries {
         .select(col("day").cast("string").as("day"), col("dau"), col("wau"),
           expr("dau * 1000000 DIV wau").as("stickiness_ppm"))
         .orderBy("day")
+    }),
+
+    // cohort LTV matrix: cumulative revenue (exact integer cents) by
+    // acquisition cohort × months-since-first-order. Two custkey-keyed
+    // aggregates (first order, then the join-back), a cohort×age-sized
+    // cumulative window — the fact table is touched twice, the matrix
+    // never exceeds months² rows
+    "q_eng_cohort_ltv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val first = o.groupBy("o_custkey").agg(min("ym").as("cym"))
+      val aged = o.join(first, "o_custkey")
+        .groupBy(col("cym"), (col("ym") - col("cym")).as("age_months"))
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      val w = Window.partitionBy("cym").orderBy("age_months")
+      aged.withColumn("cum_cents", sum("cents").over(w))
+        .select(col("cym").as("cohort_ym"), col("age_months"),
+          col("n_orders"), col("cum_cents"))
+        .orderBy("cohort_ym", "age_months")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -769,5 +790,25 @@ object AnalyticsQueries {
          SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
                 CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
                   AS stickiness_ppm
-         FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""")
+         FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""",
+
+    "q_eng_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                    AS ym,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_custkey, CAST(min(ym) AS BIGINT) AS cym
+               FROM o GROUP BY 1),
+         aged AS (
+           SELECT cym, o.ym - f.cym AS age_months,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(cents) AS BIGINT) AS cents
+           FROM o JOIN f USING (o_custkey)
+           GROUP BY 1, 2)
+         SELECT cym AS cohort_ym, age_months, n_orders,
+                CAST(sum(cents) OVER (PARTITION BY cym ORDER BY age_months)
+                  AS BIGINT) AS cum_cents
+         FROM aged ORDER BY cohort_ym, age_months""")
 }

@@ -438,6 +438,32 @@ object SimilarityQueries {
           expr("n * 1000000 DIV tot").as("share_ppm"),
           expr("mx * nc * 1000000 DIV tot").as("imbalance_ppm"))
         .orderBy("cell")
+    }),
+
+    // embedding-distribution drift: PSI over the trained k-means cell
+    // populations of two corpus halves (even/odd ids as the before/after
+    // stand-in) — the retraining trigger for vector indexes: when new
+    // data stops landing where the quantizer expects, the cell shares
+    // move. Same integer pico-unit PSI contract as q_eng_psi_drift;
+    // reuses the memoized k-means assignment, so the only new work is
+    // one cells-sized aggregate
+    "q_sim_embed_drift" -> ((s, d) => {
+      val cells = kmeansTable(s, d).select(col("id"), col("cell"))
+        .groupBy("cell").agg(
+          count(when(col("id") % 2 === 0, 1)).as("na"),
+          count(when(col("id") % 2 =!= 0, 1)).as("nb"))
+      val tots = cells.agg(sum("na").as("ta"), sum("nb").as("tb"),
+        count(lit(1)).as("nc"))
+      cells.crossJoin(broadcast(tots))
+        .select(col("cell"), col("na"), col("nb"),
+          expr("(na + 1) * 1000000 DIV (ta + nc)").as("sa_ppm"),
+          expr("(nb + 1) * 1000000 DIV (tb + nc)").as("sb_ppm"),
+          floor(log(((col("na") + 1) * (col("tb") + col("nc"))).cast("double") /
+            ((col("nb") + 1) * (col("ta") + col("nc"))).cast("double"))
+            * 1000000.0 + 0.5).cast("long").as("ln_micro"))
+        .withColumn("psi_pico",
+          (col("sa_ppm") - col("sb_ppm")) * col("ln_micro"))
+        .orderBy("cell")
     })
   )
 
@@ -966,6 +992,29 @@ object SimilarityQueries {
                  FROM cells)
           SELECT cell, n, CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
                  CAST(mx * nc * 1000000 // tot AS BIGINT) AS imbalance_ppm
-          FROM cells, st ORDER BY cell"""
+          FROM cells, st ORDER BY cell""",
+
+    "q_sim_embed_drift" ->
+      s"""WITH $kmeansCtes,
+          cells AS (
+            SELECT cid AS cell,
+                   CAST(count(CASE WHEN id % 2 = 0 THEN 1 END) AS BIGINT) AS na,
+                   CAST(count(CASE WHEN id % 2 <> 0 THEN 1 END) AS BIGINT) AS nb
+            FROM af GROUP BY 1),
+          tots AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                          CAST(sum(nb) AS BIGINT) AS tb,
+                          CAST(count(*) AS BIGINT) AS nc
+                   FROM cells),
+          t AS (
+            SELECT cell, na, nb,
+                   CAST((na + 1) * 1000000 // (ta + nc) AS BIGINT) AS sa_ppm,
+                   CAST((nb + 1) * 1000000 // (tb + nc) AS BIGINT) AS sb_ppm,
+                   CAST(floor(ln(CAST((na + 1) * (tb + nc) AS DOUBLE)
+                                / CAST((nb + 1) * (ta + nc) AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT) AS ln_micro
+            FROM cells, tots)
+          SELECT cell, na, nb, sa_ppm, sb_ppm, ln_micro,
+                 CAST((sa_ppm - sb_ppm) * ln_micro AS BIGINT) AS psi_pico
+          FROM t ORDER BY cell"""
   )
 }

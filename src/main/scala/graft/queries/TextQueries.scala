@@ -907,6 +907,19 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // boilerplate opening detection: shared 3-token document prefixes —
+    // the template-header signal (scraped pages opening with the same
+    // navigation/disclaimer text). One projection + vocabulary-sized
+    // histogram; the prefix complements the stitch (suffix↔prefix) and
+    // span-removal operators
+    "q_text_boilerplate_prefix" -> ((s, d) =>
+      docs(s, d).select(concat_ws(" ",
+          slice(tokens(lower(col("text"))), 1, 3)).as("prefix"))
+        .groupBy("prefix").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix"))
+        .limit(20)),
+
     // TextRank keyword extraction: PageRank over the word co-occurrence
     // graph (adjacent-token pairs, undirected). Reuses the integer
     // PageRank operator — ranks in 1e-12 units, bitwise across engines —
@@ -1883,6 +1896,17 @@ object TextQueries {
                 (CAST(n AS DOUBLE) * sxy - sx * sy)
                   / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope
          FROM m ORDER BY source""",
+
+    "q_text_boilerplate_prefix" ->
+      """WITH t AS (
+           SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END
+                    AS toks
+           FROM documents)
+         SELECT array_to_string(toks[1:3], ' ') AS prefix,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM t GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY n_docs DESC, prefix LIMIT 20""",
 
     "q_text_textrank" -> {
       def iter(k: Int, prev: String) =
