@@ -475,6 +475,69 @@ object AnalyticsQueries {
         .select(col("cym").as("cohort_ym"), col("age_months"),
           col("n_orders"), col("cum_cents"))
         .orderBy("cohort_ym", "age_months")
+    }),
+
+    // A/B assignment + sample-ratio-mismatch check: deterministic 50/50
+    // md5 bucketing of users (the hash-based assignment every
+    // experimentation platform uses — reproducible, no RNG state), and
+    // the SRM statistic (na−nb)²·10⁶/(na+nb) in exact micro units. A
+    // skewed split means broken randomization before any metric is read
+    "q_eng_ab_srm" -> ((s, d) => {
+      val arms = Tables.events(s, d).select(col("user_id")).distinct()
+        .select(when(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+          16, 10).cast("long") % 2 === 0, lit("A")).otherwise(lit("B"))
+          .as("arm"))
+        .groupBy("arm").agg(count(lit(1)).as("n"))
+      arms.agg(
+          sum(when(col("arm") === "A", col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", col("n")).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)")
+            .as("srm_micro"))
+    }),
+
+    // session conversion by length: gap-sessionize the event stream
+    // (reusing operators/Sessions — one user window), then conversion
+    // share per session-length bucket. The "do longer sessions buy more"
+    // read-out, exact to the ppm
+    "q_eng_session_conversion" -> ((s, d) => {
+      val sess = graft.operators.Sessions.sessionize(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "event_type"),
+        col("user_id"), col("ts"), col("event_id"), gapUs = 30L * 60 * 1000000)
+      val per = sess.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      per.groupBy(least(col("n_events"), lit(10L)).as("len_bucket"))
+        .agg(count(lit(1)).as("n_sessions"), sum("converted").as("n_converted"))
+        .withColumn("conversion_ppm",
+          expr("n_converted * 1000000 DIV n_sessions"))
+        .orderBy("len_bucket")
+    }),
+
+    // moving 7-day exact median of daily revenue: the robust smoother a
+    // mean can't give you under spikes. The same coverage-explosion trick
+    // as DAU/WAU turns the sliding window into plain groups (each day
+    // feeds the 7 windows it belongs to), then the rank rule selects the
+    // two middle values — integer cents, full windows only
+    "q_eng_moving_median" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"))
+      val cov = daily.select(
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+        col("day"), col("x"))
+      val wR = Window.partitionBy("wday").orderBy(col("x"), col("day"))
+      val wN = Window.partitionBy("wday")
+      cov.withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+        .groupBy("wday")
+        .agg((max(when(col("rn") === expr("(n + 1) DIV 2"), col("x"))) +
+          max(when(col("rn") === expr("n DIV 2 + 1"), col("x"))))
+          .as("median_cents2"), max("n").as("n_days"))
+        .where(col("n_days") === 7)
+        .select(col("wday").cast("string").as("day"), col("median_cents2"))
+        .orderBy("day")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -810,5 +873,75 @@ object AnalyticsQueries {
          SELECT cym AS cohort_ym, age_months, n_orders,
                 CAST(sum(cents) OVER (PARTITION BY cym ORDER BY age_months)
                   AS BIGINT) AS cum_cents
-         FROM aged ORDER BY cohort_ym, age_months""")
+         FROM aged ORDER BY cohort_ym, age_months""",
+
+    "q_eng_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         arms AS (
+           SELECT CASE WHEN CAST('0x' ||
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                  user_id
+           FROM u),
+         c AS (SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT)
+                        AS n_a,
+                      CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT)
+                        AS n_b
+               FROM arms)
+         SELECT n_a, n_b,
+                CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                  AS BIGINT) AS srm_micro
+         FROM c""",
+
+    "q_eng_session_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events),
+         o AS (SELECT user_id, us, event_type,
+                      CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS is_new,
+                      event_id
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT user_id, event_type,
+                      sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+               FROM o),
+         per AS (SELECT user_id, session_idx,
+                        CAST(count(*) AS BIGINT) AS n_events,
+                        CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                                      ELSE 0 END) AS BIGINT) AS converted
+                 FROM s GROUP BY 1, 2),
+         b AS (SELECT least(n_events, 10) AS len_bucket,
+                      CAST(count(*) AS BIGINT) AS n_sessions,
+                      CAST(sum(converted) AS BIGINT) AS n_converted
+               FROM per GROUP BY 1)
+         SELECT len_bucket, n_sessions, n_converted,
+                CAST(n_converted * 1000000 // n_sessions AS BIGINT)
+                  AS conversion_ppm
+         FROM b ORDER BY len_bucket""",
+
+    "q_eng_moving_median" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         cov AS (SELECT CAST(t.d2 AS DATE) AS wday, day, x
+                 FROM daily, unnest(generate_series(CAST(day AS TIMESTAMP),
+                          CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                          INTERVAL 1 DAY)) t(d2)),
+         r AS (SELECT wday, x,
+                      row_number() OVER (PARTITION BY wday ORDER BY x, day)
+                        AS rn,
+                      count(*) OVER (PARTITION BY wday) AS n
+               FROM cov),
+         m AS (SELECT wday,
+                      CAST(max(CASE WHEN rn = (n + 1) // 2 THEN x END)
+                         + max(CASE WHEN rn = n // 2 + 1 THEN x END)
+                        AS BIGINT) AS median_cents2,
+                      max(n) AS n_days
+               FROM r GROUP BY 1)
+         SELECT CAST(wday AS VARCHAR) AS day, median_cents2
+         FROM m WHERE n_days = 7 ORDER BY day""")
 }
