@@ -538,6 +538,29 @@ object AnalyticsQueries {
         .where(col("n_days") === 7)
         .select(col("wday").cast("string").as("day"), col("median_cents2"))
         .orderBy("day")
+    }),
+
+    // growth accounting: month-over-month new / retained / churned
+    // customers — the standard startup-metrics decomposition. Active
+    // months self-align by shifting the previous month forward (+1) into
+    // ONE full-outer join on (month, customer); a semi-join against the
+    // real month list drops the phantom month after the last
+    "q_eng_growth_accounting" -> ((s, d) => {
+      val am = Tables.orders(s, d).select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        col("o_custkey").as("ck")).distinct()
+      val cur = am.withColumn("c", lit(1))
+      val pre = am.select((col("ym") + 1).as("ym"), col("ck"), lit(1).as("p"))
+      cur.join(pre, Seq("ym", "ck"), "full_outer")
+        .join(am.select("ym").distinct(), Seq("ym"), "left_semi")
+        .groupBy("ym").agg(
+          count(when(col("c").isNotNull && col("p").isNull, 1)).as("n_new"),
+          count(when(col("c").isNotNull && col("p").isNotNull, 1))
+            .as("n_retained"),
+          count(when(col("c").isNull && col("p").isNotNull, 1))
+            .as("n_churned"))
+        .orderBy("ym")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -943,5 +966,28 @@ object AnalyticsQueries {
                       max(n) AS n_days
                FROM r GROUP BY 1)
          SELECT CAST(wday AS VARCHAR) AS day, median_cents2
-         FROM m WHERE n_days = 7 ORDER BY day""")
+         FROM m WHERE n_days = 7 ORDER BY day""",
+
+    "q_eng_growth_accounting" ->
+      """WITH am AS (
+           SELECT DISTINCT
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                    AS ym,
+                  o_custkey AS ck
+           FROM orders),
+         j AS (
+           SELECT COALESCE(c.ym, p.ym) AS ym,
+                  c.ck IS NOT NULL AS in_c, p.ck IS NOT NULL AS in_p
+           FROM am c
+           FULL OUTER JOIN (SELECT ym + 1 AS ym, ck FROM am) p
+             ON c.ym = p.ym AND c.ck = p.ck)
+         SELECT ym,
+                CAST(count(CASE WHEN in_c AND NOT in_p THEN 1 END) AS BIGINT)
+                  AS n_new,
+                CAST(count(CASE WHEN in_c AND in_p THEN 1 END) AS BIGINT)
+                  AS n_retained,
+                CAST(count(CASE WHEN NOT in_c AND in_p THEN 1 END) AS BIGINT)
+                  AS n_churned
+         FROM j WHERE ym IN (SELECT ym FROM am)
+         GROUP BY 1 ORDER BY ym""")
 }

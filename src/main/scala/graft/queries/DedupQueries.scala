@@ -261,6 +261,20 @@ object DedupQueries {
             .as("exact_ppm"))
         .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
         .orderBy("ida", "idb")
+    }),
+
+    // LSH banding precision diagnostic: candidate pairs the bands emit vs
+    // pairs the exact-Jaccard verify keeps — the tuning read-out for
+    // (bands, r): low precision means the verify stage burns compute on
+    // false candidates, time to narrow the bands. Both counts come off
+    // the SAME cached chain the dedup queries share; zero new heavy work
+    "q_dedup_lsh_precision" -> ((s, d) => {
+      val cand = Dedup.lshCandidates(withSig(s, d), col("doc_id"), col("sig"),
+        BANDS, R)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(minhashPairs(s, d).agg(count(lit(1)).as("n_verified")))
+        .select(col("n_candidates"), col("n_verified"),
+          expr("n_verified * 1000000 DIV n_candidates").as("precision_ppm"))
     })
   )
 
@@ -601,6 +615,31 @@ object DedupQueries {
                  inter * 1000000 // uni AS exact_ppm,
                  abs(sig_matches * 1000000 // 8 - inter * 1000000 // uni)
                    AS err_ppm
-          FROM j ORDER BY ida, idb"""
+          FROM j ORDER BY ida, idb""",
+
+    "q_dedup_lsh_precision" ->
+      s"""$shCte,
+          $sigCte,
+          bands AS (
+            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+            FROM sig, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          v AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_verified
+            FROM cand
+            JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                    / (CAST(len(x.shingles) AS DOUBLE)
+                       + CAST(len(y.shingles) AS DOUBLE)
+                       - CAST(len(list_intersect(x.shingles, y.shingles))
+                           AS DOUBLE)) >= 0.8),
+          c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+          SELECT n_candidates, n_verified,
+                 CAST(n_verified * 1000000 // n_candidates AS BIGINT)
+                   AS precision_ppm
+          FROM c, v"""
   )
 }

@@ -464,7 +464,17 @@ object SimilarityQueries {
         .withColumn("psi_pico",
           (col("sa_ppm") - col("sb_ppm")) * col("ln_micro"))
         .orderBy("cell")
-    })
+    }),
+
+    // PQ quantization-distortion report: per-subspace min-centroid error
+    // stats in exact micro² units — the index-quality complement of
+    // q_sim_pq_adc (a subspace with outsized distortion needs more
+    // centroids or a rotation). One argmin aggregate over the same
+    // broadcast-codebook distance table the encoder builds
+    "q_sim_pq_distortion" -> ((s, d) =>
+      graft.similarity.ProductQuantization.distortion(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        m = 8, subDim = 8, ksub = 16))
   )
 
   private def dotSql(a: String, b: String): String =
@@ -1015,6 +1025,14 @@ object SimilarityQueries {
             FROM cells, tots)
           SELECT cell, na, nb, sa_ppm, sb_ppm, ln_micro,
                  CAST((sa_ppm - sb_ppm) * ln_micro AS BIGINT) AS psi_pico
-          FROM t ORDER BY cell"""
+          FROM t ORDER BY cell""",
+
+    "q_sim_pq_distortion" ->
+      s"""WITH $pqCtes,
+          mn AS (SELECT id, m, min(d2q) AS d2q FROM d GROUP BY 1, 2)
+          SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d2q) // count(*) AS BIGINT) AS avg_d2q_micro2,
+                 CAST(max(d2q) AS BIGINT) AS max_d2q_micro2
+          FROM mn GROUP BY m ORDER BY m"""
   )
 }

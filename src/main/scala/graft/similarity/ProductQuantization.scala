@@ -75,6 +75,30 @@ object ProductQuantization {
     (codes, dt)
   }
 
+  /** Per-subspace quantization distortion: the min-centroid squared error
+    * each row pays when its subvector is replaced by its code — the PQ
+    * index-quality report (a subspace whose distortion dwarfs the others
+    * needs more centroids or a rotation). Output:
+    * (m, n, avg_d2q_micro2, max_d2q_micro2) — integer micro²-unit
+    * arithmetic end to end, same audited leaf quantization as the search
+    * path, so the report gates bitwise. */
+  def distortion(emb: DataFrame, idCol: Column, vecCol: Column,
+                 m: Int, subDim: Int, ksub: Int): DataFrame = {
+    val base = emb.select(idCol.as("id"),
+      microVec(vecCol.cast("array<double>")).as("v"))
+    val sub = subspaces(base, col("v"), m, subDim).select("id", "m", "sv")
+    val cb = sub.where(col("id") < ksub)
+      .select(col("id").as("cid"), col("m"), col("sv").as("cv"))
+    sub.join(broadcast(cb), "m")
+      .withColumn("d2q", dist2Micro2(col("sv"), col("cv")))
+      .groupBy("id", "m").agg(min(col("d2q")).as("d2q"))
+      .groupBy(col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(d2q) DIV count(1)").as("avg_d2q_micro2"),
+        max(col("d2q")).as("max_d2q_micro2"))
+      .orderBy("m")
+  }
+
   /** ADC top-k: queries = corpus rows with id < queryMaxId (searched
     * exactly), corpus represented by PQ codes. Output:
     * (qid, nid, rank, adist_micro2) — approximate squared L2 in 1e-12
