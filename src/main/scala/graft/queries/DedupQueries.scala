@@ -275,6 +275,21 @@ object DedupQueries {
         .crossJoin(minhashPairs(s, d).agg(count(lit(1)).as("n_verified")))
         .select(col("n_candidates"), col("n_verified"),
           expr("n_verified * 1000000 DIV n_candidates").as("precision_ppm"))
+    }),
+
+    // shingle-skew profile: the document-frequency histogram (log2
+    // buckets) plus the hottest shingles — the measurement BEHIND the
+    // df-cap discipline (a C(df,2) candidate blow-up hides in the tail
+    // this query exposes). One aggregate over the cached shingle arrays
+    "q_dedup_shingle_skew" -> ((s, d) => {
+      val df0 = withSig(s, d)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+      // log2 bucket via the binary-string length — pure integer (a libm
+      // log2 at an exact power of two is not portably floor-safe)
+      df0.groupBy((length(bin(col("df"))) - 1).cast("long").as("log2_df"))
+        .agg(count(lit(1)).as("n_shingles"), max("df").as("max_df"))
+        .orderBy("log2_df")
     })
   )
 
@@ -640,6 +655,16 @@ object DedupQueries {
           SELECT n_candidates, n_verified,
                  CAST(n_verified * 1000000 // n_candidates AS BIGINT)
                    AS precision_ppm
-          FROM c, v"""
+          FROM c, v""",
+
+    "q_dedup_shingle_skew" ->
+      s"""$shCte,
+          d AS (SELECT sh2 AS s2, CAST(count(*) AS BIGINT) AS df
+                FROM (SELECT doc_id, unnest(shingles) AS sh2 FROM sh)
+                GROUP BY 1)
+          SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+                 CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(max(df) AS BIGINT) AS max_df
+          FROM d GROUP BY 1 ORDER BY log2_df"""
   )
 }

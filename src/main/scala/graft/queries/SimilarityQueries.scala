@@ -474,7 +474,23 @@ object SimilarityQueries {
     "q_sim_pq_distortion" -> ((s, d) =>
       graft.similarity.ProductQuantization.distortion(
         Tables.embeddings(s, d), col("vec_id"), col("embedding"),
-        m = 8, subDim = 8, ksub = 16))
+        m = 8, subDim = 8, ksub = 16)),
+
+    // hubness diagnostic: in-degree distribution of the exact 5-NN graph
+    // on a fixed 200-vector sub-corpus — high-dimensional embedding
+    // spaces grow "hub" points that appear in everyone's neighbor list
+    // and poison retrieval; a heavy in-degree tail is the symptom. The
+    // sub-corpus keeps the all-pairs kernel a fixed-size diagnostic at
+    // any data scale (hubness is a property of the space, not the count)
+    "q_sim_hubness" -> ((s, d) => {
+      val sub = Tables.embeddings(s, d).where(col("vec_id") < 200)
+      val indeg = Similarity.bruteForceTopK(sub, sub, 5)
+        .groupBy(col("nid")).agg(count(lit(1)).as("ind"))
+      sub.select(col("vec_id").as("nid")).join(indeg, Seq("nid"), "left")
+        .select(coalesce(col("ind"), lit(0L)).as("in_degree"))
+        .groupBy("in_degree").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("in_degree")
+    })
   )
 
   private def dotSql(a: String, b: String): String =
@@ -1033,6 +1049,23 @@ object SimilarityQueries {
           SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(d2q) // count(*) AS BIGINT) AS avg_d2q_micro2,
                  CAST(max(d2q) AS BIGINT) AS max_d2q_micro2
-          FROM mn GROUP BY m ORDER BY m"""
+          FROM mn GROUP BY m ORDER BY m""",
+
+    "q_sim_hubness" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 200),
+          scored AS (
+            SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos
+            FROM e x JOIN e y ON y.vec_id != x.vec_id),
+          nn AS (SELECT qid, nid FROM (
+                   SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, nid) AS rk FROM scored)
+                 WHERE rk <= 5),
+          ind AS (SELECT nid, CAST(count(*) AS BIGINT) AS ind
+                  FROM nn GROUP BY 1)
+          SELECT CAST(COALESCE(ind.ind, 0) AS BIGINT) AS in_degree,
+                 CAST(count(*) AS BIGINT) AS n_vectors
+          FROM e LEFT JOIN ind ON e.vec_id = ind.nid
+          GROUP BY 1 ORDER BY in_degree"""
   )
 }

@@ -920,6 +920,21 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("prefix"))
         .limit(20)),
 
+    // vocabulary richness: hapax legomena rate per source — the share of
+    // a source's vocabulary seen exactly once. Boilerplate-heavy or
+    // templated sources show depressed hapax rates; natural text sits
+    // near half its vocabulary. One term-frequency aggregate, then a
+    // sources-sized rollup
+    "q_text_hapax" -> ((s, d) =>
+      postings(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          count(when(col("f") === 1, 1)).as("hapax"))
+        .withColumn("hapax_ppm", expr("hapax * 1000000 DIV vocab"))
+        .orderBy("source")),
+
     // TextRank keyword extraction: PageRank over the word co-occurrence
     // graph (adjacent-token pairs, undirected). Reuses the integer
     // PageRank operator — ranks in 1e-12 units, bitwise across engines —
@@ -1907,6 +1922,24 @@ object TextQueries {
                 CAST(count(*) AS BIGINT) AS n_docs
          FROM t GROUP BY 1 HAVING count(*) >= 2
          ORDER BY n_docs DESC, prefix LIMIT 20""",
+
+    "q_text_hapax" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END
+                    AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         tf AS (SELECT d.source, x.tok, CAST(count(*) AS BIGINT) AS f
+                FROM x JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                      CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT)
+                        AS hapax
+               FROM tf GROUP BY 1)
+         SELECT source, vocab, hapax,
+                CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_ppm
+         FROM v ORDER BY source""",
 
     "q_text_textrank" -> {
       def iter(k: Int, prev: String) =
