@@ -280,6 +280,19 @@ object ParityQueries {
         .orderBy("event_id")
     }),
 
+    // Bernoulli sampling via the content hash: keep a row iff its
+    // md5-derived ppm draw clears the rate — a PURE MAP (no ranks, no
+    // shuffle, no coordination), the only sampler shape that stays
+    // embarrassingly parallel at any scale; reproducible because the
+    // coin is the row's own content, and composable (two rates nest).
+    // 10% of events; exact integer threshold on the 52-bit hash
+    "q_sample_bernoulli" -> ((s, d) =>
+      Tables.events(s, d)
+        .where(conv(substring(md5(col("event_id").cast("string")), 1, 13),
+          16, 10).cast("long") % 1000000L < 100000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")),
+
     // poissonized bootstrap: each row draws its replicate count from
     // Poisson(1) via the inverse CDF on an md5-derived uniform — a pure
     // map (no resampling shuffle), so at 100 TB a bootstrap replicate is
@@ -502,6 +515,13 @@ object ParityQueries {
            SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rn
            FROM events)
          WHERE rn % 20 = 0 ORDER BY event_id""",
+
+    "q_sample_bernoulli" ->
+      """SELECT event_id, user_id, event_type
+         FROM events
+         WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)
+                 AS BIGINT) % 1000000 < 100000
+         ORDER BY event_id""",
 
     "q_sample_bootstrap" ->
       """WITH u AS (
