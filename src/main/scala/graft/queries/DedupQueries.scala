@@ -277,6 +277,15 @@ object DedupQueries {
           expr("n_verified * 1000000 DIV n_candidates").as("precision_ppm"))
     }),
 
+    // duplicate-family size histogram: how much of the corpus is
+    // duplicated how deeply — the dedup report that sizes the win before
+    // anyone deletes anything. One rollup over the cached cluster table
+    "q_dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")),
+
     // shingle-skew profile: the document-frequency histogram (log2
     // buckets) plus the hottest shingles — the measurement BEHIND the
     // df-cap discipline (a C(df,2) candidate blow-up hides in the tail
@@ -318,6 +327,33 @@ object DedupQueries {
                 [list_min(list_transform(shingles,
                    s -> md5(CAST(k AS VARCHAR) || ':' || s))) for k in range(0, 8)] AS sig
          FROM sh)"""
+
+  /** Shared recursive chain: LSH candidates → Jaccard-verified pairs →
+    * transitive closure → `cl(doc_id, cluster_id)` (min reachable id). */
+  private val clustersCte =
+    s"""${shCte.replaceFirst("WITH", "WITH RECURSIVE")},
+        $sigCte,
+        bands AS (
+          SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+          FROM sig, range(0, 4) t(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        p AS (
+          SELECT ida, idb
+          FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+          WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                  / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
+                     - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) >= 0.8),
+        edges AS (SELECT ida AS a, idb AS b FROM p
+                  UNION ALL SELECT idb, ida FROM p),
+        reach AS (
+          SELECT DISTINCT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+               FROM reach GROUP BY 1)"""
 
   private val simhashCte =
     """f AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
@@ -367,29 +403,15 @@ object DedupQueries {
     // same candidate+verify chain as q_dedup_minhash_lsh, then transitive
     // closure over the symmetric pair edges — cluster id = min reachable id
     "q_dedup_clusters" ->
-      s"""${shCte.replaceFirst("WITH", "WITH RECURSIVE")},
-          $sigCte,
-          bands AS (
-            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
-            FROM sig, range(0, 4) t(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-            FROM bands a JOIN bands b
-              ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-          p AS (
-            SELECT ida, idb
-            FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
-            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                    / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
-                       - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) >= 0.8),
-          edges AS (SELECT ida AS a, idb AS b FROM p
-                    UNION ALL SELECT idb, ida FROM p),
-          reach AS (
-            SELECT DISTINCT a AS id, a AS r FROM edges
-            UNION
-            SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
-          SELECT id AS doc_id, min(r) AS cluster_id
-          FROM reach GROUP BY 1 ORDER BY 1""",
+      s"""$clustersCte
+          SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
+
+    "q_dedup_cluster_sizes" ->
+      s"""$clustersCte,
+          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                 FROM cl GROUP BY 1)
+          SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+          FROM sz GROUP BY 1 ORDER BY sz""",
 
     "q_dedup_ngram_jaccard" ->
       s"""$shCte,

@@ -490,6 +490,22 @@ object SimilarityQueries {
         .select(coalesce(col("ind"), lit(0L)).as("in_degree"))
         .groupBy("in_degree").agg(count(lit(1)).as("n_vectors"))
         .orderBy("in_degree")
+    }),
+
+    // IVF scan-cost report: candidates each query actually examines
+    // (its cell's population minus itself) vs the brute-force corpus —
+    // the speedup the index buys, per query, in exact ppm. Cell sizes
+    // broadcast; no scoring work at all
+    "q_sim_ivf_cost" -> ((s, d) => {
+      val assigned = Similarity.ivfAssign(Tables.embeddings(s, d), 8)
+      val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("csize"))
+      val n = assigned.agg(count(lit(1)).as("n"))
+      assigned.where(col("id") < QuerySetMax).select("id", "cell")
+        .join(broadcast(sizes), "cell").crossJoin(broadcast(n))
+        .select(col("id").as("qid"), col("cell"),
+          (col("csize") - 1).as("n_candidates"),
+          expr("(csize - 1) * 1000000 DIV (n - 1)").as("scan_ratio_ppm"))
+        .orderBy("qid")
     })
   )
 
@@ -1066,6 +1082,29 @@ object SimilarityQueries {
           SELECT CAST(COALESCE(ind.ind, 0) AS BIGINT) AS in_degree,
                  CAST(count(*) AS BIGINT) AS n_vectors
           FROM e LEFT JOIN ind ON e.vec_id = ind.nid
-          GROUP BY 1 ORDER BY in_degree"""
+          GROUP BY 1 ORDER BY in_degree""",
+
+    "q_sim_ivf_cost" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id AS id, cid, ${dotSql("v", "cv")} AS score
+            FROM e CROSS JOIN cents),
+          assigned AS (
+            SELECT id, cid AS cell
+            FROM (SELECT id, cid,
+                         row_number() OVER (PARTITION BY id
+                           ORDER BY score DESC, cid) AS rn
+                  FROM scored)
+            WHERE rn = 1),
+          sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS csize
+                    FROM assigned GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assigned)
+          SELECT id AS qid, cell,
+                 CAST(csize - 1 AS BIGINT) AS n_candidates,
+                 CAST((csize - 1) * 1000000 // (n - 1) AS BIGINT)
+                   AS scan_ratio_ppm
+          FROM assigned JOIN sizes USING (cell), n
+          WHERE id < $QuerySetMax ORDER BY qid"""
   )
 }

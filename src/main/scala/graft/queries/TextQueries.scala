@@ -544,6 +544,19 @@ object TextQueries {
       graft.text.UnigramLm.surprisal(docs(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // corpus-level LM quality: mean per-token surprisal by source (the
+    // perplexity proxy rolled up to the mixture-weighting granularity) —
+    // integer micro-nats per token via one exact division over the
+    // summed doc surprisals
+    "q_text_ppl_by_source" -> ((s, d) =>
+      graft.text.UnigramLm.surprisal(docs(s, d), col("doc_id"), col("text"))
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          expr("sum(surprisal_micro) DIV sum(n_tokens)")
+            .as("avg_surprisal_micro"))
+        .orderBy("source")),
+
     // fuzzy vocabulary linking: edit-distance ≤ 2 word pairs via FastSS
     // deletion-neighborhood blocking + exact levenshtein verify. The
     // oracle computes ALL pairs — set equality proves the blocking's
@@ -1561,6 +1574,28 @@ object TextQueries {
                        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS surprisal_micro
          FROM x JOIN f USING (tok), tt
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_text_ppl_by_source" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM x),
+         ds AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                         * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+           FROM x JOIN f USING (tok), tt
+           GROUP BY 1)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(CAST(sum(sm) AS BIGINT) // CAST(sum(n_tokens) AS BIGINT)
+                  AS BIGINT) AS avg_surprisal_micro
+         FROM ds JOIN documents d USING (doc_id)
+         GROUP BY 1 ORDER BY source""",
 
     "q_text_fuzzy_join" ->
       """WITH v AS (
