@@ -544,6 +544,42 @@ object TextQueries {
       graft.text.UnigramLm.surprisal(docs(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // tokenizer fertility: BPE-ish tokens per whitespace word, by
+    // language — the compute-cost metric behind tokenizer choice (a
+    // language with fertility 2× pays 2× the sequence length for the
+    // same text). Exact integer ppm over the summed counts
+    "q_text_fertility" -> ((s, d) =>
+      docs(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("bpe_tokens * 1000000 DIV ws_tokens"))
+        .orderBy("lang")),
+
+    // source vocabulary-overlap matrix: pairwise Jaccard of the sources'
+    // vocabularies — the corpus-relatedness map (which sources are
+    // near-copies, which bring genuinely new words). One inverted join
+    // on the term (the same candidate shape as the dedup family), pair
+    // counts + degrees, exact ppm
+    "q_text_vocab_overlap" -> ((s, d) => {
+      val sv = postings(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("tok")).distinct()
+      val deg = sv.groupBy("source").agg(count(lit(1)).as("v"))
+      val pairs = sv.as("a").join(sv.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(deg.select(col("source").as("sa"), col("v").as("va")), "sa")
+        .join(deg.select(col("source").as("sb"), col("v").as("vb")), "sb")
+        .select(col("sa"), col("sb"), col("common"),
+          expr("common * 1000000 DIV (va + vb - common)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("sa"), col("sb"))
+        .limit(20)
+    }),
+
     // corpus-level LM quality: mean per-token surprisal by source (the
     // perplexity proxy rolled up to the mixture-weighting granularity) —
     // integer micro-nats per token via one exact division over the
@@ -1574,6 +1610,47 @@ object TextQueries {
                        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS surprisal_micro
          FROM x JOIN f USING (tok), tt
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_text_fertility" ->
+      """WITH f AS (
+           SELECT lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+                    AS BIGINT) AS ws_tokens,
+                  CAST(sum(len(regexp_extract_all(text,
+                      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')))
+                    AS BIGINT) AS bpe_tokens
+           FROM documents GROUP BY 1)
+         SELECT lang, n_docs, ws_tokens, bpe_tokens,
+                CAST(bpe_tokens * 1000000 // ws_tokens AS BIGINT)
+                  AS fertility_ppm
+         FROM f ORDER BY lang""",
+
+    "q_text_vocab_overlap" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END
+                    AS toks
+           FROM documents),
+         sv AS (SELECT DISTINCT d.source, x.tok
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t) x
+                JOIN documents d USING (doc_id)),
+         deg AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+                 FROM sv GROUP BY 1),
+         pairs AS (
+           SELECT a.source AS sa, b.source AS sb,
+                  CAST(count(*) AS BIGINT) AS common
+           FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa, sb, common,
+                CAST(common * 1000000 // (da.v + db.v - common) AS BIGINT)
+                  AS jaccard_ppm
+         FROM pairs
+         JOIN deg da ON da.source = sa
+         JOIN deg db ON db.source = sb
+         ORDER BY jaccard_ppm DESC, sa, sb LIMIT 20""",
 
     "q_text_ppl_by_source" ->
       """WITH t AS (
