@@ -84,9 +84,12 @@ private[sources] class GdeltTsvScan(path: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
     val files: Seq[Path] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
           .sortBy(_.toString)
+        finally s.close()
+      }
       else if (Files.isRegularFile(p)) Seq(p)
       else throw new IllegalArgumentException(s"gdelt-tsv: no such path $path")
     files.map(f => GdeltTsvPartition(f.toString): InputPartition).toArray
