@@ -477,6 +477,25 @@ object AnalyticsQueries {
         .orderBy("cohort_ym", "age_months")
     }),
 
+    // Herfindahl–Hirschman concentration of brand revenue: Σ share² —
+    // the market-concentration complement of the Lorenz/Gini family
+    // (HHI reacts to the top of the distribution, Gini to its whole
+    // shape). Shares in exact truncated ppm over integer cents; HHI
+    // lands back in ppm after one integer division
+    "q_eng_hhi" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      rev.crossJoin(broadcast(rev.agg(sum("cents").as("t"))))
+        .select(expr("cents * 1000000 DIV t").as("share_ppm"))
+        .agg(count(lit(1)).as("n_brands"),
+          max("share_ppm").as("top_share_ppm"),
+          expr("sum(share_ppm * share_ppm) DIV 1000000").as("hhi_ppm"))
+    }),
+
     // A/B assignment + sample-ratio-mismatch check: deterministic 50/50
     // md5 bucketing of users (the hash-based assignment every
     // experimentation platform uses — reproducible, no RNG state), and
@@ -897,6 +916,22 @@ object AnalyticsQueries {
                 CAST(sum(cents) OVER (PARTITION BY cym ORDER BY age_months)
                   AS BIGINT) AS cum_cents
          FROM aged ORDER BY cohort_ym, age_months""",
+
+    "q_eng_hhi" ->
+      """WITH rev AS (
+           SELECT p_brand,
+                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+         sh AS (SELECT CAST(cents * 1000000 // t.t AS BIGINT) AS share_ppm
+                FROM rev, t)
+         SELECT CAST(count(*) AS BIGINT) AS n_brands,
+                CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+                CAST(CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000
+                  AS BIGINT) AS hhi_ppm
+         FROM sh""",
 
     "q_eng_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -496,6 +496,23 @@ object SimilarityQueries {
     // (its cell's population minus itself) vs the brute-force corpus —
     // the speedup the index buys, per query, in exact ppm. Cell sizes
     // broadcast; no scoring work at all
+    // embedding norm histogram: the norm-collapse / outlier screen (a
+    // healthy encoder yields a tight norm band; a spike at zero or a fat
+    // tail flags dead units or exploding examples). Norm² in exact
+    // integer micro² via leaf quantization — the same audited trick as
+    // PQ — so the buckets are bitwise. One map + vocabulary-sized rollup
+    "q_sim_norm_hist" -> ((s, d) => {
+      val q2 = aggregate(
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")),
+        lit(0L), (acc, x) => acc + x * x)
+      Tables.embeddings(s, d)
+        .select(q2.as("nq2"))
+        .select(expr("nq2 DIV 100000000000").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("bucket")
+    }),
+
     "q_sim_ivf_cost" -> ((s, d) => {
       val assigned = Similarity.ivfAssign(Tables.embeddings(s, d), 8)
       val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("csize"))
@@ -1083,6 +1100,17 @@ object SimilarityQueries {
                  CAST(count(*) AS BIGINT) AS n_vectors
           FROM e LEFT JOIN ind ON e.vec_id = ind.nid
           GROUP BY 1 ORDER BY in_degree""",
+
+    "q_sim_norm_hist" ->
+      """WITH q AS (
+           SELECT list_reduce(list_prepend(0::BIGINT,
+                    list_transform(embedding::DOUBLE[],
+                      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))),
+                    (acc, x) -> acc + x * x) AS nq2
+           FROM embeddings)
+         SELECT CAST(nq2 // 100000000000 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_vectors
+         FROM q GROUP BY 1 ORDER BY bucket""",
 
     "q_sim_ivf_cost" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
