@@ -41,4 +41,13 @@ class MergeSpec extends SparkSpec {
       Merge.mergeInto(tgt, bad, Seq("k"))
     }
   }
+
+  test("composite merge keys match on every key column") {
+    val t = Seq((1L, "a", 10.0), (1L, "b", 20.0)).toDF("k1", "k2", "v")
+    val s = Seq((1L, "a", 99.0), (2L, "a", 50.0)).toDF("k1", "k2", "v")
+    val out = Merge.mergeInto(t, s, Seq("k1", "k2"))
+      .orderBy("k1", "k2").as[(Long, String, Double)].collect()
+    // (1,a) updated, (1,b) kept, (2,a) inserted
+    assert(out === Seq((1L, "a", 99.0), (1L, "b", 20.0), (2L, "a", 50.0)))
+  }
 }

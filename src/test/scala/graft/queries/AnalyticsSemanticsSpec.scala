@@ -111,6 +111,18 @@ class AnalyticsSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("CUSUM: top-5 deviation days == naive cumulative loop") {
+    val daily = dailyCents.toSeq.sortBy(_._1.toString)
+    val t = daily.map(_._2).sum
+    val n = daily.size.toLong
+    var acc = 0L
+    val cusum = daily.map { case (d, x) => acc += n * x - t; (d.toString, x, acc) }
+    val naive = cusum.sortBy { case (d, _, c) => (-math.abs(c), d) }.take(5)
+    val got = SparkEntry.queries("q_eng_cusum")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == naive)
+  }
+
   test("attribution: 7-day lookback boundary on a crafted event stream") {
     val dir = JFiles.createTempDirectory("graft_attr").toString
     def ns(day: Int, sec: Int): Long =
