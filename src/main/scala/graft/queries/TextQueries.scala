@@ -544,6 +544,23 @@ object TextQueries {
       graft.text.UnigramLm.surprisal(docs(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // word2vec-style negative-sampling table: weights ∝ count^0.75 (the
+    // unigram smoothing that keeps frequent words from dominating the
+    // contrastive draw). pow quantizes at the leaf per distinct count (a
+    // vocabulary-sized input set — same audit argument as the √ mix
+    // weights) and shares normalize by exact integer division
+    "q_text_neg_sampling" -> ((s, d) => {
+      val cnt = postings(s, d).groupBy("tok").agg(count(lit(1)).as("c"))
+      val w = cnt.withColumn("w_micro",
+        floor(pow(col("c").cast("double"), 0.75) * 1000000.0 + 0.5)
+          .cast("long"))
+      w.crossJoin(broadcast(w.agg(sum("w_micro").as("tw"))))
+        .select(col("tok"), col("c"), col("w_micro"),
+          expr("w_micro * 1000000 DIV tw").as("draw_ppm"))
+        .orderBy(col("draw_ppm").desc, col("tok"))
+        .limit(20)
+    }),
+
     // tokenizer fertility: BPE-ish tokens per whitespace word, by
     // language — the compute-cost metric behind tokenizer choice (a
     // language with fertility 2× pays 2× the sequence length for the
@@ -1610,6 +1627,24 @@ object TextQueries {
                        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS surprisal_micro
          FROM x JOIN f USING (tok), tt
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_text_neg_sampling" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END
+                    AS toks
+           FROM documents),
+         x AS (SELECT unnest(toks) AS tok FROM t),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1),
+         w AS (SELECT tok, c,
+                      CAST(floor(pow(CAST(c AS DOUBLE), 0.75) * 1000000.0
+                        + 0.5) AS BIGINT) AS w_micro
+               FROM c),
+         tw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w)
+         SELECT tok, c, w_micro,
+                CAST(w_micro * 1000000 // tw AS BIGINT) AS draw_ppm
+         FROM w, tw ORDER BY draw_ppm DESC, tok LIMIT 20""",
 
     "q_text_fertility" ->
       """WITH f AS (

@@ -185,6 +185,20 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("negative-sampling count^0.75 values clear the micro boundary") {
+    // q_text_neg_sampling quantizes pow(c, 0.75) per distinct unigram
+    // count — pow is not correctly rounded across libms, so the
+    // transcendental threshold applies
+    for (dir <- gateSfs) {
+      val cnts = Tables.documents(spark, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .select(col("c").cast("double").as("c")).distinct()
+      val d = minBoundaryDist(cnts, pow(col("c"), 0.75))
+      assert(d > 1e-4, s"$dir: count^0.75 within $d of a floor boundary")
+    }
+  }
+
   test("temperature-mix sqrt(token count) values clear the micro boundary") {
     // sqrt is IEEE correctly rounded (identical across engines), so the
     // only drift surface is the floor(·1e6+0.5) site itself — raw-element
