@@ -496,6 +496,27 @@ object AnalyticsQueries {
           expr("sum(share_ppm * share_ppm) DIV 1000000").as("hhi_ppm"))
     }),
 
+    // pricing-integrity screen: per-part spread of the implied unit
+    // price across line items — a wide spread flags inconsistent
+    // catalog pricing or data corruption. Unit price in integer
+    // centi-units from one fixed-shape IEEE division per row (identical
+    // operands → identical doubles on both engines); one partkey
+    // aggregate, top-20 by spread
+    "q_eng_unit_price_spread" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_quantity") > 0)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100.0 / col("l_quantity") + 0.5)
+            .cast("long").as("unit_centi"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_lines"),
+          min("unit_centi").as("min_unit_centi"),
+          max("unit_centi").as("max_unit_centi"))
+        .withColumn("spread_centi",
+          col("max_unit_centi") - col("min_unit_centi"))
+        .orderBy(col("spread_centi").desc, col("l_partkey"))
+        .limit(20)),
+
     // A/B assignment + sample-ratio-mismatch check: deterministic 50/50
     // md5 bucketing of users (the hash-based assignment every
     // experimentation platform uses — reproducible, no RNG state), and
@@ -932,6 +953,22 @@ object AnalyticsQueries {
                 CAST(CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000
                   AS BIGINT) AS hhi_ppm
          FROM sh""",
+
+    "q_eng_unit_price_spread" ->
+      """WITH u AS (
+           SELECT l_partkey,
+                  CAST(floor(l_extendedprice * 100.0 / l_quantity + 0.5)
+                    AS BIGINT) AS unit_centi
+           FROM lineitem WHERE l_quantity > 0),
+         g AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(min(unit_centi) AS BIGINT) AS min_unit_centi,
+                  CAST(max(unit_centi) AS BIGINT) AS max_unit_centi
+           FROM u GROUP BY 1)
+         SELECT l_partkey, n_lines, min_unit_centi, max_unit_centi,
+                max_unit_centi - min_unit_centi AS spread_centi
+         FROM g
+         ORDER BY spread_centi DESC, l_partkey LIMIT 20""",
 
     "q_eng_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

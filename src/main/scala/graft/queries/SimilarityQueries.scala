@@ -492,6 +492,37 @@ object SimilarityQueries {
         .orderBy("in_degree")
     }),
 
+    // embedding label-separation eval: mean cosine within vs across
+    // labels on the fixed 200-vector sub-corpus — the supervised
+    // embedding-quality read-out (a good encoder pulls same-label pairs
+    // together; separation ≈ 0 means the labels are invisible to the
+    // geometry). Pair cosines quantize at the leaf (micro units, same
+    // audited discipline as the SemDeDup pairs), so the means are exact
+    // integer division
+    "q_sim_label_separation" -> ((s, d) => {
+      val sub = Tables.embeddings(s, d).where(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val pairs = Similarity.bruteForceTopK(sub, sub, 199)
+        .where(col("qid") < col("nid"))
+      val labels = sub.select(col("vec_id"), col("label"))
+      pairs
+        .join(labels.select(col("vec_id").as("qid"),
+          col("label").as("la")), "qid")
+        .join(labels.select(col("vec_id").as("nid"),
+          col("label").as("lb")), "nid")
+        .select(when(col("la") === col("lb"), lit("same"))
+            .otherwise(lit("diff")).as("pair_kind"),
+          // shift by +1e6 (cos ≥ −1) so the mean's integer division has
+          // a non-negative numerator: Spark's truncating DIV and
+          // DuckDB's flooring // agree only above zero
+          (floor(col("cos") * 1000000.0 + 0.5).cast("long") + 1000000L)
+            .as("cms"))
+        .groupBy("pair_kind")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(cms) DIV count(1) - 1000000").as("mean_cos_micro"))
+        .orderBy("pair_kind")
+    }),
+
     // IVF scan-cost report: candidates each query actually examines
     // (its cell's population minus itself) vs the brute-force corpus —
     // the speedup the index buys, per query, in exact ppm. Cell sizes
@@ -1111,6 +1142,20 @@ object SimilarityQueries {
          SELECT CAST(nq2 // 100000000000 AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS n_vectors
          FROM q GROUP BY 1 ORDER BY bucket""",
+
+    "q_sim_label_separation" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                     FROM embeddings WHERE vec_id < 200),
+          p AS (
+            SELECT CASE WHEN x.label = y.label THEN 'same' ELSE 'diff' END
+                     AS pair_kind,
+                   CAST(floor(($cosSql) * 1000000.0 + 0.5) AS BIGINT)
+                     + 1000000 AS cms
+            FROM e x JOIN e y ON x.vec_id < y.vec_id)
+          SELECT pair_kind, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(CAST(sum(cms) AS BIGINT) // count(*) - 1000000
+                   AS BIGINT) AS mean_cos_micro
+          FROM p GROUP BY 1 ORDER BY pair_kind""",
 
     "q_sim_ivf_cost" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -185,6 +185,19 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("sub-corpus pair cosines clear the micro boundary (label separation)") {
+    // q_sim_label_separation quantizes every all-pairs cosine on the
+    // 200-vector sub-corpus — dot/norm/divide are exact-rounded IEEE
+    // ops, so the raw-element threshold applies
+    for (dir <- gateSfs) {
+      val sub = Tables.embeddings(spark, dir).where(col("vec_id") < 200)
+      val pairs = graft.similarity.Similarity.bruteForceTopK(sub, sub, 199)
+        .where(col("qid") < col("nid"))
+      val d = minBoundaryDist(pairs, col("cos"))
+      assert(d > 1e-7, s"$dir: pair cosine within $d of a floor boundary")
+    }
+  }
+
   test("negative-sampling count^0.75 values clear the micro boundary") {
     // q_text_neg_sampling quantizes pow(c, 0.75) per distinct unigram
     // count — pow is not correctly rounded across libms, so the
