@@ -219,6 +219,30 @@ object AnalyticsQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // minority-class oversampling plan: replicate every class up to the
+    // majority size — floor(T/n) copies each plus one extra for the
+    // first T mod n docs in content-hash order. The complement of
+    // q_sample_balanced: emitted as a per-doc copy COUNT (a weight
+    // column), not materialized rows — at 100 TB an oversample is a
+    // weight, never a data copy (the same discipline as the poissonized
+    // bootstrap)
+    "q_sample_oversample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      val counts = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+      val tgt = counts.agg(max("n").as("t"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(tgt))
+        .select(col("lang"), col("doc_id"),
+          (expr("t DIV n") +
+            when(col("rn") <= expr("t % n"), 1L).otherwise(0L))
+            .as("n_copies"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // batch MERGE INTO (lakehouse upsert): target = snapshot without the
     // %13 keys, source = the %7 keys with bumped prices, matched 'F' rows
     // deleted. One full-outer join on the key (see operators/Merge for
@@ -724,6 +748,21 @@ object AnalyticsQueries {
            FROM documents)
          SELECT lang, doc_id FROM r, k WHERE rn <= k.k
          ORDER BY lang, doc_id""",
+
+    "q_sample_oversample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY 1),
+         t AS (SELECT CAST(max(n) AS BIGINT) AS t FROM c),
+         r AS (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY md5(text), doc_id) AS rn
+               FROM documents)
+         SELECT r.lang, r.doc_id,
+                CAST(t.t // c.n
+                     + CASE WHEN r.rn <= t.t % c.n THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_copies
+         FROM r JOIN c ON r.lang = c.lang CROSS JOIN t
+         ORDER BY r.lang, doc_id""",
 
     "q_eng_merge_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
