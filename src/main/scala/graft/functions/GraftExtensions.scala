@@ -49,6 +49,21 @@ object GraftFunctions {
         SignBandPatterns(children.head, lit(children(1), "seed"),
           lit(children(2), "bands").toInt, lit(children(3), "width").toInt,
           lit(children(4), "dims").toInt)
+      }),
+    // graft_kmv_distinct(id, k): mergeable KMV distinct-count estimate;
+    // k must be a foldable integer literal
+    ("graft_kmv_distinct",
+      new ExpressionInfo(classOf[KmvDistinctAgg].getName, "graft_kmv_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_kmv_distinct expects (value, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_distinct: k must be an integer literal, got $other")
+        }
+        KmvDistinctAgg(children.head, k).toAggregateExpression()
       })
   )
 

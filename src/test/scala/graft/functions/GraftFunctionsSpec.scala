@@ -22,7 +22,8 @@ class GraftFunctionsSpec extends SparkSpec {
   test("extensions class injects without error and registers the same list") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-path smoke: no throw
-    assert(GraftFunctions.all.map(_._1) == Seq("graft_dot", "graft_sign_bands"))
+    assert(GraftFunctions.all.map(_._1) ==
+      Seq("graft_dot", "graft_sign_bands", "graft_kmv_distinct"))
   }
 
   test("graft_sign_bands usable from SQL; geometry must be literal") {
