@@ -297,6 +297,22 @@ object AnalyticsQueries {
           expr(s"m * union_est DIV $k").as("intersect_est"))
     }),
 
+    // the KMV aggregate ON the gate: per-priority distinct-customer
+    // estimates through the SQL-registered TypedImperativeAggregate
+    // (graft_kmv_distinct) — partial-aggregated, mergeable, one exchange
+    // of ≤ k longs per group. The oracle recomputes the same bottom-k
+    // estimator per group, so the custom aggregate's update/merge/eval
+    // path is hash-compared cross-engine, not just spec-tested
+    "q_eng_kmv_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.orders(s, d).createOrReplaceTempView("kmv_orders")
+      s.sql(
+        """SELECT o_orderpriority,
+                  graft_kmv_distinct(o_custkey, 128) AS distinct_cust_est
+           FROM kmv_orders
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // clickstream path mining: the 20 most common 3-step event sequences.
     // Two lead() columns over ONE per-user window (a single user_id
     // exchange feeds both), then a vocabulary-sized path histogram — the
@@ -816,6 +832,26 @@ object AnalyticsQueries {
                 CAST(m.m * 1000000 // 128 AS BIGINT) AS jaccard_ppm,
                 CAST(m.m * ue.union_est // 128 AS BIGINT) AS intersect_est
          FROM ue, m""",
+
+    "q_eng_kmv_agg" ->
+      """WITH h AS (
+           SELECT DISTINCT o_orderpriority,
+                  CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)
+                    AS BIGINT) AS h
+           FROM orders),
+         r AS (SELECT o_orderpriority, h,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY h) AS rn
+               FROM h),
+         sk AS (SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n_in,
+                       CAST(max(h) AS BIGINT) AS hk
+                FROM r WHERE rn <= 128 GROUP BY 1)
+         SELECT o_orderpriority,
+                CAST(CASE WHEN n_in < 128 THEN n_in
+                     ELSE 127 * 4503599627370496 // hk END AS BIGINT)
+                  AS distinct_cust_est
+         FROM sk ORDER BY o_orderpriority""",
 
     "q_eng_user_paths" ->
       """WITH w AS (
