@@ -40,6 +40,23 @@ class KmvDistinctAggSpec extends SparkSpec {
     assert(a == b, "bottom-k merge must be partition-order independent")
   }
 
+  test("streaming update-mode aggregation carries the sketch state across micro-batches") {
+    val s = registered
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Long](spark)
+    mem.toDF().toDF("v").createOrReplaceTempView("kmv_stream")
+    val q = s.sql("SELECT graft_kmv_distinct(v, 128) AS e FROM kmv_stream")
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete").start()
+    mem.addData(1L to 30L: _*)
+    q.processAllAvailable()
+    assert(spark.table("kmv_out").as[Long].collect().last == 30L)
+    mem.addData(21L to 50L: _*) // overlap dedups inside the sketch state
+    q.processAllAvailable()
+    assert(spark.table("kmv_out").as[Long].collect().last == 50L)
+    q.stop()
+  }
+
   test("GROUP BY cohort sketching: per-group estimates, duplicates ignored") {
     val s = registered
     val df = ((1L to 500L).map(i => ("x", i)) ++ (1L to 500L).map(i => ("x", i)) ++
