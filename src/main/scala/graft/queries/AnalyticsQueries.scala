@@ -313,6 +313,30 @@ object AnalyticsQueries {
            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // the RewriteTopKWindow optimizer rule ON the gate: this query is
+    // written in the stock rank-filter-drop idiom, the injected rule
+    // replans it as the sort-free TopKPerGroup node (PlanRewriteSpec
+    // asserts the node fires for this shape), and the DuckDB oracle runs
+    // the plain window semantics — hash equality proves the rewrite is
+    // row-identical, not just spec-identical
+    "q_eng_topk_rewritten" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.contains(
+          graft.plans.RewriteTopKWindow))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RewriteTopKWindow
+      if (!s.experimental.extraStrategies.contains(
+          graft.plans.TopKPerGroupStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // clickstream path mining: the 20 most common 3-step event sequences.
     // Two lead() columns over ONE per-user window (a single user_id
     // exchange feeds both), then a vocabulary-sized path histogram — the
@@ -852,6 +876,15 @@ object AnalyticsQueries {
                      ELSE 127 * 4503599627370496 // hk END AS BIGINT)
                   AS distinct_cust_est
          FROM sk ORDER BY o_orderpriority""",
+
+    "q_eng_topk_rewritten" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_orderpriority, o_orderkey""",
 
     "q_eng_user_paths" ->
       """WITH w AS (
