@@ -277,6 +277,23 @@ object DedupQueries {
           expr("n_verified * 1000000 DIV n_candidates").as("precision_ppm"))
     }),
 
+    // dedup-softening weights: instead of deleting near-duplicates,
+    // downweight each document by its family size (weight = 10⁶ div
+    // |cluster|, singletons keep 10⁶) — the sampling-side alternative to
+    // hard dedup that preserves rare-but-repeated content at reduced
+    // mass. One left join of the corpus against the cached cluster table
+    "q_dedup_soft_weights" -> ((s, d) => {
+      val fam = Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
+      val sizes = fam.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      docs(s, d).select(col("doc_id"))
+        .join(fam.join(sizes, "cluster_id").select("doc_id", "sz"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sz"), lit(1L)).as("family_size"))
+        .withColumn("weight_ppm", expr("1000000 DIV family_size"))
+        .orderBy("doc_id")
+    }),
+
     // duplicate-family size histogram: how much of the corpus is
     // duplicated how deeply — the dedup report that sizes the win before
     // anyone deletes anything. One rollup over the cached cluster table
@@ -405,6 +422,19 @@ object DedupQueries {
     "q_dedup_clusters" ->
       s"""$clustersCte
           SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
+
+    "q_dedup_soft_weights" ->
+      s"""$clustersCte,
+          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                 FROM cl GROUP BY 1),
+          w AS (SELECT d.doc_id,
+                       CAST(COALESCE(sz.sz, 1) AS BIGINT) AS family_size
+                FROM documents d
+                LEFT JOIN cl ON cl.doc_id = d.doc_id
+                LEFT JOIN sz ON sz.cluster_id = cl.cluster_id)
+          SELECT doc_id, family_size,
+                 CAST(1000000 // family_size AS BIGINT) AS weight_ppm
+          FROM w ORDER BY doc_id""",
 
     "q_dedup_cluster_sizes" ->
       s"""$clustersCte,

@@ -453,6 +453,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // contamination incidence by source — the rollup that tells you
+    // WHICH ingestion feed is leaking eval data (per-doc verdicts exist
+    // in q_text_decontaminate; operations needs the source-level rate).
+    // Reuses the memoized n-gram projection; docs with zero hits count
+    // through the left join
+    "q_text_contamination_by_source" -> ((s, d) => {
+      val ng = QueryCaches.memo(s, d, "decontam_ngrams") {
+        graft.text.Decontaminate.ngramTable(
+          docs(s, d), col("doc_id"), col("text"), n = 3)
+      }
+      val hits = graft.text.Decontaminate.contaminationOnNgrams(
+        ng.where(col("doc_id") % 41 =!= 0),
+        ng.where(col("doc_id") % 41 === 0)
+          .withColumnRenamed("doc_id", "__eval_id"))
+        .select(col("doc_id"), lit(1L).as("hit"))
+      docs(s, d).where(col("doc_id") % 41 =!= 0)
+        .select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).as("n_contaminated"))
+        .withColumn("rate_ppm",
+          expr("n_contaminated * 1000000 DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // chunk-level novelty vs an already-ingested reference corpus
     // (src0/src1): anti-join on chunk fingerprint — per source, how many
     // training chunks are genuinely new
@@ -1535,6 +1561,30 @@ object TextQueries {
                 CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
          FROM tr JOIN ev USING (ng)
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_text_contamination_by_source" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, md5(array_to_string(toks[i+1 : i+3], ' ')) AS ng
+           FROM t, lateral unnest(range(0, greatest(len(toks) - 2, 0))) u(i)),
+         gd AS (SELECT DISTINCT doc_id, ng FROM g),
+         ev AS (SELECT ng FROM gd WHERE doc_id % 41 = 0),
+         tr AS (SELECT doc_id, ng FROM gd WHERE doc_id % 41 != 0),
+         hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (ng)),
+         r AS (
+           SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(hits.doc_id) AS BIGINT) AS n_contaminated
+           FROM documents d
+           LEFT JOIN hits ON hits.doc_id = d.doc_id
+           WHERE d.doc_id % 41 != 0
+           GROUP BY 1)
+         SELECT source, n_docs, n_contaminated,
+                CAST(n_contaminated * 1000000 // n_docs AS BIGINT) AS rate_ppm
+         FROM r ORDER BY source""",
 
     "q_dedup_novelty" ->
       """WITH t AS (
