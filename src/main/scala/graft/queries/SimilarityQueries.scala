@@ -492,6 +492,48 @@ object SimilarityQueries {
         .orderBy("in_degree")
     }),
 
+    // top principal direction via integer power iteration — the PCA
+    // component behind embedding whitening/debiasing, computed with the
+    // PageRank discipline: quantize at every step, so the iteration is
+    // pure long arithmetic and bitwise cross-engine. Per round: one
+    // corpus pass for the row scores s = Qv (rescaled sign·(|s| div 1e6)
+    // — signed division goes through |·| so truncation == floor), one
+    // dimension aggregate u = Qᵀs, then max-normalization back to micro
+    // units. Three unrolled rounds; output the 8 heaviest dims
+    "q_sim_pca_power" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("q"))
+      val dims = 64
+      // v as a 64-row (dim, w) frame; v0 = all ones in micro units
+      var v = s.range(0, dims).select(col("id").cast("int").as("dim"),
+        lit(1000000L).as("w"))
+      for (_ <- 1 to 3) {
+        val score = q
+          .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qe")))
+          .join(broadcast(v), "dim")
+          .groupBy("vec_id").agg(sum(col("qe") * col("w")).as("sraw"))
+          .select(col("vec_id"),
+            (signum(col("sraw")).cast("long") *
+              expr("abs(sraw) DIV 1000000")).as("sc"))
+        val u = q
+          .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qe")))
+          .join(score, "vec_id")
+          .groupBy("dim").agg(sum(col("qe") * col("sc")).as("u"))
+        val mx = u.agg(max(abs(col("u"))).as("m"))
+        // normalize as |u| div (m div 1e6) — the multiply-first form
+        // overflows a long at corpus scale; the divide-first form keeps
+        // every operand bounded and both engines share the exact formula
+        v = u.crossJoin(broadcast(mx))
+          .select(col("dim"),
+            (signum(col("u")).cast("long") *
+              expr("abs(u) DIV greatest(1L, m DIV 1000000)")).as("w"))
+      }
+      v.select(col("dim").cast("long").as("dim"), col("w").as("weight_micro"))
+        .orderBy(abs(col("weight_micro")).desc, col("dim"))
+        .limit(8)
+    }),
+
     // embedding label-separation eval: mean cosine within vs across
     // labels on the fixed 200-vector sub-corpus — the supervised
     // embedding-quality read-out (a good encoder pulls same-label pairs
@@ -1142,6 +1184,39 @@ object SimilarityQueries {
          SELECT CAST(nq2 // 100000000000 AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS n_vectors
          FROM q GROUP BY 1 ORDER BY bucket""",
+
+    "q_sim_pca_power" -> {
+      def iter(k: Int, prev: String) =
+        s"""s$k AS (
+              SELECT vec_id,
+                     CASE WHEN s >= 0 THEN s // 1000000
+                          ELSE -((-s) // 1000000) END AS sc
+              FROM (SELECT x.vec_id, CAST(sum(x.qe * v.w) AS BIGINT) AS s
+                    FROM x JOIN $prev v USING (dim) GROUP BY 1)),
+            u$k AS (SELECT x.dim, CAST(sum(x.qe * s.sc) AS BIGINT) AS u
+                    FROM x JOIN s$k s USING (vec_id) GROUP BY 1),
+            m$k AS (SELECT CAST(max(abs(u)) AS BIGINT) AS m FROM u$k),
+            v$k AS (SELECT dim,
+                           CASE WHEN u >= 0
+                                THEN u // greatest(1, m // 1000000)
+                                ELSE -((-u) // greatest(1, m // 1000000))
+                           END AS w
+                    FROM u$k, m$k)"""
+      s"""WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+          x AS (SELECT vec_id, i AS dim, q[i+1] AS qe
+                FROM e, range(0, 64) t(i)),
+          v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS w
+                 FROM range(0, 64) t(i)),
+          ${iter(1, "v0")},
+          ${iter(2, "v1")},
+          ${iter(3, "v2")}
+          SELECT CAST(dim AS BIGINT) AS dim, CAST(w AS BIGINT) AS weight_micro
+          FROM v3 ORDER BY abs(w) DESC, dim LIMIT 8"""
+    },
 
     "q_sim_label_separation" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
