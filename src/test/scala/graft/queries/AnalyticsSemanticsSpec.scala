@@ -111,6 +111,38 @@ class AnalyticsSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("HHI: Σ share² == naive loop over collected brand revenues") {
+    val rev = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+      .as[(String, Long)].collect()
+    val t = rev.map(_._2).sum
+    val shares = rev.map(_._2 * 1000000L / t)
+    val naive = (shares.map(s0 => s0 * s0).sum / 1000000L,
+      shares.length.toLong, shares.max)
+    val got = SparkEntry.queries("q_eng_hhi")(spark, sf)
+      .as[(Long, Long, Long)].collect().head // n_brands, top_share, hhi
+    assert((got._3, got._1, got._2) == naive)
+  }
+
+  test("Benford: observed digit shares == naive string-bucket loop") {
+    val digits = Tables.orders(spark, sf)
+      .where(col("o_totalprice") >= 1)
+      .select(col("o_totalprice")).as[Double].collect()
+      .map(p => p.toLong.toString.charAt(0).asDigit.toLong)
+    val nt = digits.length.toLong
+    val naive = digits.groupBy(identity).map { case (d, xs) =>
+      d -> (xs.length.toLong, xs.length.toLong * 1000000L / nt)
+    }
+    val got = SparkEntry.queries("q_eng_benford")(spark, sf)
+      .select("digit", "n", "share_ppm").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == naive)
+  }
+
   test("CUSUM: top-5 deviation days == naive cumulative loop") {
     val daily = dailyCents.toSeq.sortBy(_._1.toString)
     val t = daily.map(_._2).sum
