@@ -453,6 +453,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // do the cheap heuristic and the LM signal agree? Pearson correlation
+    // between the quality score and per-token surprisal across the
+    // corpus — the meta-evaluation that decides whether a fast filter
+    // can stand in for an expensive one. Both signals quantize to
+    // integers (identical expression trees → identical doubles → safe
+    // floors), the moments accumulate exactly, and the correlation is
+    // one fixed-shape IEEE expression over those sums
+    "q_text_signal_corr" -> ((s, d) => {
+      val q = docs(s, d).select(col("doc_id"),
+        floor(qualityScore(col("text")) * 1000000.0 + 0.5).cast("long")
+          .as("x"))
+      val sur = graft.text.UnigramLm.surprisal(docs(s, d), col("doc_id"),
+        col("text"))
+        .select(col("doc_id"),
+          expr("surprisal_micro DIV greatest(1L, n_tokens)").as("y"))
+      q.join(sur, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"))
+        .select(col("n"),
+          ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))))
+            .as("pearson_r"))
+    }),
+
     // contamination incidence by source — the rollup that tells you
     // WHICH ingestion feed is leaking eval data (per-doc verdicts exist
     // in q_text_decontaminate; operations needs the source-level rate).
@@ -1561,6 +1590,53 @@ object TextQueries {
                 CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
          FROM tr JOIN ev USING (ng)
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_text_signal_corr" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS chars,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks,
+                  len(list_filter(
+                        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                             ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                        t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS n_stop,
+                  len(regexp_extract_all(text, '[.,!?;:''"()\[\]{}*#@&%/\\_-]')) AS n_punct
+           FROM documents),
+         qx AS (
+           SELECT doc_id,
+                  CAST(floor((0.4 * least(1.0, chars / 500.0)
+                    + 0.3 * least(1.0, 4.0 * (CAST(n_stop AS DOUBLE) / greatest(toks, 1.0)))
+                    + 0.3 * (1.0 - least(1.0, 10.0 * (CAST(n_punct AS DOUBLE) / greatest(chars, 1.0)))))
+                    * 1000000.0 + 0.5) AS BIGINT) AS x
+           FROM t),
+         tk AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents),
+         xx AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM xx GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM xx),
+         ds AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                         * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+           FROM xx JOIN f USING (tok), tt
+           GROUP BY 1),
+         sy AS (SELECT doc_id, sm // greatest(1, n_tokens) AS y FROM ds),
+         j AS (SELECT x, y FROM qx JOIN sy USING (doc_id)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                      CAST(sum(x * x) AS DOUBLE) AS sxx,
+                      CAST(sum(y * y) AS DOUBLE) AS syy,
+                      CAST(sum(x * y) AS DOUBLE) AS sxy
+               FROM j)
+         SELECT n,
+                (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r
+         FROM m""",
 
     "q_text_contamination_by_source" ->
       """WITH t AS (
