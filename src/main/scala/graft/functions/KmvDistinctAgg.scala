@@ -41,11 +41,20 @@ case class KmvDistinctAgg(child: Expression, k: Int,
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
+  // one digest instance per task (TypedImperativeAggregate instances are
+  // per-task; digest() resets the state), not one per input row
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  /** First 13 hex nibbles of md5 as a long — derived straight from the
+    * first 7 digest bytes (56 bits big-endian >> 4), value-identical to
+    * the DataFrame path's `substring(md5(...), 1, 13)` parse without the
+    * per-row hex round-trip. */
   private def hash52(v: Long): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(v.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    val d = md.digest(v.toString.getBytes("UTF-8"))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
   }
 
   private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
@@ -72,7 +81,13 @@ case class KmvDistinctAgg(child: Expression, k: Int,
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
     if (buf.size < k) buf.size.toLong
-    else (k - 1).toLong * graft.operators.KmvSketch.HashSpace / buf.last()
+    else {
+      // hk = 0 only if all k smallest hashes are 0 (astronomically
+      // improbable, but a 0 divisor must not crash the aggregate)
+      val hk = buf.last().longValue()
+      if (hk <= 0) buf.size.toLong
+      else (k - 1).toLong * graft.operators.KmvSketch.HashSpace / hk
+    }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.size)

@@ -18,6 +18,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   - matched otherwise → source row wins (the update);
   *   - source-only → inserted (delete clauses never apply to inserts);
   *   - target-only → kept unchanged.
+  *
+  * Like SQL MERGE (and Delta/Iceberg), a source with DUPLICATE merge keys
+  * is an error — the full-outer join would silently fan matched target
+  * rows out into several updated copies. The guard is a window count over
+  * the source's keys (same partitioning the join shuffle needs anyway)
+  * raised through `assert_true`, so it fails at execution time inside the
+  * plan with no extra driver-side action.
   */
 object Merge {
 
@@ -31,9 +38,18 @@ object Merge {
     def pack(df: DataFrame, as: String) =
       df.select(struct(cols.map(col): _*).as(as))
         .select(keys.map(k => col(s"$as.$k").as(k)) :+ col(as): _*)
+    val wKeys = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val guardedSource = pack(source, "_src")
+      .withColumn("_key_multiplicity", count(lit(1)).over(wKeys))
+      .where(assert_true(col("_key_multiplicity") === 1,
+        lit(s"mergeInto: source has multiple rows for a merge key " +
+          s"(${keys.mkString(",")}); MERGE requires at most one source " +
+          "match per target row — dedupe the changeset first")).isNull)
+      .drop("_key_multiplicity")
     val matched = col("_tgt").isNotNull && col("_src").isNotNull
     pack(target, "_tgt")
-      .join(pack(source, "_src"), keys, "full_outer")
+      .join(guardedSource, keys, "full_outer")
       .where(!(matched && deleteWhen))
       .select(cols.map(c =>
         when(col("_src").isNotNull, col(s"_src.$c"))

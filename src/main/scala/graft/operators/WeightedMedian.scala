@@ -32,8 +32,16 @@ object WeightedMedian {
   def weightedMedian(df: DataFrame, grp: Column, v: Column, wt: Column,
                      ord: Column, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // enforce the documented contract at execution time: weights must be
+    // integral and ≥ 1, else the cumulative sum is not strictly increasing
+    // and the crossing row is ambiguous — fail loudly instead of silently
+    // truncating (0.9 → 0) and selecting a wrong row
     val base = df.select(grp.as("grp"), v.as("v"), wt.cast("long").as("wt"),
-        ord.as("ord"))
+        ord.as("ord"), wt.cast("double").as("_wt_raw"))
+      .where(assert_true(
+        col("_wt_raw") >= 1.0 && col("_wt_raw") === col("wt").cast("double"),
+        lit("weightedMedian: weights must be integral and >= 1")).isNull)
+      .drop("_wt_raw")
       .withColumn("bkt", floor(col("v") / bucketWidth).cast("long"))
     val perBucket = base.groupBy(col("grp"), col("bkt"))
       .agg(sum(col("wt")).as("bw"))

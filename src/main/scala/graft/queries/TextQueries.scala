@@ -342,8 +342,11 @@ object TextQueries {
       scaled.crossJoin(broadcast(tot))
         .select(col("source"), col("n_tokens"),
           expr("s_micro * 1000000 DIV ts").as("weight_ppm"),
-          // repetition factor vs a uniform target share, in milli-epochs
-          expr("(1000000 DIV nsrc) * 1000 DIV (s_micro * 1000000 DIV ts)")
+          // repetition factor vs a uniform target share, in milli-epochs;
+          // greatest(1, …) guards a source whose share rounds below 1 ppm
+          // (Spark DIV yields NULL on /0, DuckDB // raises — the guard
+          // keeps the two engines identical on degenerate skew)
+          expr("(1000000 DIV nsrc) * 1000 DIV greatest(1L, s_micro * 1000000 DIV ts)")
             .as("epoch_milli"))
         .orderBy("source")
     }),
@@ -1456,7 +1459,7 @@ object TextQueries {
                 FROM sc)
          SELECT source, n_tokens,
                 CAST(s_micro * 1000000 // ts AS BIGINT) AS weight_ppm,
-                CAST((1000000 // nsrc) * 1000 // (s_micro * 1000000 // ts)
+                CAST((1000000 // nsrc) * 1000 // greatest(1, s_micro * 1000000 // ts)
                   AS BIGINT) AS epoch_milli
          FROM sc, tt ORDER BY source""",
 

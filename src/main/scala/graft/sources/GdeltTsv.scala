@@ -1,6 +1,9 @@
 package graft.sources
 
 import graft.schema.Gdelt
+import graft.util.SerializableHadoopConf
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -10,9 +13,8 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 
 /** DataSource V2 reader for the reference's raw GDELT event TSV files
   * (61 fixed tab-separated columns, headerless — reference:
@@ -81,61 +83,78 @@ private[sources] class GdeltTsvScan(path: String, required: StructType)
   override def description(): String =
     s"GdeltTsv $path ReadSchema: ${required.catalogString}"
 
+  // resolved lazily on the driver; not serialized to executors
+  @transient private lazy val hadoopConf =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** Paths resolve through the Hadoop FileSystem API — like every built-in
+    * Spark file source, so `hdfs://`/`s3a://` URIs and glob patterns work,
+    * not just the local filesystem. `globStatus` handles all three shapes
+    * at once: a plain file matches itself, a glob expands, and a matched
+    * directory is then listed non-recursively. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = Paths.get(path)
-    val files: Seq[Path] =
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-          .sortBy(_.toString)
-        finally s.close()
-      }
-      else if (Files.isRegularFile(p)) Seq(p)
-      else throw new IllegalArgumentException(s"gdelt-tsv: no such path $path")
-    files.map(f => GdeltTsvPartition(f.toString): InputPartition).toArray
+    val p = new HPath(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val matched: Seq[FileStatus] =
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"gdelt-tsv: no such path $path")
+    files.map(_.getPath.toString).sorted
+      .map(f => GdeltTsvPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // resolve required columns to their TSV field ordinals once, on the
-    // driver; the factory ships only the int array
+    // driver; the factory ships only the int array + the Hadoop conf
     val ordinals = required.fieldNames.map(Gdelt.columns.indexOf)
     require(ordinals.forall(_ >= 0),
       s"gdelt-tsv: unknown columns ${required.fieldNames.mkString(",")}")
-    new GdeltTsvReaderFactory(ordinals)
+    new GdeltTsvReaderFactory(ordinals, new SerializableHadoopConf(hadoopConf))
   }
 }
 
 private[sources] case class GdeltTsvPartition(file: String) extends InputPartition
 
-private[sources] class GdeltTsvReaderFactory(ordinals: Array[Int])
-    extends PartitionReaderFactory {
+private[sources] class GdeltTsvReaderFactory(ordinals: Array[Int],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GdeltTsvPartition].file
     new PartitionReader[InternalRow] {
-      private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
-      private val it = lines.iterator().asScala
+      private val hp = new HPath(file)
+      private val in = new BufferedReader(new InputStreamReader(
+        hp.getFileSystem(conf.value).open(hp), StandardCharsets.UTF_8))
       private var row: InternalRow = _
 
       override def next(): Boolean = {
-        while (it.hasNext) {
+        var line = in.readLine()
+        while (line != null) {
           // -1 keeps trailing empty fields so the arity check is exact.
-          // DROPMALFORMED parity with the CSV reader: rows with MORE
-          // fields than the schema are malformed and dropped; SHORT rows
-          // null-pad (Spark's CSV parser only flags excess tokens)
-          val fields = it.next().split("\t", -1)
-          if (fields.length <= Gdelt.columns.length) {
-            row = InternalRow.fromSeq(ordinals.map { i =>
-              if (i >= fields.length || fields(i).isEmpty) null
-              else UTF8String.fromString(fields(i))
-            }.toIndexedSeq)
-            return true
+          // DROPMALFORMED parity with the CSV reader: EMPTY lines are
+          // skipped (the CSV parser never emits a record for them), rows
+          // with MORE fields than the schema are malformed and dropped;
+          // SHORT rows null-pad (Spark's CSV parser only flags excess
+          // tokens)
+          if (line.nonEmpty) {
+            val fields = line.split("\t", -1)
+            if (fields.length <= Gdelt.columns.length) {
+              row = InternalRow.fromSeq(ordinals.map { i =>
+                if (i >= fields.length || fields(i).isEmpty) null
+                else UTF8String.fromString(fields(i))
+              }.toIndexedSeq)
+              return true
+            }
           }
+          line = in.readLine()
         }
         false
       }
 
       override def get(): InternalRow = row
-      override def close(): Unit = lines.close()
+      override def close(): Unit = in.close()
     }
   }
 }

@@ -42,6 +42,18 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("duplicate source merge keys fail instead of fanning out updates") {
+    val src = Seq((2L, "O", 99.0), (2L, "F", 98.0)).toDF("k", "status", "price")
+    val e = intercept[Exception] {
+      Merge.mergeInto(tgt, src, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple rows for a merge key")),
+      s"expected the cardinality-guard message, got: ${messages(e)}")
+  }
+
   test("composite merge keys match on every key column") {
     val t = Seq((1L, "a", 10.0), (1L, "b", 20.0)).toDF("k1", "k2", "v")
     val s = Seq((1L, "a", 99.0), (2L, "a", 50.0)).toDF("k1", "k2", "v")

@@ -32,6 +32,23 @@ class WeightedMedianSpec extends SparkSpec {
     assert(got == naive(rows))
   }
 
+  test("zero and fractional weights violate the contract and fail loudly") {
+    def run(rows: Seq[(String, Double, Double, Long)]) =
+      WeightedMedian.weightedMedian(rows.toDF("g", "v", "wt", "id"),
+        col("g"), col("v"), col("wt"), col("id"), bucketWidth = 1.0).collect()
+    def contractError(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("integral and >= 1")),
+        s"expected the weight-contract message, got: ${messages(e)}")
+    }
+    contractError(run(Seq(("a", 1.0, 0.0, 1L), ("a", 2.0, 1.0, 2L))))
+    contractError(run(Seq(("a", 1.0, 0.9, 1L), ("a", 2.0, 1.0, 2L))))
+    contractError(run(Seq(("a", 1.0, 2.5, 1L), ("a", 2.0, 1.0, 2L))))
+  }
+
   test("single-row groups and all-equal values") {
     val rows = Seq(("a", 5.0, 3L, 1L), ("b", 2.0, 1L, 2L),
       ("b", 2.0, 1L, 3L), ("b", 2.0, 1L, 4L))

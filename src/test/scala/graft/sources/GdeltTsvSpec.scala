@@ -22,8 +22,10 @@ class GdeltTsvSpec extends SparkSpec {
       (Seq(line(1, "20130401"), line(2, "20130401"), "short\trow") :+
         (line(4, "20130403") + "\textra"))
         .mkString("\n").getBytes)
+    // a blank line mid-file: the CSV reader never emits a record for it,
+    // so the connector must skip it too (not produce an all-null row)
     JFiles.write(Paths.get(d, "b.tsv"),
-      Seq(line(3, "20130402")).mkString("\n").getBytes)
+      Seq(line(3, "20130402"), "", line(5, "20130402")).mkString("\n").getBytes)
     d
   }
 
@@ -71,5 +73,22 @@ class GdeltTsvSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.read.format("gdelt-tsv").load(s"$dir/nope").collect()
     }
+  }
+
+  test("blank lines are skipped, matching the CSV reader's row count") {
+    val v2 = spark.read.format("gdelt-tsv").load(s"$dir/b.tsv")
+    val v1 = graft.etl.Convert.readRawTsv(spark, Seq(s"$dir/b.tsv"))
+    assert(v2.count() == 2 && v1.count() == 2,
+      "both paths must skip the blank line")
+    assert(v2.where(col("GlobalEventID").isNull).count() == 0,
+      "a blank line must not surface as an all-null row")
+  }
+
+  test("glob patterns resolve through the Hadoop FileSystem API") {
+    val glob = spark.read.format("gdelt-tsv").load(s"$dir/*.tsv")
+    val plain = spark.read.format("gdelt-tsv").load(dir)
+    assert(glob.count() == plain.count())
+    assert(glob.select("GlobalEventID").as[String].collect().sorted.toSeq ==
+      plain.select("GlobalEventID").as[String].collect().sorted.toSeq)
   }
 }
