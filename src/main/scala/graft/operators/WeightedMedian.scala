@@ -65,4 +65,44 @@ object WeightedMedian {
       .agg(min_by(col("v"), col("cw")).as("w_median"),
         min(col("tw")).as("total_weight"))
   }
+
+  /** Bucket-pruned exact two-middle-rank selection: per group, the sum of
+    * the values at ranks `(n+1) DIV 2` and `n DIV 2 + 1` in `(v, ord)`
+    * order — the even-n-safe integer "median at 2×" rule (odd n: twice
+    * the middle value; even n: lower middle + upper middle, so no float
+    * interpolation ever happens). Same two-phase shape as
+    * [[weightedMedian]]: bucket counts at full parallelism, crossing
+    * buckets located on the tiny per-bucket table, then ONLY the (at most
+    * two per group, usually one) buckets containing a target rank are
+    * re-scanned, with the in-bucket row_number window partitioned by
+    * (group, bucket) — never a full-group sort.
+    */
+  def medianRank2(df: DataFrame, grp: Column, v: Column, ord: Column,
+                  bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val base = df.select(grp.as("grp"), v.as("v"), ord.as("ord"))
+      .withColumn("bkt", floor(col("v") / bucketWidth).cast("long"))
+    val perBucket = base.groupBy(col("grp"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wB = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+    val cum = perBucket
+      .withColumn("cumc", sum(col("c")).over(wB))
+      .withColumn("before", col("cumc") - col("c"))
+    val tot = perBucket.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      .withColumn("r1", expr("(n + 1) DIV 2"))
+      .withColumn("r2", expr("n DIV 2 + 1"))
+    // buckets holding either target rank (adjacent buckets when the two
+    // middles straddle a boundary), with the carried rank offset
+    val sel = cum.join(tot, "grp")
+      .where((col("before") < col("r1") && col("cumc") >= col("r1")) ||
+        (col("before") < col("r2") && col("cumc") >= col("r2")))
+      .select(col("grp"), col("bkt"), col("before"), col("r1"), col("r2"))
+    val wS = Window.partitionBy(col("grp"), col("bkt"))
+      .orderBy(col("v"), col("ord"))
+    base.join(broadcast(sel), Seq("grp", "bkt"))
+      .withColumn("rn", col("before") + row_number().over(wS))
+      .groupBy(col("grp"))
+      .agg((max(when(col("rn") === col("r1"), col("v"))) +
+        max(when(col("rn") === col("r2"), col("v")))).as("med2"))
+  }
 }

@@ -117,25 +117,23 @@ object AnalyticsQueries {
     // and the count of |x − med| > 3·MAD outliers. Medians come from the
     // rank-selection trick (the two middle ranks, summed — so even-n
     // medians stay integer at 2× scale, no float interpolation), applied
-    // twice: once on balances, once on the absolute deviations. Group
-    // windows are per-segment sorts; at 100 TB the bucket-pruned
-    // two-phase [[graft.operators.WeightedMedian]] replaces the full
-    // window pass — the contract here is exactness of the rank rule
+    // twice: once on balances, once on the absolute deviations — BOTH
+    // through the bucket-pruned two-phase
+    // [[graft.operators.WeightedMedian.medianRank2]], so no window ever
+    // sorts a whole segment: per-bucket counts shuffle at full
+    // parallelism and only the (≤ 2 per segment) buckets containing a
+    // middle rank are re-scanned. The DuckDB oracle runs the naive
+    // full-window formulation, so gate equality proves the rewrite
     "q_eng_mad_outliers" -> ((s, d) => {
       val c = Tables.customer(s, d).select(
         col("c_mktsegment").as("seg"), col("c_custkey").as("ck"),
         floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
 
-      def med2(df: DataFrame, value: String, ord: String, out: String): DataFrame = {
-        val wR = Window.partitionBy("seg").orderBy(col(value), col(ord))
-        val wN = Window.partitionBy("seg")
-        df.withColumn("rn", row_number().over(wR).cast("long"))
-          .withColumn("n", count(lit(1)).over(wN))
-          .groupBy("seg")
-          .agg((max(when(col("rn") === expr("(n + 1) DIV 2"), col(value))) +
-            max(when(col("rn") === expr("n DIV 2 + 1"), col(value))))
-            .as(out))
-      }
+      def med2(df: DataFrame, value: String, ord: String, out: String): DataFrame =
+        graft.operators.WeightedMedian.medianRank2(df,
+            grp = col("seg"), v = col(value), ord = col(ord),
+            bucketWidth = 10000.0)
+          .select(col("grp").as("seg"), col("med2").as(out))
 
       val m = med2(c, "cents", "ck", "median_cents2")
       val dev = c.join(broadcast(m), "seg")

@@ -32,6 +32,45 @@ class WeightedMedianSpec extends SparkSpec {
     assert(got == naive(rows))
   }
 
+  test("medianRank2 equals the naive two-middle-rank rule; windows never sort a whole group") {
+    val rng = new scala.util.Random(11)
+    // odd- and even-sized groups, duplicates, negatives
+    val rows = (1L to 3001L).map { i =>
+      (s"g${i % 4}", ((rng.nextInt(400) - 100) * 25).toDouble, i)
+    }
+    def naive: Map[String, Double] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+        val n = sorted.size
+        g -> (sorted((n + 1) / 2 - 1) + sorted(n / 2))
+      }
+    val df = WeightedMedian.medianRank2(rows.toDF("g", "v", "id"),
+      grp = col("g"), v = col("v"), ord = col("id"), bucketWidth = 500.0)
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == naive)
+    // the scale contract: a window partitioned by the group ALONE may only
+    // run over an already-aggregated (per-bucket) table — the raw-row scan
+    // must be windowed by (group, bucket), never a full-group sort. AQE
+    // hides exec nodes behind AdaptiveSparkPlanExec/QueryStageExec, so
+    // flatten through them after execution finalized the plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    val wins = all.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"no WindowExec found in:\n${all.mkString("\n")}")
+    wins.filter(_.partitionSpec.length < 2).foreach { w =>
+      assert(flatten(w.child).collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"group-only window over un-aggregated input:\n$w")
+    }
+  }
+
   test("zero and fractional weights violate the contract and fail loudly") {
     def run(rows: Seq[(String, Double, Double, Long)]) =
       WeightedMedian.weightedMedian(rows.toDF("g", "v", "wt", "id"),
