@@ -123,6 +123,63 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("deg"))
   }
 
+  /** Frontier BFS: shortest hop count (≤ `maxHops`) from the seed set over
+    * a directed edge table `(src, dst)`. `seed` carries `(node, hop)` with
+    * hop 0. Per hop: ONE equi-join of the edge table against the
+    * (broadcast-small) frontier + an anti-join against the visited set —
+    * no transitive-closure blow-up; the per-hop `distinct` keeps frontier
+    * rows ≤ |V| regardless of edge multiplicity.
+    *
+    * `checkpointEvery` (opt-in, 0 = off): `localCheckpoint` the visited +
+    * frontier frames every N hops — at convergence-depth BFS (graph
+    * diameter can be tens of hops) the unrolled lineage re-plans every
+    * prior hop's joins; truncation bounds plan growth, values identical
+    * (spec-pinned). */
+  def bfsHops(edges: DataFrame, seed: DataFrame, maxHops: Int,
+              checkpointEvery: Int = 0): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    var visited = seed
+    var frontier = seed.select("node")
+    for (h <- 1 to maxHops) {
+      val next = edges
+        .join(broadcast(frontier), col("src") === col("node"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      visited = visited
+        .union(next.select(col("node"), lit(h.toLong).as("hop")))
+      frontier = next
+      if (checkpointEvery > 0 && h % checkpointEvery == 0 && h < maxHops) {
+        visited = visited.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+      }
+    }
+    visited
+  }
+
+  /** Bellman-Ford relaxation, `rounds` synchronized rounds, over a
+    * directed weighted edge table `(src, dst, cost)` (integral costs keep
+    * the result engine-exact). `seed` carries `(node, dist)`. Each round
+    * is one edge ⋈ dist join + a min aggregate — the frontier-less
+    * textbook form; after r rounds `dist` holds exact shortest distances
+    * over ≤ r-edge paths. Non-negative costs assumed (standard BF would
+    * need |V|−1 rounds + a negative-cycle check otherwise).
+    *
+    * `checkpointEvery` as in [[bfsHops]]. */
+  def bellmanFord(edges: DataFrame, seed: DataFrame, rounds: Int,
+                  checkpointEvery: Int = 0): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var dist = seed
+    for (r <- 1 to rounds) {
+      val relax = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.union(relax).groupBy("node").agg(min("dist").as("dist"))
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
+        dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
   /** Convenience one-shot count over a raw (possibly messy) edge list —
     * duplicates, reversed orientations, and self-loops normalize away.
     * For repeated/benchmarked use, persist the intermediate stages (see

@@ -27,14 +27,19 @@ object LabelPropagation {
     *
     * Contract: every edge endpoint must appear in `nodes` — an unknown
     * `dst` would materialize as a phantom output row labeled only by its
-    * neighbors (an unknown `src` simply contributes no votes). */
+    * neighbors (an unknown `src` simply contributes no votes).
+    *
+    * `checkpointEvery` (opt-in, 0 = off): `localCheckpoint` the label
+    * frame every N rounds — unrolled rounds grow the plan superlinearly
+    * at convergence-scale iteration counts (see [[PageRank.prepared]]);
+    * values are bit-identical with and without (spec-pinned). */
   def propagate(nodes: DataFrame, id: Column, label: Column,
                 edges: DataFrame, src: Column, dst: Column,
-                iters: Int): DataFrame = {
+                iters: Int, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(src.as("__src"), dst.as("__dst"))
     var labels = nodes.select(id.as("id"), label.cast("long").as("label"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val neighborVotes = e.join(labels, e("__src") === labels("id"))
         .select(col("__dst").as("id"), col("label"))
       val votes = neighborVotes.unionByName(labels) // self-vote stabilizes
@@ -43,6 +48,8 @@ object LabelPropagation {
         .groupBy(col("id"))
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("mn"))
         .select(col("id"), col("mn.lb").as("label"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        labels = labels.localCheckpoint()
     }
     labels
   }

@@ -32,12 +32,13 @@ object PageRank {
     * Σpr ≤ scale with equality up to truncation loss. */
   def integerPageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                       scale: Long = 1000000000000L,
-                      broadcastRanks: Boolean = false): DataFrame = {
+                      broadcastRanks: Boolean = false,
+                      checkpointEvery: Int = 0): DataFrame = {
     val e = edges.select(src.as("__src"), dst.as("__dst"))
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
     val deg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("deg"))
-    prepared(nodes, deg, e, iters, scale, broadcastRanks)
+    prepared(nodes, deg, e, iters, scale, broadcastRanks, checkpointEvery)
   }
 
   /** Same recurrence over pre-derived inputs — callers running several
@@ -53,10 +54,19 @@ object PageRank {
     * broadcast, the edge side NEVER shuffles for the contribution join —
     * each iteration drops to one exchange (the dst-keyed sum). Leave false
     * when vertices are too many to broadcast; the hash-join path then
-    * co-locates on src. */
+    * co-locates on src.
+    *
+    * `checkpointEvery` (opt-in, 0 = off): `localCheckpoint` the rank frame
+    * every N iterations. Unrolled iterations double the logical plan per
+    * round — at the 10–20 iterations a converged ranking needs, analysis/
+    * codegen time and task-serialization size grow superlinearly, and
+    * every reference of `nodes` re-runs its scan. Truncating lineage to a
+    * materialized node-sized frame bounds both; the values are bit-
+    * identical (spec-pinned). */
   def prepared(nodes: DataFrame, deg: DataFrame, e: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
-               broadcastRanks: Boolean = false): DataFrame = {
+               broadcastRanks: Boolean = false,
+               checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // every node with out-edges has deg >= 1; dangling nodes are absent
     // from `deg` and contribute nothing. The node count enters as a lazy
@@ -66,7 +76,7 @@ object PageRank {
 
     var ranks = nodes.crossJoin(broadcast(nstat))
       .select(col("node"), expr(s"$scale div __n").as("pr"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib0 = ranks.join(deg, "node")
         .select(col("node"), expr("pr div deg").as("c"))
       val contrib = if (broadcastRanks) broadcast(contrib0) else contrib0
@@ -76,6 +86,8 @@ object PageRank {
         .crossJoin(broadcast(nstat))
         .select(col("node"),
           (base + expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("pr"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

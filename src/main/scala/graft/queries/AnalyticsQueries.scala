@@ -97,19 +97,8 @@ object AnalyticsQueries {
       val edges = copurchaseEdges(s, d)
       val seed = edges.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("hop"))
-      var visited = seed
-      var frontier = seed.select("node")
-      for (h <- 1 to 3) {
-        val next = edges
-          .join(broadcast(frontier), col("src") === col("node"))
-          .select(col("dst").as("node"))
-          .distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
-        visited = visited
-          .union(next.select(col("node"), lit(h.toLong).as("hop")))
-        frontier = next
-      }
-      visited.orderBy("node")
+      graft.operators.Graph.bfsHops(edges, seed, maxHops = 3)
+        .orderBy("node")
     }),
 
     // robust outlier report: per market segment, the exact median and
@@ -398,16 +387,11 @@ object AnalyticsQueries {
     // shortest distances. Integer costs end to end
     "q_eng_shortest_path" -> ((s, d) => {
       val edges = copurchaseEdges(s, d)
+        .select(col("src"), col("dst"), expr("1000000 DIV w").as("cost"))
       val seed = edges.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("dist"))
-      var dist = seed
-      for (_ <- 1 to 3) {
-        val relax = edges.join(dist, col("src") === col("node"))
-          .select(col("dst").as("node"),
-            (col("dist") + expr("1000000 DIV w")).as("dist"))
-        dist = dist.union(relax).groupBy("node").agg(min("dist").as("dist"))
-      }
-      dist.orderBy("node")
+      graft.operators.Graph.bellmanFord(edges, seed, rounds = 3)
+        .orderBy("node")
     }),
 
     // RFM customer segmentation: recency/frequency/monetary quintiles

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Scale-up fixture generator: emit an N-fold copy of a driver testdata dir.
+
+The driver ships sf0.001/sf0.01/sf0.1 (TESTDATA.md, read-only). Scale-proof
+runs (VERDICT round 5, "Next round #1") need a 10x fixture; this generator
+derives it deterministically from sf0.1 by key-shifted replication:
+
+  * every dimension/fact key is shifted by copy_index * (max_key + 1), with
+    the SAME shift constant applied to every foreign-key reference — so
+    referential integrity (customer<-orders<-lineitem, part/supplier<-
+    lineitem) holds exactly and every join family exercises 10x the rows;
+  * region/nation are fixed dimensions and copied as-is (like TPC-H, they
+    do not scale);
+  * document texts are copied VERBATIM — each sf0.1 text appears 10x, which
+    stresses the dedup/LSH families with known-size duplicate groups while
+    keeping per-copy doc_ids unique for deterministic tiebreaks;
+  * embeddings get deterministic per-copy jitter (seeded by copy index) so
+    ANN distance ties stay non-degenerate; copy 0 is bit-identical to the
+    source.
+
+Correctness at the new scale is still engine-vs-engine on the SAME parquet
+(Spark result vs DuckDB oracle), so distributional fidelity to the driver's
+generator is not required — only schema fidelity (preserved exactly via
+pyarrow) and non-degenerate value distributions (preserved by replication).
+
+Usage: python3 tools/gen_sf.py <srcDir> <dstDir> [copies=10]
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SEED = 42
+
+# table -> {column: shift-domain} ; every column sharing a domain shifts by
+# the same constant so joins stay consistent across tables
+KEY_DOMAINS = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def domain_strides(src):
+    """max_key + 1 per shift domain, read from the source tables."""
+    strides = {}
+    for table, cols in KEY_DOMAINS.items():
+        t = pq.read_table(os.path.join(src, f"{table}.parquet"),
+                          columns=list(cols))
+        for col, dom in cols.items():
+            m = pc.max(t.column(col)).as_py()
+            strides[dom] = max(strides.get(dom, 0), int(m) + 1)
+    return strides
+
+
+def shifted_copy(table, name, copy_idx, strides):
+    cols = []
+    for field in table.schema:
+        col = table.column(field.name)
+        dom = KEY_DOMAINS.get(name, {}).get(field.name)
+        if dom is not None and copy_idx > 0:
+            col = pc.add(col, pa.scalar(copy_idx * strides[dom],
+                                        type=field.type))
+        cols.append(col)
+    return pa.table(cols, schema=table.schema)
+
+
+def jitter_embeddings(table, copy_idx):
+    """Per-copy deterministic noise (~1e-3) on the vectors; copy 0 exact."""
+    if copy_idx == 0:
+        return table
+    emb = table.column("embedding").combine_chunks()
+    values = emb.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    rng = np.random.RandomState(SEED + copy_idx)
+    noised = values + rng.uniform(-1e-3, 1e-3, size=values.shape) \
+        .astype(np.float32)
+    new_emb = pa.ListArray.from_arrays(emb.offsets, pa.array(
+        noised, type=pa.float32()))
+    idx = table.schema.get_field_index("embedding")
+    return table.set_column(idx, table.schema.field(idx), new_emb)
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    strides = domain_strides(src)
+    print(f"strides: {strides}")
+    for name in COPY_AS_IS:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} rows (copied)")
+    for name in KEY_DOMAINS:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        parts = []
+        for i in range(copies):
+            c = shifted_copy(t, name, i, strides)
+            if name == "embeddings":
+                c = jitter_embeddings(c, i)
+            parts.append(c)
+        out = pa.concat_tables(parts)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
