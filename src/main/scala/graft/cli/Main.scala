@@ -34,6 +34,8 @@ import scala.util.Try
   *           [--id-col C] [--vec-col C] --out PATH                     (extension)
   *   merge   --target DIR --source DIR --key k1,... --out DIR
   *           [--delete-when-equals COL=VALUE]                          (extension)
+  *   pipeline --in RAWDIR --out DIR [--start-day D --end-day D]
+  *           [--per-day K] [--seed S] [--check-cols c1,...]            (extension)
   *
   * Error contract (main.py:49-57,118-156): invalid dates, start > end,
   * filtered mode without --filter, --stratify without --n-per-group, and
@@ -55,10 +57,11 @@ object Main {
     case "manifest" :: rest => withSpark(s => manifestCmd(s, parseFlags(rest)))
     case "ann" :: rest     => withSpark(s => annCmd(s, parseFlags(rest)))
     case "merge" :: rest   => withSpark(s => mergeCmd(s, parseFlags(rest)))
+    case "pipeline" :: rest => withSpark(s => pipelineCmd(s, parseFlags(rest)))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown command: ${other.headOption.getOrElse("<none>")} " +
-          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare | manifest | ann | merge)")
+          "(expected scrape | convert | filter | sample | dedup | compact | diff | prepare | manifest | ann | merge | pipeline)")
   }
 
   // ------------------------------------------------------------ commands
@@ -310,6 +313,93 @@ object Main {
     graft.operators.Packing.packByBudget(withN, col("doc_id"), col("n_tokens"), budget)
       .write.mode("overwrite").parquet(out)
     println(s"prepare: wrote $out")
+  }
+
+  /** `pipeline --in RAWDIR --out DIR [--start-day D --end-day D]
+    * [--per-day K] [--seed S] [--check-cols c1,...]`: the whole ingest
+    * chain in ONE invocation, reading the raw TSVs through the
+    * `gdelt-tsv` DataSource V2 connector — type-route by archive-name
+    * shape → coerce → flat (daily) + Hive (monthly/yearly) sinks →
+    * day-range re-read where the flat side is row-filtered and the Hive
+    * side is partition-PRUNED (Year/MonthYear predicates derived from the
+    * day range reach PartitionFilters) → null-check filter → daily
+    * sample. Writes `<out>/{flat,hist,filtered,sample}`. */
+  private def pipelineCmd(spark: SparkSession, flags: Flags): Unit = {
+    import graft.schema.Gdelt
+    val cfg = config(flags)
+    val rawDir = flags.req("in")
+    val outBase = flags.req("out")
+    val startDay = flags.get("start-day").map(_.toLong)
+    val endDay = flags.get("end-day").map(_.toLong)
+    for (s <- startDay; e <- endDay)
+      require(s <= e, s"start-day $s must be <= end-day $e")
+
+    // driver-side type routing by archive-name shape (same rule as convert)
+    val p = new org.apache.hadoop.fs.Path(rawDir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(p), s"pipeline: no such path $rawDir")
+    val files = hfs.listStatus(p).toSeq.filter(_.isFile)
+      .map(_.getPath.toString).sorted
+    val byType = files.groupBy(f => Files.detectFileType(Convert.fileZipName(f)))
+    def coerced(paths: Seq[String]) = Convert.coerce(
+      spark.read.format("gdelt-tsv").load(paths.mkString(",")),
+      cfg.numericColumns, Gdelt.intColumns)
+    val flatDir = s"$outBase/flat"
+    val histDir = s"$outBase/hist"
+    val daily = byType.getOrElse("daily", Nil)
+    val monthly = byType.getOrElse("monthly", Nil)
+    val yearly = byType.getOrElse("yearly", Nil)
+    if (daily.nonEmpty) Convert.writeFlat(coerced(daily), flatDir)
+    if (monthly.nonEmpty)
+      Convert.writeHistorical(coerced(monthly), histDir, "monthly", cfg.partitionRules)
+    if (yearly.nonEmpty)
+      Convert.writeHistorical(coerced(yearly), histDir, "yearly", cfg.partitionRules)
+
+    // day-range re-read: flat = parquet row-group filter on Day; Hive =
+    // partition pruning via Year/MonthYear bounds implied by the range
+    def dayRange(df: DataFrame): DataFrame = {
+      val lo = startDay.map(s => col("Day") >= s)
+      val hi = endDay.map(e => col("Day") <= e)
+      (lo ++ hi).reduceOption(_ && _).map(df.where).getOrElse(df)
+    }
+    def prunedHist(h: DataFrame): DataFrame = {
+      var out = h
+      for (s <- startDay; e <- endDay) {
+        if (out.columns.contains("Year"))
+          out = out.where(col("Year").between(s / 10000, e / 10000))
+        if (out.columns.contains("MonthYear"))
+          out = out.where(col("MonthYear").between(s / 100, e / 100))
+      }
+      dayRange(out)
+    }
+    // partition columns read back as int (directory-value inference) while
+    // the flat side wrote them long — align to the 61-column schema order
+    // with int columns cast to long so the union is exact
+    def aligned(df: DataFrame): DataFrame =
+      df.select(Gdelt.columns.map(c =>
+        if (Gdelt.intColumns.contains(c)) col(c).cast("long").as(c)
+        else col(c)): _*)
+    val sides =
+      (if (daily.nonEmpty) Seq(dayRange(spark.read.parquet(flatDir))) else Nil) ++
+      (if (monthly.nonEmpty || yearly.nonEmpty)
+        Seq(prunedHist(spark.read.parquet(histDir))) else Nil)
+    val unioned = sides.map(aligned).reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalArgumentException("pipeline: no recognized input files"))
+
+    val checkCols = flags.get("check-cols").map(_.split(',').toSeq)
+      .getOrElse(cfg.filterColumns)
+    FilterStage.dropNullRows(unioned, checkCols)
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$outBase/filtered")
+    val filtered = spark.read.parquet(s"$outBase/filtered")
+    val perDay = flags.get("per-day").map(_.toInt).getOrElse(cfg.defaultPerDay)
+    val seed = flags.get("seed").map(_.toLong).getOrElse(cfg.defaultSeed)
+    Samplers.daily(filtered, col("Day"), perDay, sampleOrder(filtered, seed))
+      .write.mode("overwrite").parquet(s"$outBase/sample")
+    val sampled = spark.read.parquet(s"$outBase/sample").count()
+    println(s"pipeline: files=${files.size} daily=${daily.size} " +
+      s"monthly=${monthly.size} yearly=${yearly.size} " +
+      s"filtered_rows=${filtered.count()} sampled=$sampled")
   }
 
   /** Content-hash ordering on GlobalEventID when present (partition-layout

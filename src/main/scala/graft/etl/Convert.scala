@@ -139,7 +139,7 @@ object Convert {
 
   /** Map an extracted TSV/CSV path back to the zip-style name used for
     * type detection: `20130401.export.CSV` → `20130401.export.CSV.zip`. */
-  private def fileZipName(path: String): String = {
+  private[graft] def fileZipName(path: String): String = {
     val name = Paths.get(path).getFileName.toString
     val base = name.stripSuffix(".tsv").stripSuffix(".TSV")
       .stripSuffix(".csv").stripSuffix(".CSV")

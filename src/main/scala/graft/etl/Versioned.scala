@@ -32,9 +32,24 @@ object Versioned {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def pointer(root: String) = new Path(s"$root/_latest")
+  private def pointerTmp(root: String) = new Path(s"$root/_latest.tmp")
+
+  /** The pointer flip is write-tmp → delete-live → rename-tmp (rename
+    * does not overwrite on HDFS-like stores, hence the delete). A crash
+    * between the delete and the rename would otherwise erase the pointer
+    * and reset versioning to v=0 — but `_latest.tmp` is always fully
+    * written and closed before the delete, so it IS the live pointer:
+    * finish the interrupted rename before any read or commit. Safe under
+    * the single-writer contract; a racing reader's recovery rename at
+    * worst fails benignly after the writer's own rename won. */
+  private def recoverPointer(f: org.apache.hadoop.fs.FileSystem,
+                             root: String): Unit =
+    if (!f.exists(pointer(root)) && f.exists(pointerTmp(root)))
+      f.rename(pointerTmp(root), pointer(root))
 
   private def readPointer(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
+    recoverPointer(f, root)
     if (!f.exists(pointer(root))) None
     else {
       val in = f.open(pointer(root))

@@ -91,19 +91,23 @@ private[sources] class GdeltTsvScan(path: String, required: StructType)
     * Spark file source, so `hdfs://`/`s3a://` URIs and glob patterns work,
     * not just the local filesystem. `globStatus` handles all three shapes
     * at once: a plain file matches itself, a glob expands, and a matched
-    * directory is then listed non-recursively. */
+    * directory is then listed non-recursively. A comma-separated `path`
+    * reads several files/dirs/globs in one scan (the CLI pipeline feeds
+    * explicit per-type file lists this way). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new HPath(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val matched: Seq[FileStatus] =
-      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-      else Seq(st)
+    val files = path.split(',').toSeq.filter(_.nonEmpty).flatMap { one =>
+      val p = new HPath(one)
+      val fs = p.getFileSystem(hadoopConf)
+      val matched: Seq[FileStatus] =
+        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
     }
     if (files.isEmpty)
       throw new IllegalArgumentException(s"gdelt-tsv: no such path $path")
-    files.map(_.getPath.toString).sorted
+    files.map(_.getPath.toString).distinct.sorted
       .map(f => GdeltTsvPartition(f): InputPartition).toArray
   }
 
