@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Contiguous sequence packing — assign documents to fixed token-budget
@@ -39,18 +38,27 @@ object Packing {
       .repartitionByRange(orderCol)
       .sortWithinPartitions(orderCol)
     val tokIdx = sorted.schema.fieldIndex(tok)
+    // Both passes MUST observe one materialized partitioning. Planning the
+    // per-partition totals from a separate narrow projection
+    // (`sorted.select(tok).rdd`) lets AQE coalesce the two range shuffles to
+    // DIFFERENT partition counts (the tok-only plan is smaller), so the
+    // offsets array goes out of sync with the data pass — observed as an
+    // ArrayIndexOutOfBounds at sf1. Converting to an RDD once pins the
+    // partition count and range cuts; pass 2 then reuses pass 1's shuffle
+    // files rather than re-shuffling.
+    val rdd = sorted.rdd
     // pass 1: per-partition token totals → exclusive partition offsets
-    val totals = sorted.select(col(tok)).rdd
+    val totals = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.getLong(0))
+        it.foreach(r => s += r.getLong(tokIdx))
         Iterator((pid, s))
       }.collect().sortBy(_._1).map(_._2)
     val offsets = totals.scanLeft(0L)(_ + _)
     // pass 2: in-partition scan with the broadcast offset
     val outSchema = StructType(sorted.schema.fields :+
       StructField(binCol, LongType, nullable = false))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = offsets(pid)
       it.map { r =>
         val bin = run / budget

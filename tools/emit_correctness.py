@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Turn a check_oracle.py text report into a driver-style CORRECTNESS json.
+
+The driver's CORRECTNESS_r{N}.json records, per query, rows_match /
+schema_match / hash_match booleans. check_oracle.py compares the same way
+(sorted columns, sorted stringified rows, exact values) but prints text;
+this maps its verdict lines onto the same record shape so scale-proof runs
+(e.g. sf1) commit a comparable artifact.
+
+Usage: python3 tools/check_oracle.py <sf> <out> | tee report.txt
+       python3 tools/emit_correctness.py report.txt CORRECTNESS_sf1.json <sf>
+"""
+import json
+import re
+import sys
+
+
+def main():
+    report, dst, sf = sys.argv[1], sys.argv[2], sys.argv[3]
+    out = {}
+    for line in open(report):
+        m = re.match(r"(PASS|FAIL)\s+(\S+)\s+(.*)", line.rstrip())
+        if not m:
+            continue
+        status, name, detail = m.groups()
+        ok = status == "PASS"
+        rec = {"rows_match": ok, "schema_match": ok, "hash_match": ok,
+               "sf": sf}
+        if detail.startswith("rows-only"):
+            rec["check"] = "rows_only"
+        if not ok:
+            rec["err"] = detail
+        if detail.startswith("SCHEMA MISMATCH"):
+            rec["rows_match"] = rec["hash_match"] = False
+        elif detail.startswith("ROWCOUNT MISMATCH"):
+            rec["schema_match"] = True
+            rec["hash_match"] = False
+        elif detail.startswith(("VALUE MISMATCH", "DTYPE DRIFT")):
+            rec["schema_match"] = True
+            rec["rows_match"] = True
+        out[name] = rec
+    n_ok = sum(1 for r in out.values()
+               if r["rows_match"] and r["schema_match"] and r["hash_match"])
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"{dst}: {n_ok}/{len(out)} pass")
+
+
+if __name__ == "__main__":
+    main()
