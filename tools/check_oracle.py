@@ -9,9 +9,11 @@ name, sorts rows, and compares values exactly.
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 """
 import json
+import re
 import sys
 import glob
 import os
+import time
 
 import duckdb
 import pandas as pd
@@ -78,8 +80,38 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # args: <sfDir> <outDir> [--only a,b] [--resume report.txt]
+    # Long runs (sf1+: quadratic recall-proof oracles) need progress and
+    # restartability — each query's verdict streams line-buffered as it
+    # finishes ("done" lines, distinct from the final sorted PASS/FAIL
+    # report), and --resume skips queries already verdict-ed in a prior
+    # partial report so a killed run loses only the in-flight query.
+    argv = [a for a in sys.argv[1:]]
+    only, resume = None, {}
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        with open(argv[i + 1]) as f:
+            for line in f:
+                m = re.match(r"done\s+(PASS|FAIL)\s+(\S+)\s+(.*?)"
+                             r"(?:\s+\[[0-9.]+s\])?$", line.rstrip())
+                if m:
+                    resume[m.group(2)] = m.group(3)
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
     con = duckdb.connect()
+    # Big-SF runs: DuckDB's default memory limit is 80% of RAM and the
+    # quadratic recall-proof oracles will happily hit it (the first sf1
+    # attempt was OOM-killed at 130 GB RSS with every buffered result
+    # lost). Cap memory and spill to disk instead.
+    mem = os.environ.get("ORACLE_MEM", "40GB")
+    thr = os.environ.get("ORACLE_THREADS", "24")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET threads TO {thr}")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -91,6 +123,12 @@ def main():
     results = {}
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
+        if only is not None and name not in only:
+            continue
+        if name in resume:
+            results[name] = resume[name]
+            continue
+        t0 = time.time()
         parts = glob.glob(f"{qdir}/*.parquet")
         if not parts:
             results[name] = "NO SPARK OUTPUT"
@@ -100,18 +138,23 @@ def main():
         if name not in oracles:
             results[name] = f"rows-only: {len(spark_df)} rows " + \
                             ("OK" if len(spark_df) > 0 else "EMPTY!")
-            continue
-        try:
-            oracle_df = con.sql(oracles[name]).df()
-        except Exception as e:
-            results[name] = f"ORACLE SQL ERROR: {e}"
-            continue
-        try:
-            results[name] = compare(name, spark_df, oracle_df)
-        except Exception as e:
-            results[name] = f"COMPARE ERROR: {e}"
+        else:
+            try:
+                oracle_df = con.sql(oracles[name]).df()
+                try:
+                    results[name] = compare(name, spark_df, oracle_df)
+                except Exception as e:
+                    results[name] = f"COMPARE ERROR: {e}"
+            except Exception as e:
+                results[name] = f"ORACLE SQL ERROR: {e}"
+        r = results[name]
+        ok = r == "OK" or r.startswith("rows-only") and "EMPTY" not in r
+        print(f"done  {'PASS' if ok else 'FAIL'}  {name}  {r}"
+              f"  [{time.time() - t0:.1f}s]", flush=True)
 
     declared = set(oracles) - set(results)
+    if only is not None:
+        declared &= only
     for name in sorted(declared):
         results[name] = "ORACLE DECLARED BUT NO QUERY OUTPUT"
 
