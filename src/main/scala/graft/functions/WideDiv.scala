@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Overflow-proof exact integer `floor(num * mul / den)` for share/ratio
+  * columns whose numerator is an UNBOUNDED SUM (money cents, token counts,
+  * rank-weighted sums, squared differences).
+  *
+  * Why this exists: the ppm-share idiom `sum * 1000000 DIV total` is exact
+  * int64 arithmetic only while `sum * 1000000` fits — i.e. `sum` below
+  * ~9.2e12. Counts bounded by the row count stay safe at the 100 TB design
+  * point (~1e12 rows → 1e18 fits), but sums of cents/tokens cross the line
+  * between sf1 and there: the sf1 scale run overflowed `q_eng_lorenz`
+  * (cumulative revenue ~2.25e13 cents) — the first genuinely
+  * scale-dependent failure in the suite.
+  *
+  * The wide path runs the multiply/divide in DECIMAL(38,0), good to 1e38.
+  * Spark's decimal division rounds HALF_UP to the result scale, so a bare
+  * `floor(n / d)` can land one off the true floor when the exact quotient
+  * sits within 5e-7 of an integer; the remainder-correction step below
+  * restores the exact floor, making the whole thing bit-identical to
+  * DuckDB's `CAST(num AS HUGEINT) * mul // den` oracle twin.
+  *
+  * Contract: operands must be non-negative (floor == the truncation that
+  * int64 `DIV` performs there; the call sites guarantee it structurally —
+  * Chebyshev for the Gini numerator, Cauchy–Schwarz for the burstiness
+  * VMR numerator, squares/counts elsewhere) and `den > 0`.
+  */
+object WideDiv {
+  private val D = DecimalType(38, 0)
+
+  /** Cast into the wide DECIMAL(38,0) domain — use BEFORE building
+    * products/squares of unbounded values so the intermediate never runs
+    * through int64 arithmetic. */
+  def wide(c: Column): Column = c.cast(D)
+
+  /** Exact `floor(num * mul / den)` as long, via DECIMAL(38,0). */
+  def mulDivWide(num: Column, mul: Column, den: Column): Column = {
+    val n = num.cast(D) * mul.cast(D)
+    val d = den.cast(D)
+    val q0 = floor(n / d).cast(D)
+    val r = n - q0 * d
+    when(r < lit(0).cast(D), q0 - lit(1).cast(D))
+      .when(r >= d, q0 + lit(1).cast(D))
+      .otherwise(q0)
+      .cast("long")
+  }
+
+  /** The ppm-share special case: `floor(num * 1000000 / den)`. */
+  def ppmWide(num: Column, den: Column): Column =
+    mulDivWide(num, lit(1000000L), den)
+
+  /** DuckDB oracle twin for [[mulDivWide]]: 128-bit exact floor division.
+    * (`//` on HUGEINT is floor division; operands are non-negative, so it
+    * agrees with Spark's truncating `DIV` and with [[mulDivWide]].) */
+  def sqlMulDiv(num: String, mul: String, den: String): String =
+    s"CAST(CAST($num AS HUGEINT) * ($mul) // CAST($den AS HUGEINT) AS BIGINT)"
+
+  def sqlPpm(num: String, den: String): String =
+    sqlMulDiv(num, "1000000", den)
+}

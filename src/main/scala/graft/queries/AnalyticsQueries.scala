@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.WideDiv.{ppmWide, wide}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -358,9 +359,10 @@ object AnalyticsQueries {
       val w = Window.partitionBy("p_brand").orderBy("month")
       monthly.withColumn("prev", lag(col("cents"), 1).over(w))
         .where(col("prev").isNotNull && col("prev") > 0)
+        // cents is a money sum — wide path (int64 ×1e6 dies past ~9.2e12)
         .select(col("p_brand"), col("month").cast("string").as("month"),
           col("cents"),
-          expr("cents * 1000000 DIV prev - 1000000").as("growth_ppm"))
+          (ppmWide(col("cents"), col("prev")) - lit(1000000L)).as("growth_ppm"))
         .orderBy(col("growth_ppm").desc, col("p_brand"), col("month"))
         .limit(20)
     }),
@@ -536,7 +538,7 @@ object AnalyticsQueries {
         .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
           .as("cents"))
       rev.crossJoin(broadcast(rev.agg(sum("cents").as("t"))))
-        .select(expr("cents * 1000000 DIV t").as("share_ppm"))
+        .select(ppmWide(col("cents"), col("t")).as("share_ppm"))
         .agg(count(lit(1)).as("n_brands"),
           max("share_ppm").as("top_share_ppm"),
           expr("sum(share_ppm * share_ppm) DIV 1000000").as("hhi_ppm"))
@@ -577,9 +579,11 @@ object AnalyticsQueries {
       arms.agg(
           sum(when(col("arm") === "A", col("n")).otherwise(0L)).as("n_a"),
           sum(when(col("arm") === "B", col("n")).otherwise(0L)).as("n_b"))
+        // (n_a-n_b)² is count-squared — n² of the row count at scale, so
+        // the square itself is built in the wide domain
         .select(col("n_a"), col("n_b"),
-          expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)")
-            .as("srm_micro"))
+          ppmWide(wide(col("n_a") - col("n_b")) * wide(col("n_a") - col("n_b")),
+            col("n_a") + col("n_b")).as("srm_micro"))
     }),
 
     // session conversion by length: gap-sessionize the event stream
@@ -894,8 +898,8 @@ object AnalyticsQueries {
                     AS prev
            FROM monthly)
          SELECT p_brand, CAST(month AS VARCHAR) AS month, cents,
-                CAST(cents * 1000000 // prev - 1000000 AS BIGINT)
-                  AS growth_ppm
+                CAST(CAST(cents AS HUGEINT) * 1000000 // CAST(prev AS HUGEINT)
+                     - 1000000 AS BIGINT) AS growth_ppm
          FROM lagd WHERE prev IS NOT NULL AND prev > 0
          ORDER BY growth_ppm DESC, p_brand, month LIMIT 20""",
 
@@ -1036,7 +1040,8 @@ object AnalyticsQueries {
            FROM lineitem JOIN part ON l_partkey = p_partkey
            GROUP BY 1),
          t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
-         sh AS (SELECT CAST(cents * 1000000 // t.t AS BIGINT) AS share_ppm
+         sh AS (SELECT CAST(CAST(cents AS HUGEINT) * 1000000
+                            // CAST(t.t AS HUGEINT) AS BIGINT) AS share_ppm
                 FROM rev, t)
          SELECT CAST(count(*) AS BIGINT) AS n_brands,
                 CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
@@ -1074,8 +1079,8 @@ object AnalyticsQueries {
                         AS n_b
                FROM arms)
          SELECT n_a, n_b,
-                CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
-                  AS BIGINT) AS srm_micro
+                CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+                     // CAST(n_a + n_b AS HUGEINT) AS BIGINT) AS srm_micro
          FROM c""",
 
     "q_eng_session_conversion" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.WideDiv.{mulDivWide, ppmWide, wide}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -122,8 +123,10 @@ object EngineQueries {
           Window.orderBy(col("decile"))
             .rowsBetween(Window.unboundedPreceding, 0)))
         .crossJoin(broadcast(tot))
+        // cum is a CENTS SUM (~2.25e13 at sf1): the int64 `* 1000000 DIV`
+        // idiom overflowed here in the sf1 scale run — wide path required
         .select(col("decile"), col("n_customers"),
-          expr("cum * 1000000 DIV tc").as("cum_share_ppm"))
+          ppmWide(col("cum"), col("tc")).as("cum_share_ppm"))
         .orderBy("decile")
     }),
 
@@ -165,8 +168,11 @@ object EngineQueries {
         .join(cnt.select(col("p").as("pa"), col("c").as("ca")), "pa")
         .join(cnt.select(col("p").as("pb"), col("c").as("cb")), "pb")
         .crossJoin(broadcast(nOrders))
+        // support*n and ca*cb are products of row counts — n² territory at
+        // scale; both sides of the division run 128-bit wide
         .select(col("pa"), col("pb"), col("support"),
-          expr("support * n * 1000000 DIV (ca * cb)").as("lift_ppm"))
+          mulDivWide(wide(col("support")) * lit(1000000L), col("n"),
+            wide(col("ca")) * wide(col("cb"))).as("lift_ppm"))
         .orderBy("pa", "pb")
     }),
 
@@ -315,11 +321,18 @@ object EngineQueries {
           max(col("cnt")).as("max_cnt"),
           sum(when(col("r") <= 10, col("cnt")).otherwise(lit(0L))).as("top10"),
           sum(col("i") * col("cnt")).as("sic"))
+        // sic = Σ rank·cnt is bounded by n_keys·total (n² of the row count)
+        // and (n_keys+1)·total / n_keys·total overflow int64 long before
+        // 100 TB; the Gini numerator is ≥ 0 by the Chebyshev sum
+        // inequality (ranks ascending), so wide floor == truncating DIV
         .select(
           col("n_keys"), col("total"), col("max_cnt"),
-          expr("top10 * 1000000 DIV total").as("top10_share_ppm"),
-          expr("(2 * sic - (n_keys + 1) * total) * 1000000 DIV (n_keys * total)")
-            .as("gini_ppm"))
+          ppmWide(col("top10"), col("total")).as("top10_share_ppm"),
+          mulDivWide(
+            wide(col("sic")) * lit(2L)
+              - wide(col("n_keys") + lit(1L)) * wide(col("total")),
+            lit(1000000L),
+            wide(col("n_keys")) * wide(col("total"))).as("gini_ppm"))
     }),
 
     // Horvitz–Thompson total estimation from a deterministic hash
@@ -1463,7 +1476,8 @@ object EngineQueries {
                     AS BIGINT) AS cum
            FROM pd)
          SELECT decile, n_customers,
-                CAST(cum * 1000000 // t.tc AS BIGINT) AS cum_share_ppm
+                CAST(CAST(cum AS HUGEINT) * 1000000 // CAST(t.tc AS HUGEINT)
+                  AS BIGINT) AS cum_share_ppm
          FROM c, t ORDER BY decile""",
 
     "q_eng_order_gaps" ->
@@ -1487,7 +1501,8 @@ object EngineQueries {
          c AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
          n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op)
          SELECT pa, pb, support,
-                CAST(support * n.n * 1000000 // (ca.c * cb.c) AS BIGINT)
+                CAST(CAST(support AS HUGEINT) * n.n * 1000000
+                     // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT)
                   AS lift_ppm
          FROM pr
          JOIN c ca ON ca.p = pa
@@ -1604,9 +1619,11 @@ object EngineQueries {
                       CAST(sum(i * cnt) AS BIGINT) AS sic
                FROM r)
          SELECT n_keys, total, max_cnt,
-                CAST(top10 * 1000000 // total AS BIGINT) AS top10_share_ppm,
-                CAST((2 * sic - (n_keys + 1) * total) * 1000000
-                     // (n_keys * total) AS BIGINT) AS gini_ppm
+                CAST(CAST(top10 AS HUGEINT) * 1000000
+                     // CAST(total AS HUGEINT) AS BIGINT) AS top10_share_ppm,
+                CAST((2 * CAST(sic AS HUGEINT) - (n_keys + 1) * CAST(total AS HUGEINT))
+                     * 1000000
+                     // (CAST(n_keys AS HUGEINT) * total) AS BIGINT) AS gini_ppm
          FROM a""",
 
     "q_eng_ht_estimate" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.WideDiv.{mulDivWide, ppmWide, wide}
 import graft.text.TextFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -242,8 +243,12 @@ object TextQueries {
         .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"),
           count(lit(1)).as("n_docs_with"))
         .crossJoin(broadcast(nDocs))
+        // sc/sc2 are token-count sums; nd·sc2 and sc² are their squares —
+        // products built wide, numerator ≥ 0 by Cauchy–Schwarz
         .select(col("tok"), col("n_docs_with"), col("sc").as("total"),
-          expr("(nd * sc2 - sc * sc) * 1000000 DIV (nd * sc)").as("vmr_ppm"))
+          mulDivWide(wide(col("nd")) * wide(col("sc2"))
+              - wide(col("sc")) * wide(col("sc")),
+            lit(1000000L), wide(col("nd")) * wide(col("sc"))).as("vmr_ppm"))
         .orderBy(col("total").desc, col("tok"))
         .limit(20)
     }),
@@ -320,7 +325,8 @@ object TextQueries {
           w.rowsBetween(Window.unboundedPreceding, 0)))
         .crossJoin(broadcast(tot))
         .select(col("rank"), col("tok"), col("c"),
-          expr("cum * 1000000 DIV t").as("coverage_ppm"))
+          // cum is a token-count sum — wide path past ~9.2e12 tokens
+          ppmWide(col("cum"), col("t")).as("coverage_ppm"))
         .orderBy("rank")
     }),
 
@@ -340,13 +346,15 @@ object TextQueries {
       val tot = scaled.agg(sum(col("s_micro")).as("ts"),
         count(lit(1)).as("nsrc"))
       scaled.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_tokens"),
-          expr("s_micro * 1000000 DIV ts").as("weight_ppm"),
-          // repetition factor vs a uniform target share, in milli-epochs;
-          // greatest(1, …) guards a source whose share rounds below 1 ppm
-          // (Spark DIV yields NULL on /0, DuckDB // raises — the guard
-          // keeps the two engines identical on degenerate skew)
-          expr("(1000000 DIV nsrc) * 1000 DIV greatest(1L, s_micro * 1000000 DIV ts)")
+        // s_micro is a √tokens micro-sum — wide path at the token scale;
+        // the epoch factor divides two ≤1e9 quantities, so IT stays int64
+        .withColumn("weight_ppm", ppmWide(col("s_micro"), col("ts")))
+        // repetition factor vs a uniform target share, in milli-epochs;
+        // greatest(1, …) guards a source whose share rounds below 1 ppm
+        // (Spark DIV yields NULL on /0, DuckDB // raises — the guard
+        // keeps the two engines identical on degenerate skew)
+        .select(col("source"), col("n_tokens"), col("weight_ppm"),
+          expr("(1000000 DIV nsrc) * 1000 DIV greatest(1L, weight_ppm)")
             .as("epoch_milli"))
         .orderBy("source")
     }),
@@ -368,7 +376,8 @@ object TextQueries {
         .join(cnt, Seq("source", "tok"), "left")
         .na.fill(0L, Seq("c"))
         .select(col("source"), col("tok"),
-          expr("c * 1000000 DIV t").as("ppm"))
+          // c is a token count (sum over rows) — wide path
+          ppmWide(col("c"), col("t")).as("ppm"))
       grid.as("a").join(grid.as("b"),
           col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -614,7 +623,8 @@ object TextQueries {
           .cast("long"))
       w.crossJoin(broadcast(w.agg(sum("w_micro").as("tw"))))
         .select(col("tok"), col("c"), col("w_micro"),
-          expr("w_micro * 1000000 DIV tw").as("draw_ppm"))
+          // w_micro ~ 1e6·c^0.75 — a count-derived micro sum; wide path
+          ppmWide(col("w_micro"), col("tw")).as("draw_ppm"))
         .orderBy(col("draw_ppm").desc, col("tok"))
         .limit(20)
     }),
@@ -1364,7 +1374,8 @@ object TextQueries {
                        CAST(count(*) AS BIGINT) AS n_docs_with
                 FROM pd GROUP BY 1)
          SELECT tok, n_docs_with, sc AS total,
-                CAST((nd.nd * sc2 - sc * sc) * 1000000 // (nd.nd * sc)
+                CAST((CAST(nd.nd AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc)
+                     * 1000000 // (CAST(nd.nd AS HUGEINT) * sc)
                   AS BIGINT) AS vmr_ppm
          FROM st, nd
          ORDER BY total DESC, tok LIMIT 20""",
@@ -1438,7 +1449,9 @@ object TextQueries {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS cum
                FROM c)
-         SELECT rank, tok, c, CAST(cum * 1000000 // t AS BIGINT) AS coverage_ppm
+         SELECT rank, tok, c,
+                CAST(CAST(cum AS HUGEINT) * 1000000 // CAST(t AS HUGEINT)
+                  AS BIGINT) AS coverage_ppm
          FROM r, tt ORDER BY rank""",
 
     "q_text_mix_temperature" ->
@@ -1458,8 +1471,11 @@ object TextQueries {
                        CAST(count(*) AS BIGINT) AS nsrc
                 FROM sc)
          SELECT source, n_tokens,
-                CAST(s_micro * 1000000 // ts AS BIGINT) AS weight_ppm,
-                CAST((1000000 // nsrc) * 1000 // greatest(1, s_micro * 1000000 // ts)
+                CAST(CAST(s_micro AS HUGEINT) * 1000000 // CAST(ts AS HUGEINT)
+                  AS BIGINT) AS weight_ppm,
+                CAST((1000000 // nsrc) * 1000
+                     // greatest(1, CAST(s_micro AS HUGEINT) * 1000000
+                                    // CAST(ts AS HUGEINT))
                   AS BIGINT) AS epoch_milli
          FROM sc, tt ORDER BY source""",
 
@@ -1477,7 +1493,8 @@ object TextQueries {
          v AS (SELECT DISTINCT tok FROM x),
          grid AS (
            SELECT tot.source, v.tok,
-                  CAST(coalesce(cnt.c, 0) * 1000000 // tot.tt AS BIGINT) AS ppm
+                  CAST(CAST(coalesce(cnt.c, 0) AS HUGEINT) * 1000000
+                       // CAST(tot.tt AS HUGEINT) AS BIGINT) AS ppm
            FROM tot CROSS JOIN v
            LEFT JOIN cnt ON cnt.source = tot.source AND cnt.tok = v.tok)
          SELECT a.source AS src_a, b.source AS src_b,
@@ -1772,7 +1789,8 @@ object TextQueries {
                FROM c),
          tw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w)
          SELECT tok, c, w_micro,
-                CAST(w_micro * 1000000 // tw AS BIGINT) AS draw_ppm
+                CAST(CAST(w_micro AS HUGEINT) * 1000000 // CAST(tw AS HUGEINT)
+                  AS BIGINT) AS draw_ppm
          FROM w, tw ORDER BY draw_ppm DESC, tok LIMIT 20""",
 
     "q_text_fertility" ->
