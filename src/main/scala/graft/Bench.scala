@@ -19,7 +19,14 @@ object Bench {
     // materialization), then median of `iters` timed runs — single-iteration
     // numbers charged JIT/first-touch to whichever query ran first and made
     // rounds incomparable (round-2 review: 36.6s reported for a 0.7s query)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter (driver sets no filter and benches the full
+    // suite): comma-separated query names to re-measure after a targeted
+    // change without paying the whole-suite wall clock
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // the noop sink evaluates EVERY output column of the exact plan

@@ -943,7 +943,18 @@ object EngineQueries {
     // point-in-interval range join via bucket expansion (RangeJoin): line
     // items shipped within 30 days of each urgent high-value order's date.
     // The exploded interval side broadcasts, so the fact side never
-    // shuffles for the join; exact BETWEEN is the residual condition
+    // shuffles for the join; exact BETWEEN is the residual condition.
+    //
+    // Scale shape: both join keys are DAY-granularity and the output is
+    // aggregate-only, so the fact side first coarsens to per-day partials
+    // (count + exact decimal quantity sum — one map-side-combined
+    // aggregate, linear). The range join then runs on the bounded day
+    // table (~date-range rows regardless of data volume), and the final
+    // rollup re-sums the associative partials. Without this, interval
+    // density grows with the corpus while the date range stays fixed, and
+    // the residual-BETWEEN work goes quadratic — the sf0.1→sf1 bench
+    // measured 25x time at 10x data; coarsened it is linear + a
+    // constant-size join
     "q_eng_range_join" -> ((s, d) => {
       // date columns are parquet TIMESTAMP_NTZ; cast-to-timestamp under the
       // UTC session makes unix_micros read the same naive micros DuckDB's
@@ -953,14 +964,16 @@ object EngineQueries {
         .select(col("o_orderkey"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("s_us"))
         .withColumn("e_us", col("s_us") + lit(30L * 86400 * 1000000))
-      val pts = Tables.lineitem(s, d)
-        .select(col("l_quantity"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("p_us"))
+      val dayPts = Tables.lineitem(s, d)
+        .groupBy(unix_micros(col("l_shipdate").cast("timestamp")).as("p_us"))
+        .agg(count(lit(1)).as("day_n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("day_qty"))
       val matched = graft.operators.RangeJoin.pointInInterval(
-          pts, "p_us", oi, "s_us", "e_us",
+          dayPts, "p_us", oi, "s_us", "e_us",
           bucketWidth = 32L * 86400 * 1000000, broadcastIntervals = true)
         .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_items"), moneySum(col("l_quantity")).as("sum_qty"))
+        .agg(sum(col("day_n")).as("n_items"),
+          sum(col("day_qty")).cast("double").as("sum_qty"))
       oi.select("o_orderkey").join(matched, Seq("o_orderkey"), "left")
         .na.fill(0L, Seq("n_items")).na.fill(0.0, Seq("sum_qty"))
         .orderBy("o_orderkey")
