@@ -24,28 +24,53 @@ object Bench {
     // change without paying the whole-suite wall clock
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // A failing query must surface as an error entry, never as a timing: the
+    // round-6 fixture break shipped 46 analysis errors as "healthy" ~0.06 s
+    // rows because failures were swallowed here. Failure during warmup skips
+    // the timed iterations (the plan won't suddenly start analyzing).
+    var errors = scala.collection.immutable.ListMap.empty[String, String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
+      .flatMap { case (name, fn) =>
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         // the noop sink evaluates EVERY output column of the exact plan
         // Verify certifies (a bare .count() lets Catalyst prune the output
         // projection, so wide-output queries benched on a narrower plan)
         // without charging disk I/O to the timing
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
+          Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(300)}")
+        }
       }
-      once() // warmup
-      val times = Seq.fill(iters)(once()).sorted
-      name -> times(times.size / 2)
+      once() match { // warmup
+        case Left(err) =>
+          errors += (name -> err); None
+        case Right(_) =>
+          val runs = Seq.fill(iters)(once())
+          runs.collectFirst { case Left(err) => err } match {
+            case Some(err) => errors += (name -> err); None
+            case None =>
+              val times = runs.collect { case Right(t) => t }.sorted
+              Some(name -> times(times.size / 2))
+          }
+      }
     }
     graft.queries.QueryCaches.clear()
     def f3(v: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
     def jmap(kv: Iterable[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def jerrs(kv: Iterable[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the last ~4 KB of output, and at 111 queries
     // the full per-query map alone exceeds that (BENCH_r03/r04 "parsed":
@@ -53,16 +78,21 @@ object Bench {
     // the driver's {"metric" match skips, then a size-bounded parseable
     // final line — total + the 20 slowest queries (the ones perf review
     // reads) + the suite count. ~800 B regardless of suite growth.
-    println(s"""{"full_queries":${jmap(results)},"sf":"$sfDir"}""")
+    println(s"""{"full_queries":${jmap(results)},"errors":${jerrs(errors)},"sf":"$sfDir"}""")
     // also persist the full map as a file artifact — the driver's bounded
     // tail capture keeps only the slowest 20, so round-over-round diffs of
     // all queries need a committed file (SPARK_GRAFT_BENCH_OUT overrides)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"total":${f3(total)},"n_queries":${results.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"errors":${jerrs(errors)},"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
+    // a non-zero failed count must be visible even if only the exit status
+    // survives log truncation
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    }
   }
 }

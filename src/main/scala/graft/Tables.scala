@@ -14,16 +14,33 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as epoch-nanos long (runtime-settable legacy conf) and
-    * truncate to a proper TimestampType (micros, matching what DuckDB and
-    * any micro-precision engine see). `DIV` keeps the arithmetic integral —
-    * a double division would lose precision above 2^53 ns. */
+  /** `events.ts` has shipped under two physical encodings, so this loader is
+    * schema-adaptive instead of hard-coding either one:
+    *
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current fixture.
+    *    Spark reads it as TimestampNTZType; under the UTC session timezone a
+    *    cast to TimestampType is a wall-clock-preserving reinterpretation,
+    *    which is exactly what DuckDB's `CAST(ts AS TIMESTAMP)` oracle sees.
+    *  - parquet TIMESTAMP(NANOS) — the original fixture. Spark 4 rejects it
+    *    unless read as epoch-nanos long (legacy conf, set lazily here), then
+    *    truncated to micros. `DIV` keeps the arithmetic integral — a double
+    *    division would lose precision above 2^53 ns.
+    *
+    * Either way callers get a plain TimestampType(micros) `ts` column. The
+    * nanosAsLong conf is harmless for non-nanos files, so it is set before
+    * the read to make schema *inference itself* survive a nanos fixture. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case _: TimestampType    => raw
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected TIMESTAMP, TIMESTAMP_NTZ, or INT64 nanos)")
+    }
   }
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")

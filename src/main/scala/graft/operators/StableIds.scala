@@ -30,4 +30,59 @@ object StableIds {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** 1-based global rank in `orderCols` order — the drop-in replacement for
+    * `row_number() OVER (ORDER BY …)` that does NOT funnel the table through
+    * one window partition. Identical values to the window form when the
+    * ordering key is unique. */
+  def withRank(df: DataFrame, orderCols: Seq[Column],
+               rankCol: String): DataFrame = {
+    val zero = "__rank0"
+    require(!df.columns.contains(zero), s"column '$zero' is reserved")
+    assignIds(df, orderCols, zero)
+      .withColumn(rankCol,
+        org.apache.spark.sql.functions.col(zero) + 1L)
+      .drop(zero)
+  }
+
+  /** 1-based global rank AND inclusive running sum of `valueCol` (LongType)
+    * in `orderCols` order — the scalable form of
+    * `row_number()/sum() OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`.
+    *
+    * Same two-phase shape as [[Packing.packByBudget]]: range-partition +
+    * in-partition sort, one metadata job collecting per-partition
+    * (row count, value sum) — two longs per partition to the driver — then a
+    * map-side scan seeded with the broadcast exclusive offsets. Both passes
+    * are pinned to ONE materialized RDD so AQE cannot coalesce them to
+    * different partition counts (the Packing offset-misalignment lesson,
+    * 87c3e20). */
+  def rankAndCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                    rankCol: String = "rank",
+                    cumCol: String = "cum"): DataFrame = {
+    for (c <- Seq(rankCol, cumCol))
+      require(!df.columns.contains(c), s"column '$c' already exists")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1L; s += r.getLong(vIdx) }
+      Iterator((pid, n, s))
+    }.collect().sortBy(_._1)
+    val cntOff = stats.map(_._2).scanLeft(0L)(_ + _)
+    val sumOff = stats.map(_._3).scanLeft(0L)(_ + _)
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField(rankCol, LongType, nullable = false),
+      StructField(cumCol, LongType, nullable = false)))
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = cntOff(pid); var run = sumOff(pid)
+      it.map { r =>
+        rk += 1L; run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq ++ Seq(rk, run))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
 }

@@ -396,24 +396,37 @@ object AnalyticsQueries {
         .orderBy("node")
     }),
 
-    // RFM customer segmentation: recency/frequency/monetary quintiles
-    // (ntile over the per-customer AGGREGATE — #customers-sized, the
-    // same global-window-on-aggregate discipline as the Lorenz curve;
-    // the fact table contributes one partial-aggregated shuffle).
-    // Money as exact integer cents; unique custkey tiebreaks make every
-    // ntile boundary deterministic across engines
+    // RFM customer segmentation: recency/frequency/monetary quintiles over
+    // the per-customer AGGREGATE. Customers are UNBOUNDED at corpus scale,
+    // so each quintile comes from a StableIds range-partitioned global rank
+    // plus the exact SQL NTILE arithmetic (first n%k buckets get one extra
+    // row) instead of `ntile(5) OVER (ORDER BY …)`, which would funnel the
+    // whole table through one window task. Money as exact integer cents;
+    // unique custkey tiebreaks make every boundary deterministic across
+    // engines (and across partition cuts)
     "q_eng_rfm" -> ((s, d) => {
       val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(datediff(to_date(lit("1996-01-01")),
           max(to_date(col("o_orderdate")))).cast("long").as("rec"),
           count(lit(1)).as("freq"),
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
-      val r = ntile(5).over(Window.orderBy(col("rec"), col("o_custkey")))
-      val f = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
-      val m = ntile(5).over(Window.orderBy(col("cents").desc, col("o_custkey")))
-      cust.select(col("o_custkey"), col("cents"),
-          r.cast("long").as("r_bin"), f.cast("long").as("f_bin"),
-          m.cast("long").as("m_bin"))
+      import graft.operators.StableIds.withRank
+      val ranked = withRank(withRank(withRank(cust,
+          Seq(col("rec"), col("o_custkey")), "rr"),
+          Seq(col("freq").desc, col("o_custkey")), "fr"),
+          Seq(col("cents").desc, col("o_custkey")), "mr")
+        .crossJoin(broadcast(cust.agg(count(lit(1)).as("nc"))))
+      // SQL NTILE(5) from a 1-based rank: q = nc DIV 5 rows per bucket,
+      // the first r = nc % 5 buckets take q+1 (greatest guards the nc < 5
+      // corner, where the ELSE branch is unreachable anyway)
+      def tile(rk: String): Column = expr(
+        s"CASE WHEN $rk <= (nc % 5) * (nc DIV 5 + 1)" +
+          s" THEN ($rk - 1) DIV (nc DIV 5 + 1) + 1" +
+          s" ELSE (nc % 5) + 1 + ($rk - 1 - (nc % 5) * (nc DIV 5 + 1))" +
+          s" DIV greatest(nc DIV 5, 1) END").cast("long")
+      ranked.select(col("o_custkey"), col("cents"),
+          tile("rr").as("r_bin"), tile("fr").as("f_bin"),
+          tile("mr").as("m_bin"))
         .groupBy("r_bin", "f_bin", "m_bin")
         .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
         .orderBy("r_bin", "f_bin", "m_bin")

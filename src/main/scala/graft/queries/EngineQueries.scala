@@ -102,26 +102,31 @@ object EngineQueries {
     // (ranked richest-first) — the concentration profile behind the Gini
     // in q_eng_skew_report. Money moves as exact integer cents
     // (floor(x·100+0.5): 2dp doubles sit ~1e-10 from the cent, never at
-    // the 0.5 boundary), so every share is integer ppm; all windows run
-    // on the keys-sized customer table
+    // the 0.5 boundary), so every share is integer ppm. The customer rank
+    // goes through StableIds (range-partitioned zipWithIndex): per-customer
+    // is keys-sized but UNBOUNDED at corpus scale, so a global-ORDER-BY
+    // window would funnel it through one task. Only the 10-row decile
+    // table uses a window, on an explicit single-group spec
     "q_eng_lorenz" -> ((s, d) => {
       val rev = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("cents"))
       val n = rev.agg(count(lit(1)).as("nc"))
-      val ranked = rev
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+      val ranked = graft.operators.StableIds.withRank(rev,
+          Seq(col("cents").desc, col("o_custkey")), "rk")
         .crossJoin(broadcast(n))
         .withColumn("decile", expr("(rk - 1) * 10 DIV nc"))
       val perDecile = ranked.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
       val tot = perDecile.agg(sum(col("dc")).as("tc"))
       perDecile
-        .withColumn("cum", sum(col("dc")).over(
-          Window.orderBy(col("decile"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
+        // cumulative over EXACTLY 10 decile rows: a broadcast triangle
+        // join (b.decile <= a.decile) — bounded 10×10, no window at all
+        .join(broadcast(perDecile.select(col("decile").as("bd"),
+          col("dc").as("bdc"))), col("bd") <= col("decile"))
+        .groupBy(col("decile"), col("n_customers"))
+        .agg(sum(col("bdc")).as("cum"))
         .crossJoin(broadcast(tot))
         // cum is a CENTS SUM (~2.25e13 at sf1): the int64 `* 1000000 DIV`
         // idiom overflowed here in the sf1 scale run — wide path required
@@ -302,25 +307,29 @@ object EngineQueries {
 
     // key-skew diagnostic: the profile a pipeline runs BEFORE choosing a
     // partitioning/salting strategy. Per-key counts reduce the data to a
-    // keys-sized table; everything after (max share, top-10 share, exact
-    // integer-ppm Gini via the rank formula G = (2·Σi·cᵢ − (n+1)·S)/(n·S)
-    // over counts ranked ascending) runs on that table — the
-    // unpartitioned windows are safe by construction (cardinality =
-    // distinct keys, not rows)
+    // keys-sized table — but keys are UNBOUNDED at corpus scale, so the
+    // ascending Gini rank goes through StableIds (range-partitioned
+    // zipWithIndex), and the top-10 share through a TakeOrderedAndProject
+    // limit (per-partition top-10, merged on the driver) — no
+    // single-partition window anywhere. Gini via the rank formula
+    // G = (2·Σi·cᵢ − (n+1)·S)/(n·S) over counts ranked ascending
     "q_eng_skew_report" -> ((s, d) => {
       val counts = Tables.orders(s, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-      val asc = Window.orderBy(col("cnt").asc, col("o_custkey").asc)
-      val desc = Window.orderBy(col("cnt").desc, col("o_custkey").asc)
-      counts
-        .withColumn("i", row_number().over(asc).cast("long"))
-        .withColumn("r", row_number().over(desc).cast("long"))
+      val base = graft.operators.StableIds.withRank(counts,
+          Seq(col("cnt").asc, col("o_custkey").asc), "i")
         .agg(
           count(lit(1)).as("n_keys"),
           sum(col("cnt")).as("total"),
           max(col("cnt")).as("max_cnt"),
-          sum(when(col("r") <= 10, col("cnt")).otherwise(lit(0L))).as("top10"),
           sum(col("i") * col("cnt")).as("sic"))
+      // top-10 heaviest keys: ties on cnt make the row CHOICE depend on the
+      // tiebreak but not the SUM (all tied rows carry the same cnt), so the
+      // limit path is value-identical to the old desc row_number filter
+      val top10 = counts
+        .orderBy(col("cnt").desc, col("o_custkey").asc).limit(10)
+        .agg(sum(col("cnt")).as("top10"))
+      base.crossJoin(broadcast(top10))
         // sic = Σ rank·cnt is bounded by n_keys·total (n² of the row count)
         // and (n_keys+1)·total / n_keys·total overflow int64 long before
         // 100 TB; the Gini numerator is ≥ 0 by the Chebyshev sum

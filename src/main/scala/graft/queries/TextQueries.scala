@@ -311,18 +311,17 @@ object TextQueries {
 
     // vocabulary coverage curve: cumulative token mass of the top-k
     // vocabulary, per rank — the Zipf audit that sizes a tokenizer
-    // vocabulary ("k tokens cover X% of the corpus"). One aggregate over
-    // token instances; the ranked cumulative window runs on the
-    // vocab-sized table (safe by construction). Integer ppm coverage
+    // vocabulary ("k tokens cover X% of the corpus"). The raw-token
+    // vocabulary is UNBOUNDED at corpus scale (whitespace tokens, not a
+    // fixed vocab), so rank + running sum come from the StableIds two-phase
+    // prefix scan (range-partition → per-partition offsets → map-side
+    // scan), not a global-ORDER-BY window. Integer ppm coverage
     "q_text_vocab_coverage" -> ((s, d) => {
       val cnts = postings(s, d).groupBy(col("tok"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("c").desc, col("tok"))
       val tot = cnts.agg(sum(col("c")).as("t"))
-      cnts
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("c")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
+      graft.operators.StableIds.rankAndCumSum(cnts,
+          Seq(col("c").desc, col("tok")), "c", "rank", "cum")
         .crossJoin(broadcast(tot))
         .select(col("rank"), col("tok"), col("c"),
           // cum is a token-count sum — wide path past ~9.2e12 tokens
