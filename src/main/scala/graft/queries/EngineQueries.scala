@@ -105,33 +105,36 @@ object EngineQueries {
     // the 0.5 boundary), so every share is integer ppm. The customer rank
     // goes through StableIds (range-partitioned zipWithIndex): per-customer
     // is keys-sized but UNBOUNDED at corpus scale, so a global-ORDER-BY
-    // window would funnel it through one task. Only the 10-row decile
-    // table uses a window, on an explicit single-group spec
+    // window would funnel it through one task. The decile rollup is
+    // EXACTLY 10 rows by construction, so it is collected (metadata-sized,
+    // same class as Packing's per-partition offsets) and the cumulative
+    // prefix runs on the driver — one distributed pass total, no window,
+    // no self-join recompute
     "q_eng_lorenz" -> ((s, d) => {
       val rev = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("cents"))
       val n = rev.agg(count(lit(1)).as("nc"))
-      val ranked = graft.operators.StableIds.withRank(rev,
+      val perDecile = graft.operators.StableIds.withRank(rev,
           Seq(col("cents").desc, col("o_custkey")), "rk")
         .crossJoin(broadcast(n))
         .withColumn("decile", expr("(rk - 1) * 10 DIV nc"))
-      val perDecile = ranked.groupBy(col("decile"))
+        .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
-      val tot = perDecile.agg(sum(col("dc")).as("tc"))
-      perDecile
-        // cumulative over EXACTLY 10 decile rows: a broadcast triangle
-        // join (b.decile <= a.decile) — bounded 10×10, no window at all
-        .join(broadcast(perDecile.select(col("decile").as("bd"),
-          col("dc").as("bdc"))), col("bd") <= col("decile"))
-        .groupBy(col("decile"), col("n_customers"))
-        .agg(sum(col("bdc")).as("cum"))
-        .crossJoin(broadcast(tot))
+        .orderBy("decile")
+        .collect() // ≤ 10 rows
+      val tc = perDecile.map(_.getLong(2)).sum
+      var run = 0L
+      val cum = perDecile.toSeq.map { r =>
+        run += r.getLong(2); (r.getLong(0), r.getLong(1), run)
+      }
+      import s.implicits._
+      cum.toDF("decile", "n_customers", "cum")
         // cum is a CENTS SUM (~2.25e13 at sf1): the int64 `* 1000000 DIV`
         // idiom overflowed here in the sf1 scale run — wide path required
         .select(col("decile"), col("n_customers"),
-          ppmWide(col("cum"), col("tc")).as("cum_share_ppm"))
+          ppmWide(col("cum"), lit(tc)).as("cum_share_ppm"))
         .orderBy("decile")
     }),
 
