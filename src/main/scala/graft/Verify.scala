@@ -19,13 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query status ledger: a query that fails ANALYSIS writes no parquet
+    // dir at all, and a checker that only globs output dirs would silently
+    // skip it (the round-6 fixture break shipped exactly this way). The
+    // ledger makes absence itself an auditable failure.
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = "ok"
+      } catch { case e: Throwable =>
+        status(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: ${status(name)}")
       }
     }
     graft.queries.QueryCaches.clear()
@@ -44,6 +52,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
+    val failed = status.collect { case (n, s) if s != "ok" => n }.toSeq
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] FAILED ${failed.size}/${status.size}: ${failed.mkString(", ")}")
+    else
+      System.err.println(s"[verify] all ${status.size} queries dumped ok")
     spark.stop()
   }
 }

@@ -116,24 +116,28 @@ object Layout {
   def manifestIncremental(spark: org.apache.spark.sql.SparkSession,
                           path: String, keyCol: String,
                           prior: DataFrame): DataFrame = {
+    import spark.implicits._
     // URI-normalized compare: inputFiles (metadata listing, no job) says
-    // "file:/p", input_file_name() says "file:///p"
-    def norm(f: String): String = new java.net.URI(f).getPath
-    val known = prior.select("file").collect().map(r => norm(r.getString(0))).toSet
+    // "file:/p", input_file_name() says "file:///p". Normalized as a Column
+    // so prior-vs-listing comparison runs as a join — the prior manifest
+    // never lands on the driver (at 100 TB it is millions of rows, and an
+    // isin over collected paths would also explode the plan). The listing
+    // itself is O(#live files) driver strings — the planning metadata every
+    // table format holds.
+    def normC(c: Column): Column = regexp_replace(c, "^file:/+", "/")
     val all = spark.read.parquet(path).inputFiles
-    val fresh = all.filterNot(f => known(norm(f)))
+    val live = all.toIndexedSeq.toDF("live_file")
+    val fresh = live
+      .join(prior, normC(col("live_file")) === normC(col("file")), "left_anti")
+      .as[String].collect()  // O(delta): only the files the prior misses
     if (fresh.isEmpty) prior
     else {
       val newRows = spark.read.parquet(fresh.toIndexedSeq: _*)
         .groupBy(input_file_name().as("file"))
         .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
           count(lit(1)).cast("long").as("n_rows"))
-      val live = all.map(norm).toSet
-      val keep = prior.select("file").collect().map(_.getString(0))
-        .filter(f => live(norm(f)))
-      val stillValid =
-        if (keep.isEmpty) prior.limit(0)
-        else prior.where(col("file").isin(keep.toIndexedSeq: _*))
+      val stillValid = prior.join(live,
+        normC(col("file")) === normC(col("live_file")), "left_semi")
       stillValid.unionByName(newRows)
     }
   }
@@ -147,8 +151,18 @@ object Layout {
     * [[writeSorted]] on the key it touches only the overlapping fraction
     * of files. */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
-                 keyCol: String, lo: Any, hi: Any): DataFrame = {
-    val keep = manifest(spark, path, keyCol)
+                 keyCol: String, lo: Any, hi: Any): DataFrame =
+    prunedRead(spark, path, keyCol, lo, hi, manifest(spark, path, keyCol))
+
+  /** [[prunedRead]] against a STORED manifest (e.g. the output of
+    * [[manifestIncremental]] persisted at commit time) — the production
+    * path: planning touches only manifest metadata, never the data files,
+    * exactly as a table format's commit log is consulted instead of
+    * re-stat'ing the table. The collect is O(surviving files). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 keyCol: String, lo: Any, hi: Any,
+                 stored: DataFrame): DataFrame = {
+    val keep = stored
       .where(!(col("max_key") < lit(lo) || col("min_key") > lit(hi)))
       .select("file").collect().map(_.getString(0))
     val pred = col(keyCol).between(lit(lo), lit(hi))

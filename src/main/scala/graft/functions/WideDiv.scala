@@ -60,4 +60,23 @@ object WideDiv {
 
   def sqlPpm(num: String, den: String): String =
     sqlMulDiv(num, "1000000", den)
+
+  /** Deterministic DECIMAL(p,6) → DOUBLE conversion.
+    *
+    * A scaled decimal above 2^53 double-rounds in DuckDB: the conversion
+    * runs as int64/int128 → double (one rounding) then ÷10^scale (a second
+    * rounding), which can land 1 ulp off the correctly-rounded value Spark's
+    * `BigDecimal.doubleValue` produces — caught live at sf0.1 on
+    * q_eng_group_ols's xy-moment sum. Routing through the INTEGER-valued
+    * DECIMAL(38,0) (exact ×10^6, verified correctly-rounded → double in
+    * both engines) and dividing by 10^6 as one identical IEEE double op
+    * makes the whole chain bit-identical cross-engine at any magnitude the
+    * 38-digit domain holds. Use on every decimal money/measure sum whose
+    * OUTPUT is double. */
+  def decSumToDouble(sumDec: Column): Column =
+    (sumDec * lit(1000000L)).cast(D).cast("double") / 1000000.0
+
+  /** DuckDB oracle twin for [[decSumToDouble]]. */
+  def sqlDecSumToDouble(sumExpr: String): String =
+    s"CAST(CAST(($sumExpr) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0"
 }

@@ -18,10 +18,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object AnalyticsQueries {
 
   private def moneySum(c: Column): Column =
-    sum(c.cast("decimal(18,6)")).cast("double")
+    graft.functions.WideDiv.decSumToDouble(sum(c.cast("decimal(18,6)")))
 
   private def sqlMoneySum(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+    graft.functions.WideDiv.sqlDecSumToDouble(
+      s"sum(CAST($expr AS DECIMAL(18,6)))")
 
   /** Memoized weighted co-purchase graph (parts sharing ≥ 2 orders),
     * directed both ways: (src, dst, w) with w = co-occurrence count. The
@@ -161,7 +162,7 @@ object AnalyticsQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_purchases"),
           countDistinct("user_id").as("n_users"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+          moneySum(col("value")).as("revenue"))
         .orderBy("bucket")
     }),
 
@@ -375,7 +376,7 @@ object AnalyticsQueries {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          moneySum(col("value")).as("sum_value"))
         .select(col("w.start").cast("string").as("bucket"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("bucket", "event_type")),
@@ -750,7 +751,8 @@ object AnalyticsQueries {
                      THEN 'attributed' ELSE 'organic' END AS bucket,
                 CAST(count(*) AS BIGINT) AS n_purchases,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS revenue
          FROM w WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY bucket""",
 
@@ -919,7 +921,8 @@ object AnalyticsQueries {
     "q_eng_tumbling" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS bucket,
                 event_type, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
 
     "q_eng_shortest_path" ->

@@ -35,10 +35,11 @@ object EngineQueries {
     * HALF_EVEN agree. (At scale 2 the 4dp products hit exact .005 ties and
     * the engines round them differently.) */
   private def moneySum(c: Column): Column =
-    sum(c.cast("decimal(18,6)")).cast("double")
+    graft.functions.WideDiv.decSumToDouble(sum(c.cast("decimal(18,6)")))
 
   private def sqlMoneySum(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+    graft.functions.WideDiv.sqlDecSumToDouble(
+      s"sum(CAST($expr AS DECIMAL(18,6)))")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single hash aggregate, map-side combine
@@ -360,30 +361,37 @@ object EngineQueries {
           .cast("long"))
       o.agg(
           count(when(col("b") < 6554, 1)).as("n_sampled"),
-          (sum(when(col("b") < 6554, col("o_totalprice"))
-            .cast("decimal(18,6)")).cast("double") *
+          (graft.functions.WideDiv.decSumToDouble(
+            sum(when(col("b") < 6554, col("o_totalprice"))
+              .cast("decimal(18,6)"))) *
             (lit(65536.0) / lit(6554.0))).as("ht_total"),
           moneySum(col("o_totalprice")).as("true_total"))
     }),
 
     // per-group OLS regression (order value vs order date) from exact
-    // moment sums: integer x/x² sums, DECIMAL-exact y/xy sums, and the
-    // closed-form slope/intercept evaluated as one fixed double
-    // expression over the exact components — bit-stable across engines
-    // with no quantization. One partial-aggregable shuffle; the moments
-    // pattern is the distributed featurization primitive (same shape as
-    // corr/variance)
+    // moment sums: integer x/x² sums, integer-CENTS y/xy sums in
+    // DECIMAL(38,0), and the closed-form slope/intercept evaluated as one
+    // fixed double expression over the exact components — bit-stable
+    // across engines with no quantization. The cents sums convert to
+    // double at SCALE 0 deliberately: a scaled decimal (e.g. 28,6) above
+    // 2^53 double-rounds in DuckDB (hugeint→double, then ÷10^6 — 1 ulp
+    // off the correctly-rounded value, caught at sf0.1), while an
+    // integer-valued decimal is one correctly-rounded conversion in both
+    // engines; the ÷100.0 after it is a single identical IEEE op. One
+    // partial-aggregable shuffle; the moments pattern is the distributed
+    // featurization primitive (same shape as corr/variance)
     "q_eng_group_ols" -> ((s, d) => {
       val o = Tables.orders(s, d).select(
         col("o_orderpriority").as("grp"),
         datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("x"),
-        col("o_totalprice").as("y"))
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("yc"))
       o.groupBy(col("grp")).agg(
           count(lit(1)).as("n"),
           sum(col("x")).as("sx"),
           sum(col("x") * col("x")).as("sxx"),
-          sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
-          sum((col("x") * col("y")).cast("decimal(28,6)")).cast("double").as("sxy"))
+          (sum(col("yc").cast("decimal(38,0)")).cast("double") / 100.0).as("sy"),
+          (sum((col("x") * col("yc")).cast("decimal(38,0)")).cast("double")
+            / 100.0).as("sxy"))
         .withColumn("slope",
           (col("n").cast("double") * col("sxy") -
             col("sx").cast("double") * col("sy")) /
@@ -424,7 +432,8 @@ object EngineQueries {
               .select("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .withColumn("avg_qty",
-          sum(col("l_quantity").cast("decimal(18,6)")).over(pw).cast("double") /
+          graft.functions.WideDiv.decSumToDouble(
+            sum(col("l_quantity").cast("decimal(18,6)")).over(pw)) /
             count(lit(1)).over(pw))
         .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(count(lit(1)).as("n_lines"),
@@ -554,8 +563,9 @@ object EngineQueries {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          sum(when(col("n_name") === "NATION_7", dec).otherwise(lit(0.0))
-            .cast("decimal(18,6)")).cast("double").as("nation_rev"),
+          graft.functions.WideDiv.decSumToDouble(
+            sum(when(col("n_name") === "NATION_7", dec).otherwise(lit(0.0))
+              .cast("decimal(18,6)"))).as("nation_rev"),
           moneySum(dec).as("total_rev"))
         .withColumn("share", col("nation_rev") / col("total_rev"))
         .orderBy("o_year")
@@ -944,10 +954,12 @@ object EngineQueries {
       val w = Window.orderBy(col("day_i")).rangeBetween(-6, 0)
       daily
         .withColumn("day_i", datediff(col("day"), to_date(lit("1995-01-01"))))
-        .withColumn("rolling7_rev", sum(col("rev_dec")).over(w).cast("double"))
+        .withColumn("rolling7_rev", graft.functions.WideDiv.decSumToDouble(
+          sum(col("rev_dec")).over(w)))
         .withColumn("n_days_7", count(lit(1)).over(w))
         .withColumn("day", col("day").cast("string"))
-        .select(col("day"), col("rev_dec").cast("double").as("rev"),
+        .select(col("day"),
+          graft.functions.WideDiv.decSumToDouble(col("rev_dec")).as("rev"),
           col("rolling7_rev"), col("n_days_7"), col("n_orders"))
         .orderBy("day")
     }),
@@ -985,7 +997,8 @@ object EngineQueries {
           bucketWidth = 32L * 86400 * 1000000, broadcastIntervals = true)
         .groupBy(col("o_orderkey"))
         .agg(sum(col("day_n")).as("n_items"),
-          sum(col("day_qty")).cast("double").as("sum_qty"))
+          graft.functions.WideDiv.decSumToDouble(sum(col("day_qty")))
+            .as("sum_qty"))
       oi.select("o_orderkey").join(matched, Seq("o_orderkey"), "left")
         .na.fill(0L, Seq("n_items")).na.fill(0.0, Seq("sum_qty"))
         .orderBy("o_orderkey")
@@ -1302,7 +1315,7 @@ object EngineQueries {
         .agg(sum(col("n_orders")).as("n_orders"),
           sum(col("rev_dec")).as("rev2"))
         .select(col("month"), col("o_orderpriority"), col("n_orders"),
-          col("rev2").cast("double").as("rev"))
+          graft.functions.WideDiv.decSumToDouble(col("rev2")).as("rev"))
         .orderBy("month", "o_orderpriority")
     }),
 
@@ -1359,7 +1372,7 @@ object EngineQueries {
           .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
-          col("rev_dec").cast("double").as("total_rev"))
+          graft.functions.WideDiv.decSumToDouble(col("rev_dec")).as("total_rev"))
         .orderBy("s_suppkey")
     }),
 
@@ -1380,8 +1393,8 @@ object EngineQueries {
             .otherwise(lit(0).cast("decimal(18,6)"))).as("promo_dec"),
           sum(disc).as("total_dec"))
         .select(
-          col("promo_dec").cast("double").as("promo_rev"),
-          col("total_dec").cast("double").as("total_rev"),
+          graft.functions.WideDiv.decSumToDouble(col("promo_dec")).as("promo_rev"),
+          graft.functions.WideDiv.decSumToDouble(col("total_dec")).as("total_rev"),
           call_function("div",
             (col("promo_dec") * 1000000).cast("long") * 1000L,
             call_function("div", (col("total_dec") * 1000000).cast("long"),
@@ -1402,7 +1415,7 @@ object EngineQueries {
           .select(col("c_custkey"), col("c_name"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
-          col("qty_dec").cast("double").as("total_qty"))
+          graft.functions.WideDiv.decSumToDouble(col("qty_dec")).as("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))),
 
     // TPC-H Q22-style dormant rich customers: scalar-subquery threshold
@@ -1413,7 +1426,8 @@ object EngineQueries {
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
       val avgBal = cust.agg(
-        (sum(col("c_acctbal").cast("decimal(18,6)")).cast("double") /
+        (graft.functions.WideDiv.decSumToDouble(
+          sum(col("c_acctbal").cast("decimal(18,6)"))) /
           count(lit(1))).as("avg_bal"))
       cust.crossJoin(broadcast(avgBal))
         .where(col("c_acctbal") > col("avg_bal"))
@@ -1427,6 +1441,91 @@ object EngineQueries {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("total_bal"))
         .orderBy("n_name")
+    }),
+
+    // EWMA of daily revenue — the smoothing every monitoring dashboard
+    // wants over an ingest stream. The recurrence e_t = (α·x_t +
+    // (1-α)·e_{t-1}) is inherently sequential, so it runs AFTER the
+    // distributed day rollup, over the BOUNDED day domain (one array of
+    // #days structs — the same day-series class as drawdown/rolling).
+    // α = 0.2 in per-mille integer arithmetic: 200·x + 800·e stays exact
+    // through day revenues of ~1e16 cents, and the floor division goes
+    // through mulDivWide so both engines round identically.
+    "q_eng_ewma" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("rev_cents"))))
+          .as("xs"))
+        .select(explode(aggregate(
+          col("xs"),
+          expr("CAST(array() AS ARRAY<STRUCT<day: DATE, rev_cents: BIGINT, ewma_cents: BIGINT>>)"),
+          (acc, x) => {
+            // try_element_at: NULL (not an ANSI index error) on the empty
+            // accumulator; the when() guard never selects that branch
+            val prev = try_element_at(acc, lit(-1)).getField("ewma_cents")
+            val e = when(size(acc) === 0, x.getField("rev_cents")).otherwise(
+              mulDivWide(lit(200L) * x.getField("rev_cents") +
+                lit(800L) * prev, lit(1L), lit(1000L)))
+            concat(acc, array(struct(
+              x.getField("day").as("day"),
+              x.getField("rev_cents").as("rev_cents"),
+              e.as("ewma_cents"))))
+          })).as("r"))
+        .select(col("r.day").cast("string").as("day"),
+          col("r.rev_cents").as("rev_cents"),
+          col("r.ewma_cents").as("ewma_cents"))
+        .orderBy("day")
+    }),
+
+    // one-way ANOVA of order quantity across return flags, fully in exact
+    // integer moments (corr_stats discipline): one distributed partial
+    // aggregate per group, grand totals folded in on the driver-sized
+    // group table, F statistic in ppm via DECIMAL(38) floor division —
+    // bit-identical to the HUGEINT oracle. SSB = Σ s_g²/n_g − G²/N,
+    // SSW = Σq² − Σ s_g²/n_g, F = (SSB/df_b)/(SSW/df_w).
+    "q_eng_anova" -> ((s, d) => {
+      val groups = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+          sum(col("q") * col("q")).as("ss"))
+        .withColumn("contrib", mulDivWide(col("s"), col("s"), col("n")))
+      groups.agg(
+          count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+          sum(col("s")).as("grand_sum"), sum(col("ss")).as("sum_sq"),
+          sum(col("contrib")).as("sum_contrib"))
+        .withColumn("ssb", col("sum_contrib") -
+          mulDivWide(col("grand_sum"), col("grand_sum"), col("n_total")))
+        .withColumn("ssw", col("sum_sq") - col("sum_contrib"))
+        .select(col("k"), col("n_total"), col("ssb"), col("ssw"),
+          mulDivWide(col("ssb"), (col("n_total") - col("k")) * lit(1000000L),
+            col("ssw") * (col("k") - lit(1L))).as("f_ppm"))
+    }),
+
+    // gaps-and-islands dual of q_eng_order_gaps: longest streak of
+    // CONSECUTIVE order months per customer (island id = month index −
+    // dense_rank, the classic tabulation), rolled into a streak-length
+    // histogram. Both windows partition by customer — per-key state only,
+    // no global window, scales with the customer-key shuffle.
+    "q_eng_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      val months = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(to_date(col("o_orderdate"))) * 12 +
+            month(to_date(col("o_orderdate")))).cast("long").as("m"))
+        .distinct()
+      months
+        .withColumn("island", col("m") - dense_rank().over(w))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("len")).as("best"))
+        .groupBy(col("best").as("streak_months"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("streak_months")
     })
   )
 
@@ -1556,9 +1655,9 @@ object EngineQueries {
           ORDER BY supp_nation, cust_nation, l_year""",
 
     "q_eng_drawdown" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
            SELECT CAST(o_orderdate AS DATE) AS day,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+                  ${sqlMoneySum("o_totalprice")} AS rev
            FROM orders GROUP BY 1),
          r AS (
            SELECT day, rev,
@@ -1652,16 +1751,18 @@ object EngineQueries {
          FROM a""",
 
     "q_eng_ht_estimate" ->
-      """WITH o AS (
+      s"""WITH o AS (
            SELECT o_totalprice,
                   CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
                     AS BIGINT) AS b
            FROM orders)
          SELECT CAST(count(CASE WHEN b < 6554 THEN 1 END) AS BIGINT) AS n_sampled,
-                CAST(sum(CASE WHEN b < 6554
-                              THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
-                  AS DOUBLE) * (65536.0 / 6554.0) AS ht_total,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                ${graft.functions.WideDiv.sqlDecSumToDouble(
+                  "sum(CASE WHEN b < 6554 THEN " +
+                  "CAST(o_totalprice AS DECIMAL(18,6)) END)")}
+                  * (65536.0 / 6554.0) AS ht_total,
+                ${graft.functions.WideDiv.sqlDecSumToDouble(
+                  "sum(CAST(o_totalprice AS DECIMAL(18,6)))")}
                   AS true_total
          FROM o""",
 
@@ -1670,14 +1771,15 @@ object EngineQueries {
            SELECT o_orderpriority AS grp,
                   CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
                     AS BIGINT) AS x,
-                  o_totalprice AS y
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS yc
            FROM orders),
          m AS (
            SELECT grp, CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(x) AS BIGINT) AS sx,
                   CAST(sum(x * x) AS BIGINT) AS sxx,
-                  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-                  CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+                  CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sy,
+                  CAST(sum(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) / 100.0
+                    AS sxy
            FROM o GROUP BY 1),
          s AS (
            SELECT grp, n, sx, sy,
@@ -1699,15 +1801,16 @@ object EngineQueries {
          GROUP BY 1 ORDER BY 1""",
 
     "q_eng_small_qty_revenue" ->
-      """WITH b AS (
+      s"""WITH b AS (
            SELECT l_partkey, l_quantity, l_extendedprice,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-                         OVER (PARTITION BY l_partkey) AS DOUBLE)
+                  ${graft.functions.WideDiv.sqlDecSumToDouble(
+                    "sum(CAST(l_quantity AS DECIMAL(18,6))) " +
+                    "OVER (PARTITION BY l_partkey)")}
                     / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE p_brand = 'Brand#11')
          SELECT CAST(count(*) AS BIGINT) AS n_lines,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                ${sqlMoneySum("l_extendedprice")} / 7.0
                   AS avg_yearly
          FROM b WHERE l_quantity < 0.5 * avg_qty""",
 
@@ -1780,9 +1883,10 @@ object EngineQueries {
       s"""WITH sup AS (SELECT s_suppkey, n_name
                        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
           a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                       CAST(sum(CAST(CASE WHEN n_name = 'NATION_7'
-                              THEN l_extendedprice * (1.0 - l_discount)
-                              ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_rev,
+                       ${graft.functions.WideDiv.sqlDecSumToDouble(
+                         "sum(CAST(CASE WHEN n_name = 'NATION_7' " +
+                         "THEN l_extendedprice * (1.0 - l_discount) " +
+                         "ELSE 0.0 END AS DECIMAL(18,6)))")} AS nation_rev,
                        ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
                 FROM lineitem
                 JOIN orders ON l_orderkey = o_orderkey
@@ -2073,15 +2177,17 @@ object EngineQueries {
     },
 
     "q_eng_rolling" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
            SELECT CAST(o_orderdate AS DATE) AS day,
                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
                   CAST(count(*) AS BIGINT) AS n_orders
            FROM orders GROUP BY 1),
          d2 AS (SELECT *, datediff('day', DATE '1995-01-01', day) AS day_i
                 FROM daily)
-         SELECT CAST(day AS VARCHAR) AS day, CAST(rev_dec AS DOUBLE) AS rev,
-                CAST(sum(rev_dec) OVER w AS DOUBLE) AS rolling7_rev,
+         SELECT CAST(day AS VARCHAR) AS day,
+                ${graft.functions.WideDiv.sqlDecSumToDouble("rev_dec")} AS rev,
+                ${graft.functions.WideDiv.sqlDecSumToDouble(
+                  "sum(rev_dec) OVER w")} AS rolling7_rev,
                 CAST(count(*) OVER w AS BIGINT) AS n_days_7,
                 n_orders
          FROM d2
@@ -2365,7 +2471,9 @@ object EngineQueries {
              AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
            GROUP BY 1),
          m AS (SELECT max(rev_dec) AS mx FROM r)
-         SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+         SELECT s_suppkey, s_name,
+                CAST(CAST(rev_dec * 1000000 AS DECIMAL(38,0)) AS DOUBLE)
+                  / 1000000.0 AS total_rev
          FROM r JOIN supplier ON l_suppkey = s_suppkey, m
          WHERE rev_dec = m.mx ORDER BY s_suppkey""",
 
@@ -2380,8 +2488,10 @@ object EngineQueries {
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
              AND CAST(l_shipdate AS DATE) < DATE '1995-10-01')
-         SELECT CAST(promo_dec AS DOUBLE) AS promo_rev,
-                CAST(total_dec AS DOUBLE) AS total_rev,
+         SELECT CAST(CAST(promo_dec * 1000000 AS DECIMAL(38,0)) AS DOUBLE)
+                  / 1000000.0 AS promo_rev,
+                CAST(CAST(total_dec * 1000000 AS DECIMAL(38,0)) AS DOUBLE)
+                  / 1000000.0 AS total_rev,
                 (CAST(promo_dec * 1000000 AS BIGINT) * 1000)
                   // (CAST(total_dec * 1000000 AS BIGINT) // 1000) AS share_ppm
          FROM a""",
@@ -2393,14 +2503,16 @@ object EngineQueries {
            FROM lineitem GROUP BY 1
            HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) >= 250)
          SELECT c_name, o_orderkey, o_totalprice,
-                CAST(qty_dec AS DOUBLE) AS total_qty
+                CAST(CAST(qty_dec * 1000000 AS DECIMAL(38,0)) AS DOUBLE)
+                  / 1000000.0 AS total_qty
          FROM q JOIN orders ON l_orderkey = o_orderkey
                 JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey""",
 
     "q_eng_idle_customers" ->
       """WITH a AS (
-           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000
+                         AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0
                     / count(*) AS avg_bal
            FROM customer),
          idle AS (
@@ -2411,9 +2523,85 @@ object EngineQueries {
                              WHERE o.o_custkey = c.c_custkey
                                AND year(CAST(o.o_orderdate AS DATE)) = 1998))
          SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0
                   AS total_bal
          FROM idle JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY 1 ORDER BY n_name"""
+         GROUP BY 1 ORDER BY n_name""",
+
+    // recursive CTE walks the bounded day series one step per iteration —
+    // the sequential recurrence the Spark side runs via aggregate() on the
+    // collected day array; per-mille integer arithmetic matches exactly
+    "q_eng_ewma" ->
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT day, rev_cents,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         r AS (
+           SELECT i, day, rev_cents, rev_cents AS ewma_cents
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT idx.i, idx.day, idx.rev_cents,
+                  CAST((200 * CAST(idx.rev_cents AS HUGEINT) +
+                        800 * CAST(r.ewma_cents AS HUGEINT)) // 1000
+                    AS BIGINT)
+           FROM r JOIN idx ON idx.i = r.i + 1)
+         SELECT CAST(day AS VARCHAR) AS day, rev_cents, ewma_cents
+         FROM r ORDER BY day""",
+
+    "q_eng_anova" ->
+      s"""WITH g AS (
+           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                  CAST(sum(CAST(l_quantity AS BIGINT) *
+                           CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss,
+                  ${graft.functions.WideDiv.sqlMulDiv(
+                    "sum(CAST(l_quantity AS BIGINT))",
+                    "sum(CAST(l_quantity AS BIGINT))",
+                    "count(*)")} AS contrib
+           FROM lineitem GROUP BY 1),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(n) AS BIGINT) AS n_total,
+                  CAST(sum(s) AS BIGINT) AS grand_sum,
+                  CAST(sum(ss) AS BIGINT) AS sum_sq,
+                  CAST(sum(contrib) AS BIGINT) AS sum_contrib
+           FROM g),
+         d AS (
+           SELECT k, n_total,
+                  sum_contrib - ${graft.functions.WideDiv.sqlMulDiv(
+                    "grand_sum", "grand_sum", "n_total")} AS ssb,
+                  sum_sq - sum_contrib AS ssw
+           FROM t)
+         SELECT k, n_total, CAST(ssb AS BIGINT) AS ssb,
+                CAST(ssw AS BIGINT) AS ssw,
+                ${graft.functions.WideDiv.sqlMulDiv(
+                  "ssb", "(n_total - k) * 1000000", "ssw * (k - 1)")} AS f_ppm
+         FROM d""",
+
+    "q_eng_streaks" ->
+      """WITH months AS (
+           SELECT DISTINCT o_custkey,
+                  CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+                       month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m
+           FROM orders),
+         isl AS (
+           SELECT o_custkey,
+                  m - dense_rank() OVER (PARTITION BY o_custkey ORDER BY m)
+                    AS island
+           FROM months),
+         runs AS (
+           SELECT o_custkey, island, CAST(count(*) AS BIGINT) AS len
+           FROM isl GROUP BY 1, 2),
+         best AS (
+           SELECT o_custkey, max(len) AS best FROM runs GROUP BY 1)
+         SELECT best AS streak_months,
+                CAST(count(*) AS BIGINT) AS n_customers
+         FROM best GROUP BY 1 ORDER BY streak_months"""
   )
 }

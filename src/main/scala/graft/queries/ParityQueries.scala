@@ -311,8 +311,8 @@ object ParityQueries {
         .select(col("event_id"), col("value"), k.as("n_replicates"))
         .groupBy("n_replicates")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("value").cast("decimal(18,6)")).cast("double")
-            .as("sum_value"))
+          graft.functions.WideDiv.decSumToDouble(
+            sum(col("value").cast("decimal(18,6)"))).as("sum_value"))
         .orderBy("n_replicates")
     }),
 
@@ -346,7 +346,21 @@ object ParityQueries {
             .otherwise(lit(0L)))
         .select(col("stratum"), col("n"), col("w"), col("alloc"))
         .orderBy("stratum")
-    })
+    }),
+
+    // deterministic group-safe k-fold assignment (cross-validation twin of
+    // q_sample_group_split): fold = md5-bucket(custkey) mod 5, so every
+    // row of a customer lands in ONE fold — no leakage across folds — and
+    // the assignment is content-stable (survives repartitioning, no RNG
+    // state). One map-side expression + one count shuffle.
+    "q_sample_kfold" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("fold",
+          pmod(graft.text.TextFunctions.splitBucket(col("o_custkey")), lit(5L)))
+        .groupBy("fold")
+        .agg(countDistinct(col("o_custkey")).as("n_groups"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("fold"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -540,7 +554,8 @@ object ParityQueries {
                FROM u)
          SELECT CAST(n_replicates AS BIGINT) AS n_replicates,
                 CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS sum_value
          FROM k GROUP BY 1 ORDER BY n_replicates""",
 
     "q_sample_var_alloc" ->
@@ -561,6 +576,16 @@ object ParityQueries {
                FROM a)
          SELECT stratum, n, w,
                 base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS alloc
-         FROM r, l ORDER BY stratum"""
+         FROM r, l ORDER BY stratum""",
+
+    "q_sample_kfold" ->
+      """WITH b AS (
+           SELECT o_custkey,
+                  (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+                     AS BIGINT) % 100) % 5 AS fold
+           FROM orders)
+         SELECT fold, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM b GROUP BY 1 ORDER BY fold"""
   )
 }

@@ -1094,7 +1094,22 @@ object TextQueries {
       graft.operators.PageRank.integerPageRank(edges, col("src"), col("dst"),
           iters = 3, broadcastRanks = true)
         .orderBy(col("pr").desc, col("node")).limit(25)
-    })
+    }),
+
+    // type-token ratio (lexical diversity) per document — the corpus
+    // curation signal between quality (surface ratios) and vocab metrics
+    // (corpus level). Pure per-row Column algebra over the shared
+    // whitespace tokenizer: no shuffle at all except the output sort;
+    // ratio in exact ppm (WideDiv discipline)
+    "q_text_ttr" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"))
+        .withColumn("ttr_ppm", when(col("n_tokens") === 0, lit(0L))
+          .otherwise(ppmWide(col("n_types"), col("n_tokens"))))
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-side score expression for one language profile. */
@@ -2269,6 +2284,18 @@ object TextQueries {
           ${iter(2, "r1")},
           ${iter(3, "r2")}
           SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 25"""
-    }
+    },
+
+    "q_text_ttr" ->
+      s"""WITH t AS (
+           SELECT doc_id, $sqlToks AS toks FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                CASE WHEN len(toks) = 0 THEN 0
+                     ELSE CAST(CAST(len(list_distinct(toks)) AS HUGEINT)
+                               * 1000000 // len(toks) AS BIGINT)
+                END AS ttr_ppm
+         FROM t ORDER BY doc_id"""
   )
 }

@@ -78,6 +78,35 @@ class ManifestSpec extends SparkSpec {
       s"ranges overlap after compaction: $a vs $b"); case _ => }
   }
 
+  test("prunedRead against a stored manifest prunes without re-derivation") {
+    val dir = freshDir("m6")
+    Layout.writeSorted((1L to 1000L).toDF("k"), Seq(col("k")), dir, targetFiles = 4)
+    Layout.manifest(spark, dir, "k")
+      .write.mode("overwrite").parquet(s"${dir}_manifest")
+    val stored = spark.read.parquet(s"${dir}_manifest")
+    val pruned = Layout.prunedRead(spark, dir, "k", 100L, 150L, stored)
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq == (100L to 150L))
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+  }
+
+  test("incremental manifest keeps the prior off the driver after deletes") {
+    val dir = freshDir("m7")
+    Layout.writeSorted((1L to 500L).toDF("k"), Seq(col("k")), dir, targetFiles = 2)
+    Layout.manifest(spark, dir, "k")
+      .write.mode("overwrite").parquet(s"${dir}_prior")
+    val prior = spark.read.parquet(s"${dir}_prior")
+    // overwrite wave: old files replaced, so the prior's rows are all dead
+    (501L to 900L).toDF("k").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val inc = Layout.manifestIncremental(spark, dir, "k", prior)
+    val full = Layout.manifest(spark, dir, "k")
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("min_key", "max_key", "n_rows")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(canon(inc) == canon(full))
+  }
+
   test("a range outside every file's bounds reads nothing") {
     val dir = freshDir("m3")
     Layout.writeSorted((1L to 100L).toDF("k"), Seq(col("k")), dir, targetFiles = 2)

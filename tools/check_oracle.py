@@ -158,6 +158,20 @@ def main():
     for name in sorted(declared):
         results[name] = "ORACLE DECLARED BUT NO QUERY OUTPUT"
 
+    # Verify's per-query ledger: a query that failed ANALYSIS writes no
+    # output dir at all, so dir-globbing alone would skip it silently
+    # (round-6 failure mode). Any non-ok ledger entry is a hard FAIL even
+    # when the query has no SQL oracle.
+    ledger_path = f"{out_dir}/verify_status.json"
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+        for name, st in sorted(ledger.items()):
+            if only is not None and name not in only:
+                continue
+            if st != "ok":
+                results[name] = f"VERIFY ERROR: {st}"
+
     width = max(len(n) for n in results) if results else 10
     n_ok = 0
     for name in sorted(results):
