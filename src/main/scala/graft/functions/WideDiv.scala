@@ -52,6 +52,35 @@ object WideDiv {
   def ppmWide(num: Column, den: Column): Column =
     mulDivWide(num, lit(1000000L), den)
 
+  /** Exact `trunc-toward-zero(num * mul / den)` as long, via DECIMAL(38,0),
+    * for SIGNED numerators (smoothing trends, covariance numerators,
+    * detrended residuals). `den > 0` still required.
+    *
+    * Truncation — not floor — is deliberately the shared cross-engine
+    * contract for signed quotients: DuckDB's HUGEINT `//` truncates toward
+    * zero on a negative dividend (probed: `-7 // 2 = -3`), as does int64
+    * `DIV` in both engines, so the [[sqlMulDiv]] twin mirrors this variant
+    * verbatim. ([[mulDivWide]] floors, which only coincides on the
+    * non-negative domain its contract demands.) Implemented as
+    * sign × floor(|n|/d) so Spark's HALF_UP decimal division can never
+    * round across the integer boundary. */
+  def mulDivWideSigned(num: Column, mul: Column, den: Column): Column = {
+    val n = num.cast(D) * mul.cast(D)
+    val a = abs(n)
+    val d = den.cast(D)
+    val q0 = floor(a / d).cast(D)
+    val r = a - q0 * d
+    val q = when(r < lit(0).cast(D), q0 - lit(1).cast(D))
+      .when(r >= d, q0 + lit(1).cast(D))
+      .otherwise(q0)
+    when(n < lit(0).cast(D), -q).otherwise(q).cast("long")
+  }
+
+  /** DuckDB oracle twin for [[mulDivWideSigned]]: HUGEINT `//` truncates
+    * toward zero, matching the Spark side exactly for any sign of `num`. */
+  def sqlMulDivSigned(num: String, mul: String, den: String): String =
+    s"CAST(CAST($num AS HUGEINT) * ($mul) // CAST($den AS HUGEINT) AS BIGINT)"
+
   /** DuckDB oracle twin for [[mulDivWide]]: 128-bit exact floor division.
     * (`//` on HUGEINT is floor division; operands are non-negative, so it
     * agrees with Spark's truncating `DIV` and with [[mulDivWide]].) */

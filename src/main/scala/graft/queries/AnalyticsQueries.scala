@@ -600,6 +600,57 @@ object AnalyticsQueries {
             col("n_a") + col("n_b")).as("srm_micro"))
     }),
 
+    // CUPED variance reduction for the A/B readout: per user, pre-period
+    // covariate x = spend before the time midpoint, outcome y = spend
+    // after; θ = cov(x,y)/var(x) from exact integer-cent moments (the
+    // group_ols discipline — one distributed partial aggregate, DECIMAL(38)
+    // products), adjusted arm mean = ȳ_arm − θ·(x̄_arm − x̄). Everything
+    // stays in truncating signed integer arithmetic (θ and the centered
+    // means are signed), so the two engines agree bitwise. One fact-sized
+    // pass; moments and arm rollups are scalar-sized broadcasts.
+    "q_eng_cuped" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWideSigned
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+      val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("mn + (mx - mn) DIV 2").as("mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("us") < col("mid"), col("vc")).otherwise(0L))
+            .as("x"),
+          sum(when(col("us") >= col("mid"), col("vc")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+      val moments = per.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(wide(col("x")) * wide(col("x"))).as("sxx"),
+        sum(wide(col("x")) * wide(col("y"))).as("sxy"))
+        .select(col("n"), col("sx"),
+          when(wide(col("n")) * col("sxx") - wide(col("sx")) * wide(col("sx"))
+              === lit(0).cast("decimal(38,0)"), 0L)
+            .otherwise(mulDivWideSigned(
+              wide(col("n")) * col("sxy") - wide(col("sx")) * wide(col("sy")),
+              lit(1000000L),
+              wide(col("n")) * col("sxx") - wide(col("sx")) * wide(col("sx"))))
+            .as("theta_ppm"))
+      per.groupBy("arm")
+        .agg(count(lit(1)).as("n_arm"), sum(col("x")).as("sxa"),
+          sum(col("y")).as("sya"))
+        .crossJoin(broadcast(moments))
+        .select(col("arm"), col("n_arm"), col("theta_ppm"),
+          mulDivWideSigned(col("sya"), lit(1000000L), col("n_arm"))
+            .as("mean_y_micro"),
+          (mulDivWideSigned(col("sya"), lit(1000000L), col("n_arm")) -
+            mulDivWideSigned(col("theta_ppm"),
+              mulDivWideSigned(col("sxa"), lit(1000000L), col("n_arm")) -
+                mulDivWideSigned(col("sx"), lit(1000000L), col("n")),
+              lit(1000000L))).as("adj_mean_micro"))
+        .orderBy("arm")
+    }),
+
     // session conversion by length: gap-sessionize the event stream
     // (reusing operators/Sessions — one user window), then conversion
     // share per session-length bucket. The "do longer sessions buy more"
@@ -1098,6 +1149,61 @@ object AnalyticsQueries {
                 CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
                      // CAST(n_a + n_b AS HUGEINT) AS BIGINT) AS srm_micro
          FROM c""",
+
+    // HUGEINT `//` truncates toward zero, mirroring mulDivWideSigned on
+    // the signed θ and centered-mean terms
+    "q_eng_cuped" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+           FROM events),
+         mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+         per AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN us < mid THEN vc ELSE 0 END) AS BIGINT)
+                    AS x,
+                  CAST(sum(CASE WHEN us >= mid THEN vc ELSE 0 END) AS BIGINT)
+                    AS y,
+                  CASE WHEN CAST('0x' ||
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM ev, mid GROUP BY user_id),
+         mom AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                  CAST(sum(y) AS BIGINT) AS sy
+           FROM per),
+         th AS (
+           SELECT n, sx,
+                  CASE WHEN CAST(n AS HUGEINT) * sxx -
+                            CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) = 0
+                       THEN CAST(0 AS BIGINT)
+                       ELSE CAST((CAST(n AS HUGEINT) * sxy -
+                                  CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT))
+                                 * 1000000 //
+                                 (CAST(n AS HUGEINT) * sxx -
+                                  CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+                              AS BIGINT) END AS theta_ppm
+           FROM mom),
+         byarm AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+                  CAST(sum(x) AS BIGINT) AS sxa,
+                  CAST(sum(y) AS BIGINT) AS sya
+           FROM per GROUP BY arm)
+         SELECT a.arm, a.n_arm, t.theta_ppm,
+                CAST(CAST(a.sya AS HUGEINT) * 1000000 //
+                     CAST(a.n_arm AS HUGEINT) AS BIGINT) AS mean_y_micro,
+                CAST(CAST(a.sya AS HUGEINT) * 1000000 //
+                       CAST(a.n_arm AS HUGEINT) -
+                     CAST(t.theta_ppm AS HUGEINT) *
+                       (CAST(a.sxa AS HUGEINT) * 1000000 //
+                          CAST(a.n_arm AS HUGEINT) -
+                        CAST(t.sx AS HUGEINT) * 1000000 //
+                          CAST(t.n AS HUGEINT)) // 1000000
+                  AS BIGINT) AS adj_mean_micro
+         FROM byarm a, th t ORDER BY arm""",
 
     "q_eng_session_conversion" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

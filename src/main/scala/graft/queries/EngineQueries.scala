@@ -1526,6 +1526,158 @@ object EngineQueries {
         .groupBy(col("best").as("streak_months"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("streak_months")
+    }),
+
+    // Holt double-exponential smoothing (level + linear trend) over daily
+    // revenue — the forecasting dual of q_eng_ewma. Same scalable shape:
+    // the unbounded fact table collapses to the bounded day domain in ONE
+    // distributed aggregate, then the inherently sequential recurrence runs
+    // as an aggregate() scan over the sorted day array. α=0.3, β=0.2 in
+    // exact per-mille integers; the trend state goes NEGATIVE on downturns,
+    // so division is the SIGNED truncating variant (DuckDB `//` truncates
+    // toward zero — mulDivWideSigned mirrors that, not floor).
+    "q_eng_holt" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWideSigned
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("rev_cents"))))
+          .as("xs"))
+        .select(explode(aggregate(
+          col("xs"),
+          expr("CAST(array() AS ARRAY<STRUCT<day: DATE, rev_cents: BIGINT, level_cents: BIGINT, trend_cents: BIGINT>>)"),
+          (acc, x) => {
+            val prevL = try_element_at(acc, lit(-1)).getField("level_cents")
+            val prevT = try_element_at(acc, lit(-1)).getField("trend_cents")
+            // products run in the wide domain BEFORE the add — daily cent
+            // sums are unbounded, ×700 in int64 is an overflow at scale
+            val lvl = when(size(acc) === 0, x.getField("rev_cents")).otherwise(
+              mulDivWideSigned(
+                wide(x.getField("rev_cents")) * lit(300L) +
+                  wide(prevL + prevT) * lit(700L), lit(1L), lit(1000L)))
+            val trd = when(size(acc) === 0, lit(0L)).otherwise(
+              mulDivWideSigned(
+                wide(lvl - prevL) * lit(200L) + wide(prevT) * lit(800L),
+                lit(1L), lit(1000L)))
+            concat(acc, array(struct(
+              x.getField("day").as("day"),
+              x.getField("rev_cents").as("rev_cents"),
+              lvl.as("level_cents"), trd.as("trend_cents"))))
+          })).as("r"))
+        .select(col("r.day").cast("string").as("day"),
+          col("r.rev_cents").as("rev_cents"),
+          col("r.level_cents").as("level_cents"),
+          col("r.trend_cents").as("trend_cents"),
+          (col("r.level_cents") + col("r.trend_cents")).as("forecast_cents"))
+        .orderBy("day")
+    }),
+
+    // Right-censored survival analysis over customer lifetimes: duration =
+    // first→last order date per customer, churn event iff the last order
+    // predates the observation horizon by >90 days (else censored).
+    // Nelson–Aalen cumulative hazard H(t) = Σ_{s≤t} d_s/n_s in exact
+    // integer pico-units. The per-customer aggregate is the only
+    // fact-sized pass; the risk-set and cumulative windows run over the
+    // DISTINCT-DURATION domain, bounded by the fixture's date range in
+    // days — not keys-sized, safe at any row count.
+    "q_eng_survival" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("firstd"),
+          max(to_date(col("o_orderdate"))).as("lastd"))
+      val horizon = cust.agg(max(col("lastd")).as("maxd"))
+      val byT = cust.crossJoin(broadcast(horizon))
+        .select(datediff(col("lastd"), col("firstd")).cast("long").as("t"),
+          when(col("lastd") < date_sub(col("maxd"), 90), 1L).otherwise(0L)
+            .as("ev"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_at_risk", sum(col("c")).over(wRisk))
+        .withColumn("hazard_pico",
+          mulDivWide(col("d"), lit(1000000000000L), col("n_at_risk")))
+        .withColumn("cum_hazard_pico", sum(col("hazard_pico")).over(wCum))
+        .select(col("t").as("duration_days"), col("d").as("n_events"),
+          col("n_at_risk"), col("hazard_pico"), col("cum_hazard_pico"))
+        .orderBy("duration_days")
+    }),
+
+    // Classical seasonal decomposition of monthly revenue: trend = centered
+    // 12-month moving average (full windows only), seasonal index = mean
+    // detrended residual per calendar month. Detrended residuals are
+    // SIGNED, so their mean uses the truncating signed division. Windows
+    // run over the bounded month domain (~84 rows); the seasonal-index
+    // table (12 rows) broadcasts back onto it.
+    "q_eng_seasonal" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWideSigned
+      val monthly = Tables.orders(s, d)
+        .groupBy((year(to_date(col("o_orderdate"))) * 100 +
+          month(to_date(col("o_orderdate")))).cast("long").as("m"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+      val w = Window.orderBy(col("m")).rowsBetween(-6, 5)
+      val trended = monthly
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("wsum", sum(col("rev_cents")).over(w))
+        .where(col("wn") === 12)
+        .withColumn("trend_cents", mulDivWide(col("wsum"), lit(1L), lit(12L)))
+        .withColumn("detrended", col("rev_cents") - col("trend_cents"))
+      val seasonal = trended
+        .groupBy((col("m") % 100).as("moy"))
+        .agg(sum(col("detrended")).as("sd"), count(lit(1)).as("cd"))
+        .select(col("moy"),
+          mulDivWideSigned(col("sd"), lit(1L), col("cd")).as("seasonal_cents"))
+      trended
+        .join(broadcast(seasonal), col("m") % 100 === col("moy"))
+        .select(col("m"), col("rev_cents"), col("trend_cents"),
+          col("seasonal_cents"),
+          (col("detrended") - col("seasonal_cents")).as("residual_cents"))
+        .orderBy("m")
+    }),
+
+    // Link prediction on the co-purchase graph: common-neighbor counts and
+    // neighborhood Jaccard for part pairs. Wedges enumerate ONLY through
+    // low-degree centers (deg ≤ 64) — the standard hub cap that bounds the
+    // Σdeg² wedge blowup at scale (same df-cap discipline as the n-gram
+    // dedup candidates); the Jaccard denominator keeps FULL degrees, so
+    // the score is a documented lower bound. Top-100 via
+    // TakeOrderedAndProject with a total-order tiebreak.
+    "q_eng_common_neighbors" -> ((s, d) => {
+      val e = QueryCaches.memo(s, d, "tri_edges") {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = op.as("a")
+          .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("pu"), col("b.p").as("pv"))
+        graft.operators.Graph.canonicalEdges(edges, "pu", "pv")
+      }
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+      val lowHub = und
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .where(col("dv") <= 64)
+        .select(col("u"), col("v"))
+      val wedges = lowHub.as("a")
+        .join(lowHub.as("b"), col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+        .groupBy(col("a.u").as("x"), col("b.u").as("y"))
+        .agg(count(lit(1)).as("cn"))
+        .where(col("cn") >= 3)
+      wedges
+        .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+        .select(col("x"), col("y"), col("cn"),
+          ppmWide(col("cn"), col("dx") + col("dy") - col("cn"))
+            .as("jaccard_ppm"))
+        .orderBy(desc("jaccard_ppm"), col("x"), col("y"))
+        .limit(100)
     })
   )
 
@@ -2602,6 +2754,125 @@ object EngineQueries {
            SELECT o_custkey, max(len) AS best FROM runs GROUP BY 1)
          SELECT best AS streak_months,
                 CAST(count(*) AS BIGINT) AS n_customers
-         FROM best GROUP BY 1 ORDER BY streak_months"""
+         FROM best GROUP BY 1 ORDER BY streak_months""",
+
+    // the trend recurrence repeats the level expression (SQL cannot
+    // reference a same-SELECT alias); HUGEINT `//` truncates toward zero,
+    // matching mulDivWideSigned exactly on the signed trend
+    "q_eng_holt" ->
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT day, rev_cents,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         r AS (
+           SELECT i, day, rev_cents, rev_cents AS level_cents,
+                  CAST(0 AS BIGINT) AS trend_cents
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT idx.i, idx.day, idx.rev_cents,
+                  CAST((300 * CAST(idx.rev_cents AS HUGEINT) +
+                        700 * (CAST(r.level_cents AS HUGEINT) +
+                               CAST(r.trend_cents AS HUGEINT))) // 1000
+                    AS BIGINT),
+                  CAST((200 * (CAST((300 * CAST(idx.rev_cents AS HUGEINT) +
+                                     700 * (CAST(r.level_cents AS HUGEINT) +
+                                            CAST(r.trend_cents AS HUGEINT)))
+                                    // 1000 AS HUGEINT) -
+                               CAST(r.level_cents AS HUGEINT)) +
+                        800 * CAST(r.trend_cents AS HUGEINT)) // 1000
+                    AS BIGINT)
+           FROM r JOIN idx ON idx.i = r.i + 1)
+         SELECT CAST(day AS VARCHAR) AS day, rev_cents, level_cents,
+                trend_cents,
+                CAST(level_cents + trend_cents AS BIGINT) AS forecast_cents
+         FROM r ORDER BY day""",
+
+    "q_eng_survival" ->
+      s"""WITH cust AS (
+            SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS firstd,
+                   max(CAST(o_orderdate AS DATE)) AS lastd
+            FROM orders GROUP BY 1),
+          mx AS (SELECT max(lastd) AS maxd FROM cust),
+          byt AS (
+            SELECT CAST(date_diff('day', firstd, lastd) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN lastd < maxd - INTERVAL 90 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM cust, mx GROUP BY 1),
+          r AS (
+            SELECT t, d,
+                   CAST(sum(c) OVER (ORDER BY t DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_at_risk
+            FROM byt),
+          h AS (
+            SELECT t, d, n_at_risk,
+                   ${graft.functions.WideDiv.sqlMulDiv(
+                     "d", "1000000000000", "n_at_risk")} AS hazard_pico
+            FROM r)
+          SELECT t AS duration_days, d AS n_events, n_at_risk, hazard_pico,
+                 CAST(sum(hazard_pico) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_hazard_pico
+          FROM h ORDER BY duration_days""",
+
+    "q_eng_seasonal" ->
+      """WITH monthly AS (
+           SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100 +
+                       month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+           FROM orders GROUP BY 1),
+         win AS (
+           SELECT m, rev_cents,
+                  count(*) OVER w AS wn,
+                  CAST(sum(rev_cents) OVER w AS BIGINT) AS wsum
+           FROM monthly
+           WINDOW w AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
+         trended AS (
+           SELECT m, rev_cents,
+                  CAST(CAST(wsum AS HUGEINT) // 12 AS BIGINT) AS trend_cents,
+                  CAST(rev_cents - CAST(CAST(wsum AS HUGEINT) // 12 AS BIGINT)
+                    AS BIGINT) AS detrended
+           FROM win WHERE wn = 12),
+         seasonal AS (
+           SELECT m % 100 AS moy,
+                  CAST(CAST(sum(detrended) AS HUGEINT) // count(*) AS BIGINT)
+                    AS seasonal_cents
+           FROM trended GROUP BY 1)
+         SELECT t.m, t.rev_cents, t.trend_cents, s.seasonal_cents,
+                CAST(t.detrended - s.seasonal_cents AS BIGINT)
+                  AS residual_cents
+         FROM trended t JOIN seasonal s ON t.m % 100 = s.moy
+         ORDER BY t.m""",
+
+    "q_eng_common_neighbors" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem),
+          e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+          und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+          deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS deg
+                  FROM und GROUP BY 1),
+          lowhub AS (
+            SELECT und.u, und.v FROM und
+            JOIN deg ON deg.n = und.v WHERE deg.deg <= 64),
+          wedges AS (
+            SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS cn
+            FROM lowhub a JOIN lowhub b ON a.v = b.v AND a.u < b.u
+            GROUP BY 1, 2 HAVING count(*) >= 3)
+          SELECT w.x, w.y, w.cn,
+                 ${graft.functions.WideDiv.sqlPpm(
+                   "w.cn", "dx.deg + dy.deg - w.cn")} AS jaccard_ppm
+          FROM wedges w
+          JOIN deg dx ON dx.n = w.x
+          JOIN deg dy ON dy.n = w.y
+          ORDER BY jaccard_ppm DESC, w.x, w.y
+          LIMIT 100"""
   )
 }
