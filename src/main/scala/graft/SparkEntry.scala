@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      EngineQueries.queries ++ AnalyticsQueries.queries
+      EngineQueries.queries ++ AnalyticsQueries.queries ++ EvalQueries.queries ++
+      DataQualityQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      EngineQueries.oracleSql ++ AnalyticsQueries.oracleSql
+      EngineQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ EvalQueries.oracleSql ++
+      DataQualityQueries.oracleSql
 }

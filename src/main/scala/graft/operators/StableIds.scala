@@ -58,29 +58,55 @@ object StableIds {
     * 87c3e20). */
   def rankAndCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
                     rankCol: String = "rank",
-                    cumCol: String = "cum"): DataFrame = {
-    for (c <- Seq(rankCol, cumCol))
+                    cumCol: String = "cum"): DataFrame =
+    rankAndCumSums(df, orderCols, Seq(valueCol -> cumCol), rankCol)
+
+  /** Multi-value generalization of [[rankAndCumSum]]: one range-partitioned
+    * two-phase scan producing the global rank plus an inclusive running sum
+    * for EACH (valueCol -> cumCol) pair — the scalable form of k parallel
+    * `sum() OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)` windows. Two-sample
+    * ECDF statistics (KS distance, AUC rank-sums) need the running counts of
+    * BOTH classes in one score order; funneling the score domain through a
+    * single window partition twice is the exact anti-pattern this avoids.
+    * The metadata job moves k+1 longs per partition to the driver. */
+  def rankAndCumSums(df: DataFrame, orderCols: Seq[Column],
+                     valueCols: Seq[(String, String)],
+                     rankCol: String = "rank"): DataFrame = {
+    for (c <- rankCol +: valueCols.map(_._2))
       require(!df.columns.contains(c), s"column '$c' already exists")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val vIdx = valueCols.map { case (v, _) => sorted.schema.fieldIndex(v) }
+    val k = vIdx.length
     val rdd = sorted.rdd
+    // one metadata pass: (row count, per-value sum) per partition; both
+    // passes run over the SAME materialized RDD so AQE cannot re-coalesce
+    // them to different partition layouts (the Packing lesson, 87c3e20)
     val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L; var s = 0L
-      it.foreach { r => n += 1L; s += r.getLong(vIdx) }
-      Iterator((pid, n, s))
+      var n = 0L; val s = Array.fill(k)(0L)
+      it.foreach { r =>
+        n += 1L
+        var j = 0
+        while (j < k) { s(j) += r.getLong(vIdx(j)); j += 1 }
+      }
+      Iterator((pid, n, s.toSeq))
     }.collect().sortBy(_._1)
     val cntOff = stats.map(_._2).scanLeft(0L)(_ + _)
-    val sumOff = stats.map(_._3).scanLeft(0L)(_ + _)
-    val outSchema = StructType(sorted.schema.fields ++ Seq(
-      StructField(rankCol, LongType, nullable = false),
-      StructField(cumCol, LongType, nullable = false)))
+    val sumOff = Array.tabulate(k) { j =>
+      stats.map(_._3(j)).scanLeft(0L)(_ + _)
+    }
+    val outSchema = StructType(sorted.schema.fields ++
+      (StructField(rankCol, LongType, nullable = false) +:
+        valueCols.map { case (_, c) => StructField(c, LongType, nullable = false) }))
     val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var rk = cntOff(pid); var run = sumOff(pid)
+      var rk = cntOff(pid)
+      val run = Array.tabulate(k)(j => sumOff(j)(pid))
       it.map { r =>
-        rk += 1L; run += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq ++ Seq(rk, run))
+        rk += 1L
+        var j = 0
+        while (j < k) { run(j) += r.getLong(vIdx(j)); j += 1 }
+        Row.fromSeq(r.toSeq ++ (rk +: run.toSeq))
       }
     }
     spark.createDataFrame(rows, outSchema)

@@ -716,6 +716,39 @@ object AnalyticsQueries {
           count(when(col("c").isNull && col("p").isNotNull, 1))
             .as("n_churned"))
         .orderBy("ym")
+    }),
+
+    // HITS hubs/authorities on the co-purchase graph, three unrolled
+    // power-iteration steps in exact integer arithmetic: each step sums the
+    // opposite score across edges, then rescales to ppm of the step maximum
+    // through the wide exact division — no float normalization, so the
+    // recurrence is bit-identical cross-engine. Per step: one edge-key
+    // shuffle join + node-sized aggregate + 1-row broadcast max; the same
+    // plan family as PageRank (no lineage growth — the steps are unrolled).
+    // Complements PageRank: eigenvector centrality of A·Aᵀ vs the random
+    // walk. Top-20 via TakeOrderedAndProject, part_id tiebreak.
+    "q_eng_hits" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWide
+      val e = copurchaseEdges(s, d).select(col("src"), col("dst"))
+      def normPpm(df: DataFrame): DataFrame = {
+        val mx = df.agg(max(col("v")).as("mx"))
+        df.crossJoin(broadcast(mx))
+          .select(col("node"), mulDivWide(col("v"), lit(1000000L), col("mx")).as("p"))
+      }
+      val a1 = normPpm(e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("v")))
+      val h1 = normPpm(
+        e.join(a1.select(col("node").as("n2"), col("p")), col("dst") === col("n2"))
+          .groupBy(col("src").as("node")).agg(sum(col("p")).as("v")))
+      val a2 = normPpm(
+        e.join(h1.select(col("node").as("n2"), col("p").as("hp")),
+            col("src") === col("n2"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hp")).as("v")))
+      a2.select(col("node"), col("p").as("auth_ppm"))
+        .join(h1.select(col("node").as("n3"), col("p").as("hub_ppm")),
+          col("node") === col("n3"))
+        .select(col("node").as("part_id"), col("auth_ppm"), col("hub_ppm"))
+        .orderBy(col("auth_ppm").desc, col("part_id"))
+        .limit(20)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1278,5 +1311,26 @@ object AnalyticsQueries {
                 CAST(count(CASE WHEN NOT in_c AND in_p THEN 1 END) AS BIGINT)
                   AS n_churned
          FROM j WHERE ym IN (SELECT ym FROM am)
-         GROUP BY 1 ORDER BY ym""")
+         GROUP BY 1 ORDER BY ym""",
+
+    "q_eng_hits" ->
+      s"""WITH $copurchaseSql,
+         ia AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS v
+                FROM e GROUP BY 1),
+         iam AS (SELECT CAST(max(v) AS HUGEINT) AS mx FROM ia),
+         na AS (SELECT node, CAST(CAST(v AS HUGEINT) * 1000000 // iam.mx
+                  AS BIGINT) AS p FROM ia, iam),
+         ih AS (SELECT e.src AS node, CAST(sum(na.p) AS BIGINT) AS v
+                FROM e JOIN na ON e.dst = na.node GROUP BY 1),
+         ihm AS (SELECT CAST(max(v) AS HUGEINT) AS mx FROM ih),
+         nh AS (SELECT node, CAST(CAST(v AS HUGEINT) * 1000000 // ihm.mx
+                  AS BIGINT) AS p FROM ih, ihm),
+         ia2 AS (SELECT e.dst AS node, CAST(sum(nh.p) AS BIGINT) AS v
+                 FROM e JOIN nh ON e.src = nh.node GROUP BY 1),
+         ia2m AS (SELECT CAST(max(v) AS HUGEINT) AS mx FROM ia2),
+         na2 AS (SELECT node, CAST(CAST(v AS HUGEINT) * 1000000 // ia2m.mx
+                   AS BIGINT) AS p FROM ia2, ia2m)
+         SELECT na2.node AS part_id, na2.p AS auth_ppm, nh.p AS hub_ppm
+         FROM na2 JOIN nh ON na2.node = nh.node
+         ORDER BY auth_ppm DESC, part_id LIMIT 20""")
 }

@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.WideDiv.{mulDivWide, mulDivWideSigned, ppmWide, sqlMulDiv, sqlMulDivSigned, sqlPpm, wide}
+import graft.operators.StableIds
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-7 model-eval / feature-prep wave: the classifier-quality and
+  * feature-engineering statistics a training-data pipeline runs over its
+  * own heuristic labelers (quality scores, dedup flags, langid) before
+  * trusting them at corpus scale — AUC, two-sample KS drift, calibration /
+  * lift tables, leave-one-out target encoding, inter-rater agreement.
+  *
+  * The shared "prediction task" is built entirely from harness tables:
+  * score = order total in exact cents, label = order contains a returned
+  * lineitem (`l_returnflag = 'R'`). Everything downstream is exact integer
+  * arithmetic (ppm outputs via the DECIMAL(38) wide path), so the DuckDB
+  * twins compare bit-for-bit.
+  *
+  * Scale discipline: the rank-sum statistics (AUC, KS) run over the
+  * DISTINCT-score domain through [[StableIds.rankAndCumSums]] — one
+  * range-partitioned two-phase scan yielding the running counts of both
+  * classes, never a single-partition `ORDER BY` window over an unbounded
+  * domain. The calibration deciles rank per-row the same way
+  * ([[StableIds.withRank]]). Outputs are all bounded (1–50 rows).
+  */
+object EvalQueries {
+
+  /** (o_orderkey, o_custkey, o_orderpriority, cents, label): one row per
+    * order. Lineitem partial-aggregates to per-order labels BEFORE the join
+    * shuffle, so the join moves (orderkey, 1-bit) pairs, never line items. */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val ret = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("label"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("cents"), coalesce(col("label"), lit(0L)).as("label"))
+  }
+
+  /** DuckDB twin of [[scored]]. */
+  private val scoredSql =
+    """scored AS (
+         SELECT o_orderkey, o_custkey, o_orderpriority,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                CAST(COALESCE(r.label, 0) AS BIGINT) AS label
+         FROM orders o LEFT JOIN (
+           SELECT l_orderkey,
+                  max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS label
+           FROM lineitem GROUP BY 1) r ON o.o_orderkey = r.l_orderkey)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AUC of the cents score predicting the returned label, as the exact
+    // Mann-Whitney rank-sum with the standard tie correction: over the
+    // distinct-score domain, U2 = Σ np(s)·(2·negBelow(s) + nn(s)) — twice
+    // the U statistic so ties stay integral — and AUC = U2 / (2·P·N).
+    // The running negative count comes from ONE two-phase range-partitioned
+    // scan (rankAndCumSums), not a global window; per-term products run in
+    // DECIMAL(38) (np × cumulative counts is sums-of-rows × rows — past
+    // int64 at the 100 TB design point).
+    "q_eng_auc" -> ((s, d) => {
+      val sc = scored(s, d)
+        .groupBy(col("cents"))
+        .agg(sum(col("label")).as("np"),
+          (count(lit(1)) - sum(col("label"))).as("nn"))
+      val cum = StableIds.rankAndCumSums(sc, Seq(col("cents")),
+        Seq("nn" -> "cumnn"))
+      cum.select(
+          (wide(col("np")) *
+            wide((col("cumnn") - col("nn")) * 2L + col("nn"))).as("t"),
+          col("np"), col("nn"))
+        .agg(sum(col("t")).as("u2"),
+          sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+        .select(
+          mulDivWide(col("u2"), lit(1000000L),
+            wide(col("npos")) * wide(col("nneg")) * wide(lit(2L))).as("auc_ppm"),
+          col("npos"), col("nneg"))
+    }),
+
+    // two-sample Kolmogorov-Smirnov distance between the order-value
+    // distributions of urgent vs non-urgent orders: D = max_s |F1(s)-F2(s)|,
+    // computed cross-multiplied in DECIMAL(38) (|cum1·N2 - cum2·N1|) so the
+    // ECDFs never touch floating point. Both running counts come from the
+    // SAME two-phase scan over the distinct-score domain — this is what
+    // rankAndCumSums' multi-value form exists for.
+    "q_eng_ks_test" -> ((s, d) => {
+      val sc = scored(s, d)
+        .withColumn("g1",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+        .groupBy(col("cents"))
+        .agg(sum(col("g1")).as("n1"),
+          (count(lit(1)) - sum(col("g1"))).as("n2"))
+      val tot = sc.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      StableIds.rankAndCumSums(sc, Seq(col("cents")),
+          Seq("n1" -> "cum1", "n2" -> "cum2"))
+        .crossJoin(broadcast(tot))
+        .select(abs(wide(col("cum1")) * wide(col("t2")) -
+            wide(col("cum2")) * wide(col("t1"))).as("diff"),
+          col("t1"), col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(max(col("diff")).as("maxdiff"))
+        .select(
+          mulDivWide(col("maxdiff"), lit(1000000L),
+            wide(col("t1")) * wide(col("t2"))).as("ks_ppm"),
+          col("t1").as("n_urgent"), col("t2").as("n_other"))
+    }),
+
+    // calibration / lift table: equidepth deciles of the score (ranked
+    // scalably — range-partitioned zipWithIndex, no global window), per-bin
+    // observed positive rate in ppm and lift vs the base rate in ppm.
+    // The reliability readout a pipeline runs on every heuristic quality
+    // scorer before using it to filter a corpus.
+    "q_eng_calibration" -> ((s, d) => {
+      val sc = scored(s, d)
+      val tot = sc.agg(count(lit(1)).as("n_tot"), sum(col("label")).as("pos_tot"))
+      StableIds.withRank(sc, Seq(col("cents").desc, col("o_orderkey")), "rk")
+        .crossJoin(broadcast(tot))
+        .withColumn("bin", expr("(rk - 1) * 10 DIV n_tot"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_bin"), sum(col("label")).as("pos_bin"),
+          max(col("n_tot")).as("n_tot"), max(col("pos_tot")).as("pos_tot"))
+        .select(col("bin"), col("n_bin"), col("pos_bin"),
+          ppmWide(col("pos_bin"), col("n_bin")).as("pos_rate_ppm"),
+          mulDivWide(wide(col("pos_bin")) * wide(col("n_tot")), lit(1000000L),
+            wide(col("n_bin")) * wide(col("pos_tot"))).as("lift_ppm"))
+        .orderBy(col("bin"))
+    }),
+
+    // leave-one-out target encoding of customer nation against the returned
+    // label: enc(nation, label) = (pos(nation) - label) / (n(nation) - 1) in
+    // exact ppm. LOO is constant given (nation, label), so the output is the
+    // bounded (nation × label) table — the full per-row encode at 100 TB is
+    // the same broadcast of per-nation stats this plan builds. Orders join
+    // customers on the one custkey shuffle; nation names broadcast.
+    "q_eng_target_encode" -> ((s, d) => {
+      val oc = scored(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      val byLabel = oc.groupBy(col("c_nationkey"), col("label"))
+        .agg(count(lit(1)).as("n_rows"))
+      val stats = oc.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+      byLabel
+        .join(broadcast(stats), col("c_nationkey") === col("nk"))
+        .where(col("n") > 1L)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("label"), col("n_rows"),
+          ppmWide(col("pos") - col("label"), col("n") - 1L).as("enc_ppm"))
+        .orderBy(col("n_name"), col("label"))
+    }),
+
+    // Cohen's kappa between two heuristic raters — rater A: order priority
+    // urgent/high; rater B: returned label. One pass builds the 2x2
+    // contingency; kappa = (n·(n00+n11) - pe) / (n² - pe) with
+    // pe = a1·b1 + a0·b0, all in DECIMAL(38) (n² overflows int64 past ~3e9
+    // rows), signed-truncating division — kappa is legitimately negative
+    // for anti-correlated raters.
+    "q_eng_kappa" -> ((s, d) => {
+      scored(s, d)
+        .withColumn("a",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L))
+        .agg(count(lit(1)).as("n"), sum(col("a")).as("a1"),
+          sum(col("label")).as("b1"),
+          sum(col("a") * col("label")).as("n11"))
+        .select(
+          mulDivWideSigned(
+            wide(col("n")) * wide(col("n") - col("a1") - col("b1") +
+              col("n11") * 2L) -
+              (wide(col("a1")) * wide(col("b1")) +
+                wide(col("n") - col("a1")) * wide(col("n") - col("b1"))),
+            lit(1000000L),
+            wide(col("n")) * wide(col("n")) -
+              (wide(col("a1")) * wide(col("b1")) +
+                wide(col("n") - col("a1")) * wide(col("n") - col("b1"))))
+            .as("kappa_ppm"),
+          col("n"), col("a1"), col("b1"), col("n11"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_eng_auc" ->
+      s"""WITH $scoredSql,
+         sc AS (SELECT cents, CAST(sum(label) AS BIGINT) AS np,
+                       CAST(count(*) - sum(label) AS BIGINT) AS nn
+                FROM scored GROUP BY 1),
+         cumt AS (SELECT np, nn,
+                    CAST(sum(nn) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cumnn
+                  FROM sc),
+         u AS (SELECT CAST(sum(CAST(np AS HUGEINT) *
+                        (2 * (cumnn - nn) + nn)) AS HUGEINT) AS u2,
+                      CAST(sum(np) AS BIGINT) AS npos,
+                      CAST(sum(nn) AS BIGINT) AS nneg
+               FROM cumt)
+         SELECT ${sqlMulDiv("u2", "1000000",
+        "2 * CAST(npos AS HUGEINT) * CAST(nneg AS HUGEINT)")} AS auc_ppm,
+                npos, nneg
+         FROM u""",
+
+    "q_eng_ks_test" ->
+      s"""WITH $scoredSql,
+         sc AS (SELECT cents,
+                       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(count(*) - sum(CASE WHEN o_orderpriority =
+                         '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                FROM scored GROUP BY 1),
+         cumt AS (SELECT
+                    CAST(sum(n1) OVER w AS BIGINT) AS cum1,
+                    CAST(sum(n2) OVER w AS BIGINT) AS cum2
+                  FROM sc
+                  WINDOW w AS (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                      CAST(sum(n2) AS BIGINT) AS t2 FROM sc),
+         m AS (SELECT CAST(max(abs(CAST(cum1 AS HUGEINT) * t.t2 -
+                        CAST(cum2 AS HUGEINT) * t.t1)) AS HUGEINT) AS maxdiff,
+                      CAST(max(t.t1) AS BIGINT) AS t1,
+                      CAST(max(t.t2) AS BIGINT) AS t2
+               FROM cumt, t)
+         SELECT ${sqlMulDiv("maxdiff", "1000000",
+        "CAST(t1 AS HUGEINT) * CAST(t2 AS HUGEINT)")} AS ks_ppm,
+                t1 AS n_urgent, t2 AS n_other
+         FROM m""",
+
+    "q_eng_calibration" ->
+      s"""WITH $scoredSql,
+         rk AS (SELECT label,
+                       CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey)
+                         AS BIGINT) AS rk
+                FROM scored),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                      CAST(sum(label) AS BIGINT) AS pos_tot FROM scored),
+         b AS (SELECT (rk - 1) * 10 // t.n_tot AS bin, label,
+                      t.n_tot AS n_tot, t.pos_tot AS pos_tot
+               FROM rk, t)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_bin,
+                CAST(sum(label) AS BIGINT) AS pos_bin,
+                ${sqlPpm("sum(label)", "count(*)")} AS pos_rate_ppm,
+                ${sqlMulDiv("sum(label) * CAST(max(n_tot) AS HUGEINT)",
+        "1000000", "count(*) * CAST(max(pos_tot) AS HUGEINT)")} AS lift_ppm
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    "q_eng_target_encode" ->
+      s"""WITH $scoredSql,
+         oc AS (SELECT c_nationkey, label FROM scored s
+                JOIN customer c ON s.o_custkey = c.c_custkey),
+         bl AS (SELECT c_nationkey, label, CAST(count(*) AS BIGINT) AS n_rows
+                FROM oc GROUP BY 1, 2),
+         st AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(label) AS BIGINT) AS pos
+                FROM oc GROUP BY 1)
+         SELECT n_name, label, n_rows,
+                ${sqlPpm("pos - label", "n - 1")} AS enc_ppm
+         FROM bl JOIN st ON bl.c_nationkey = st.nk
+         JOIN nation ON bl.c_nationkey = n_nationkey
+         WHERE n > 1
+         ORDER BY n_name, label""",
+
+    "q_eng_kappa" ->
+      s"""WITH $scoredSql,
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a1,
+                      CAST(sum(label) AS BIGINT) AS b1,
+                      CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN label ELSE 0 END)
+                        AS BIGINT) AS n11
+               FROM scored)
+         SELECT ${sqlMulDivSigned(
+        "CAST(n AS HUGEINT) * (n - a1 - b1 + 2 * n11) - " +
+          "(CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))",
+        "1000000",
+        "CAST(n AS HUGEINT) * n - " +
+          "(CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))")}
+           AS kappa_ppm,
+                n, a1, b1, n11
+         FROM c"""
+  )
+}

@@ -30,4 +30,33 @@ class StableIdsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       StableIds.assignIds(ev.withColumn("id", lit(1)), Seq($"event_id")))
   }
+
+  test("rankAndCumSums matches the window formulation for every value col") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ev.select($"event_id",
+      ($"event_id" % 7).as("v1"), ($"event_id" % 3).as("v2"))
+    val got = StableIds.rankAndCumSums(df, Seq($"event_id"),
+        Seq("v1" -> "c1", "v2" -> "c2"), "rk")
+      .select("event_id", "rk", "c1", "c2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("rk", row_number().over(Window.orderBy($"event_id")).cast("long"))
+      .withColumn("c1", sum($"v1").over(w))
+      .withColumn("c2", sum($"v2").over(w))
+      .select("event_id", "rk", "c1", "c2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("rankAndCumSums is partition-layout independent") {
+    val df = ev.select($"event_id", ($"event_id" % 5).as("v"))
+    val a = StableIds.rankAndCumSums(df, Seq($"event_id"), Seq("v" -> "c"))
+      .select("event_id", "rank", "c").as[(Long, Long, Long)].collect().toSet
+    val b = StableIds.rankAndCumSums(df.repartition(17), Seq($"event_id"),
+        Seq("v" -> "c"))
+      .select("event_id", "rank", "c").as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }

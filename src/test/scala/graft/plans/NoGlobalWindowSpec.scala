@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
 class NoGlobalWindowSpec extends SparkSpec {
 
   private val rewritten =
-    Seq("q_eng_lorenz", "q_eng_skew_report", "q_eng_rfm", "q_text_vocab_coverage")
+    Seq("q_eng_lorenz", "q_eng_skew_report", "q_eng_rfm", "q_text_vocab_coverage",
+      // round-7 eval wave: rank-sum statistics over the unbounded
+      // distinct-score domain go through StableIds.rankAndCumSums, and the
+      // calibration deciles through StableIds.withRank — never a global window
+      "q_eng_auc", "q_eng_ks_test", "q_eng_calibration")
 
   for (q <- rewritten) test(s"$q: no unpartitioned window in the plan") {
     val df = SparkEntry.queries(q)(spark, sf)
