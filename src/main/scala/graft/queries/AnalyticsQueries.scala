@@ -724,9 +724,12 @@ object AnalyticsQueries {
     // through the wide exact division — no float normalization, so the
     // recurrence is bit-identical cross-engine. Per step: one edge-key
     // shuffle join + node-sized aggregate + 1-row broadcast max; the same
-    // plan family as PageRank (no lineage growth — the steps are unrolled).
-    // Complements PageRank: eigenvector centrality of A·Aᵀ vs the random
-    // walk. Top-20 via TakeOrderedAndProject, part_id tiebreak.
+    // plan family as PageRank. Complements PageRank: eigenvector centrality
+    // of A·Aᵀ vs the random walk. Top-20 via TakeOrderedAndProject, part_id
+    // tiebreak. Each normalized score frame is localCheckpoint'ed (node-
+    // sized): normPpm consumes its input twice (max + join) and each level
+    // feeds the next twice over, so without truncation the lineage — and the
+    // recomputation — doubles per unrolled step (Graph.scala:120 pattern).
     "q_eng_hits" -> ((s, d) => {
       import graft.functions.WideDiv.mulDivWide
       val e = copurchaseEdges(s, d).select(col("src"), col("dst"))
@@ -734,6 +737,7 @@ object AnalyticsQueries {
         val mx = df.agg(max(col("v")).as("mx"))
         df.crossJoin(broadcast(mx))
           .select(col("node"), mulDivWide(col("v"), lit(1000000L), col("mx")).as("p"))
+          .localCheckpoint()
       }
       val a1 = normPpm(e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("v")))
       val h1 = normPpm(
