@@ -28,13 +28,38 @@ object CountMin {
       16, 10).cast("long"), lit(w.toLong))
 
   /** The sketch itself: one row per touched (r, bucket) with its count.
-    * Union sketches of disjoint inputs and re-sum to merge. */
-  def sketch(df: DataFrame, value: Column, d: Int, w: Int): DataFrame = {
+    * Union sketches of disjoint inputs and re-sum to merge.
+    *
+    * Plan shape (batch): occurrences pre-aggregate to (value, count)
+    * FIRST — the d-way explode and the d md5s then run over the
+    * distinct-value domain, not the occurrence stream (4·V hashes instead
+    * of 4·N; natural-text N/V is 100+). The extra vocabulary shuffle is
+    * map-side combined and value-domain-sized; the sketch totals are
+    * identical either way. A STREAMING input keeps the direct
+    * one-aggregation form — two chained stateful aggregates are not
+    * allowed in a stream, and the (r, bucket) state is the sketch itself
+    * (d·w counters), already minimal. */
+  def sketch(df: DataFrame, value: Column, d: Int, w: Int): DataFrame =
+    if (df.isStreaming) {
+      require(d > 0 && w > 0, s"need d > 0, w > 0; got d=$d w=$w")
+      df.select(value.as("v"))
+        .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .withColumn("bucket", bucket(col("r"), col("v"), w))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    } else sketchWeighted(
+      df.groupBy(value.as("v")).agg(count(lit(1)).as("wt")),
+      col("v"), col("wt"), d, w)
+
+  /** Weighted sketch: each (value, weight) row adds `weight` to the
+    * value's d counters — the pre-aggregated / decayed-count form.
+    * `sketch` == `sketchWeighted` over per-value occurrence counts. */
+  def sketchWeighted(df: DataFrame, value: Column, weight: Column,
+                     d: Int, w: Int): DataFrame = {
     require(d > 0 && w > 0, s"need d > 0, w > 0; got d=$d w=$w")
-    df.select(value.as("v"))
-      .select(col("v"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+    df.select(value.as("v"), weight.cast("long").as("wt"))
+      .select(col("v"), col("wt"), explode(sequence(lit(0), lit(d - 1))).as("r"))
       .withColumn("bucket", bucket(col("r"), col("v"), w))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("r", "bucket").agg(sum(col("wt")).as("cnt"))
   }
 
   /** Point estimates for the distinct values of `items`: (v, est).
