@@ -560,9 +560,9 @@ object DedupQueries {
       s"""WITH RECURSIVE ${SimilarityQueries.lshCandCte},
          cosp AS (
            SELECT va, vb,
-             list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
-             / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
-              * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
+             list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
          p AS (SELECT va, vb FROM cosp WHERE cos >= 0.4),
          edges AS (SELECT va AS a, vb AS b FROM p
@@ -578,9 +578,9 @@ object DedupQueries {
       s"""WITH ${SimilarityQueries.lshCandCte},
          cos AS (
            SELECT va, vb,
-             list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
-             / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
-              * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
+             list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb)
          SELECT va, vb, cos FROM cos WHERE cos >= 0.4 ORDER BY va, vb""",
 
@@ -625,9 +625,9 @@ object DedupQueries {
       s"""WITH RECURSIVE ${SimilarityQueries.lshCandCte},
          cosp AS (
            SELECT va, vb,
-             list_reduce(list_prepend(0.0, [x.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q)
-             / (sqrt(list_reduce(list_prepend(0.0, [x.v[i+1] * x.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))
-              * sqrt(list_reduce(list_prepend(0.0, [y.v[i+1] * y.v[i+1] for i in range(0, 64)]), (p, q) -> p + q))) AS cos
+             list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
          p AS (SELECT va, vb, cos FROM cosp WHERE cos >= 0.4),
          edges AS (SELECT va AS a, vb AS b FROM p
