@@ -153,6 +153,64 @@ object Dedup {
       .select("ida", "idb", "shared", "jac")
   }
 
+  /** AllPairs/PPJoin-style prefix-filtered exact set-similarity join
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Chaudhuri et al., "A Primitive Operator for Similarity Joins",
+    * ICDE'06) — the inverted-index-pruning alternative to the df-capped
+    * bound of [[ngramJaccardPairs]]:
+    *
+    *   1. order every document's shingle-hash set by ascending GLOBAL
+    *      document frequency (rarest first; ties on the hash value so the
+    *      canonical order is total and engine-independent);
+    *   2. keep only the first  n − ceil(t·n) + 1  hashes — the PREFIX. Two
+    *      sets with Jaccard ≥ t must share ≥ ceil(t·n) elements, so sets
+    *      whose prefixes are disjoint provably cannot qualify: the filter
+    *      is lossless, and because prefixes hold the globally RAREST
+    *      hashes, the candidate join keys are exactly the low-df tail of
+    *      the vocabulary — the high-df stop-shingles that explode naive
+    *      inverted-index joins never reach the join;
+    *   3. verify candidates with the division-free integer test
+    *      shared·(10⁶+t_ppm) ≥ t_ppm·(na+nb)  ⟺  J ≥ t, exact.
+    *
+    * The per-doc ranking window partitions by doc id (bounded by document
+    * length, never keys-sized); df is one vocabulary aggregate. Cross-
+    * engine the gate proves losslessness itself: the oracle computes the
+    * UNFILTERED exact join (all pairs sharing any hash), and equality
+    * means the prefix prune dropped nothing.
+    *
+    * @param docs      one row per document
+    * @param idCol     document id
+    * @param hashesCol distinct shingle-hash array (see [[shingleHashes]])
+    * @param minJaccard emit pairs with exact Jaccard >= this */
+  def prefixFilterPairs(docs: DataFrame, idCol: Column,
+                        hashesCol: Column, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tPpm = math.round(minJaccard * 1000000).toInt
+    val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sizes = base.select(col("id"), size(col("hs")).cast("long").as("n"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefix = ex.join(dfTab, "h").join(sizes, "id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <=
+        col("n") - expr(s"(n * $tPpm + 999999) DIV 1000000") + lit(1L))
+      .select("id", "h")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
+    cand
+      .join(base.select(col("id").as("ida"), col("hs").as("ha")), "ida")
+      .join(base.select(col("id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("shared",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("na", size(col("ha")).cast("long"))
+      .withColumn("nb", size(col("hb")).cast("long"))
+      .where(col("shared") * lit(1000000L + tPpm) >=
+        lit(tPpm.toLong) * (col("na") + col("nb")))
+      .select("ida", "idb", "shared", "na", "nb")
+  }
+
   /** Shared candidate stage of the jaccard / containment verifiers:
     * df-capped inverted-index pairs with the kept-shared count `ks`,
     * full/kept set sizes, and the lossless shared-count upper bound

@@ -63,19 +63,27 @@ object StarComponents {
         .distinct()
     }
 
-    var changed = 1L
+    var changed = true
     var guard = 0
     val maxRounds = 64 // far above log²(n) for any 64-bit id space
-    while (changed > 0 && guard < maxRounds) {
+    while (changed && guard < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // true symmetric difference — a strict subset (edges collapsing
-      // into the star forest) must still count as change
-      changed = next.except(edges).count() + edges.except(next).count()
+      // into the star forest) must still count as change. Both sides are
+      // distinct() outputs, so a signed-count groupBy is an exact set
+      // symmetric difference in ONE shuffle (the two except() jobs this
+      // replaces each shuffled both sides), and isEmpty stops at the
+      // first surviving row.
+      changed = !next.select(col("u"), col("v"), lit(1L).as("s"))
+        .unionByName(edges.select(col("u"), col("v"), lit(-1L).as("s")))
+        .groupBy(col("u"), col("v")).agg(sum(col("s")).as("s"))
+        .where(col("s") =!= 0L)
+        .isEmpty
       edges = next
       guard += 1
     }
     // silent truncation would return WRONG components — fail loudly
-    require(changed == 0,
+    require(!changed,
       s"star components did not converge within $maxRounds rounds")
 
     // star forest: every edge points at its component root (the min id)

@@ -651,6 +651,47 @@ object AnalyticsQueries {
         .orderBy("arm")
     }),
 
+    // difference-in-differences readout: arm (md5 50/50, the ab_srm
+    // assignment) × period (before/after the stream's time midpoint) cell
+    // means of event value in truncating signed micro-units, DiD =
+    // (Ā_post−Ā_pre) − (B̄_post−B̄_pre). Each cell mean is separately
+    // truncated — the cross-engine contract is the integer recurrence, not
+    // real-valued means. One fact-sized aggregate; everything after the
+    // 4-row cell table is scalar algebra.
+    "q_eng_did" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWideSigned
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+      val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("mn + (mx - mn) DIV 2").as("mid"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .select(
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long") % 2 === 0, lit("A")).otherwise(lit("B"))
+            .as("arm"),
+          when(col("us") < col("mid"), lit("pre")).otherwise(lit("post"))
+            .as("period"),
+          col("vc"))
+        .groupBy("arm", "period")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+        .withColumn("mean_micro",
+          mulDivWideSigned(col("sv"), lit(1000000L), col("n")))
+      cells.agg(
+          sum(when(col("arm") === "A" && col("period") === "pre",
+            col("mean_micro"))).as("a_pre_micro"),
+          sum(when(col("arm") === "A" && col("period") === "post",
+            col("mean_micro"))).as("a_post_micro"),
+          sum(when(col("arm") === "B" && col("period") === "pre",
+            col("mean_micro"))).as("b_pre_micro"),
+          sum(when(col("arm") === "B" && col("period") === "post",
+            col("mean_micro"))).as("b_post_micro"))
+        .select(col("a_pre_micro"), col("a_post_micro"), col("b_pre_micro"),
+          col("b_post_micro"),
+          ((col("a_post_micro") - col("a_pre_micro")) -
+            (col("b_post_micro") - col("b_pre_micro"))).as("did_micro"))
+    }),
+
     // session conversion by length: gap-sessionize the event stream
     // (reusing operators/Sessions — one user window), then conversion
     // share per session-length bucket. The "do longer sessions buy more"
@@ -1241,6 +1282,45 @@ object AnalyticsQueries {
                           CAST(t.n AS HUGEINT)) // 1000000
                   AS BIGINT) AS adj_mean_micro
          FROM byarm a, th t ORDER BY arm""",
+
+    // each cell mean truncates separately (HUGEINT // = trunc-toward-zero,
+    // the mulDivWideSigned contract); DiD is then exact integer algebra
+    "q_eng_did" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+           FROM events),
+         mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+         cells AS (
+           SELECT CASE WHEN CAST('0x' ||
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                  CASE WHEN us < mid THEN 'pre' ELSE 'post' END AS period,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(vc) AS BIGINT) AS sv
+           FROM ev, mid GROUP BY 1, 2),
+         m AS (
+           SELECT arm, period,
+                  CAST(CAST(sv AS HUGEINT) * 1000000 //
+                       CAST(n AS HUGEINT) AS BIGINT) AS mean_micro
+           FROM cells),
+         p AS (
+           SELECT sum(CASE WHEN arm = 'A' AND period = 'pre'
+                           THEN mean_micro END) AS a_pre_micro,
+                  sum(CASE WHEN arm = 'A' AND period = 'post'
+                           THEN mean_micro END) AS a_post_micro,
+                  sum(CASE WHEN arm = 'B' AND period = 'pre'
+                           THEN mean_micro END) AS b_pre_micro,
+                  sum(CASE WHEN arm = 'B' AND period = 'post'
+                           THEN mean_micro END) AS b_post_micro
+           FROM m)
+         SELECT CAST(a_pre_micro AS BIGINT) AS a_pre_micro,
+                CAST(a_post_micro AS BIGINT) AS a_post_micro,
+                CAST(b_pre_micro AS BIGINT) AS b_pre_micro,
+                CAST(b_post_micro AS BIGINT) AS b_post_micro,
+                CAST((a_post_micro - a_pre_micro) -
+                     (b_post_micro - b_pre_micro) AS BIGINT) AS did_micro
+         FROM p""",
 
     "q_eng_session_conversion" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -140,6 +140,20 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
+    // AllPairs/PPJoin prefix filtering: candidates ONLY from the
+    // df-ascending prefix of each shingle set (rarest hashes), exact
+    // integer Jaccard verify. The oracle computes the UNFILTERED join —
+    // every pair sharing any hash — so gate equality is a cross-engine
+    // proof the prefix prune is lossless at J ≥ 0.8
+    "q_dedup_prefix_filter" -> ((s, d) => {
+      val sh = QueryCaches.memo(s, d, "dedup_hashes") {
+        withSig(s, d)
+          .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
+      }
+      Dedup.prefixFilterPairs(sh, col("doc_id"), col("hs"), minJaccard = 0.8)
+        .orderBy("ida", "idb")
+    }),
+
     // SimHash signatures (per-bit majority vote over shingle hashes)
     "q_dedup_simhash_sig" -> ((s, d) =>
       simhashSig(s, d)
@@ -492,6 +506,30 @@ object DedupQueries {
                  CAST(count(*) AS BIGINT) AS n_pairs
           FROM j WHERE jac >= 0.5
           GROUP BY 1 ORDER BY jac_decile""",
+
+    // deliberately UNFILTERED: all pairs sharing any hash, exact integer
+    // Jaccard test — equality with the prefix-filtered engine result is
+    // the losslessness proof (9·shared ≥ 4·(na+nb) ⟺ J ≥ 0.8 exactly)
+    "q_dedup_prefix_filter" ->
+      s"""$shCte,
+          hsh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                     s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
+            FROM sh),
+          ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+          j AS (
+            SELECT ida, idb,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS shared,
+                   CAST(len(x.hs) AS BIGINT) AS na,
+                   CAST(len(y.hs) AS BIGINT) AS nb
+            FROM cand JOIN hsh x ON x.doc_id = ida
+                      JOIN hsh y ON y.doc_id = idb)
+          SELECT ida, idb, shared, na, nb FROM j
+          WHERE 9 * shared >= 4 * (na + nb) ORDER BY ida, idb""",
 
     "q_dedup_containment" ->
       s"""$shCte,

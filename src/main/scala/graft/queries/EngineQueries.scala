@@ -1505,6 +1505,136 @@ object EngineQueries {
             col("ssw") * (col("k") - lit(1L))).as("f_ppm"))
     }),
 
+    // Mann–Kendall trend test on daily revenue: S = Σ_{i<j} sign(x_j−x_i)
+    // over the bounded day domain (a few thousand rows at ANY corpus size —
+    // the fact table partial-aggregates to it first, so the O(days²) pair
+    // join never touches fact-scale data), with the tie-corrected variance
+    // numerator var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) kept ×18 to stay
+    // integral. z² in micro units via DECIMAL(38) — S² exceeds nothing at
+    // 38 digits. sign() is built from when(), not signum(), to stay in
+    // integer arithmetic end-to-end.
+    "q_eng_mann_kendall" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("x"))
+      val sTab = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+        .select(when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L).as("sgn"))
+        .agg(sum(col("sgn")).as("s_stat"))
+      val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t")).as("n_days"),
+          sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("tie_term"))
+      sTab.crossJoin(broadcast(ties))
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1L) *
+            (lit(2L) * col("n_days") + 5L) - col("tie_term"))
+        .select(col("n_days"), col("s_stat"), col("var18"),
+          when(col("var18") === 0L, 0L)
+            .otherwise(mulDivWide(wide(col("s_stat")) * wide(col("s_stat")),
+              lit(18000000L), col("var18"))).as("z2_micro"))
+    }),
+
+    // Theil–Sen robust trend: the LOWER MEDIAN of all pairwise slopes
+    // (x_j−x_i)/(d_j−d_i) over the bounded day domain, each slope held as
+    // an exact truncating signed micro-cents/day integer. Median selection
+    // uses the WeightedMedian bucket-pruning discipline, fully declarative
+    // (stays inside whole-stage codegen — the rank-by-zipWithIndex form
+    // measured 4× slower here, dominated by Row-conversion passes): 1024
+    // integer value-range buckets, counts aggregated at full parallelism,
+    // the cumulative scan done as a join-based prefix on the ≤1025-row
+    // bucket table (no window anywhere), then ONLY the crossing bucket's
+    // rows re-ranked with a bucket-partitioned row_number. The O(days²)
+    // slope table (≈3M rows for a decade of days) is CONSTANT in corpus
+    // size — only `daily` touches fact-scale data.
+    "q_eng_theil_sen" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWideSigned
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("x"))
+      // spread the broadcast-NLJ stream side first (explicit partition
+      // count — AQE would coalesce the tiny 1-row-per-day pre-join shuffle
+      // back to one partition and run the O(days²) pair expansion AND its
+      // DECIMAL divisions single-threaded). Only the slope VALUE is kept:
+      // the value at a global rank is invariant to tie order, so no pair
+      // identity (and no tiebreak column) is needed.
+      // day²-bounded (≈3M longs/decade) — cached once per (session, sf):
+      // the range probe, bucket histogram, and crossing-bucket re-rank all
+      // reuse it instead of re-running the pair join + division
+      val slopes = QueryCaches.memo(s, d, "theil_sen_slopes") {
+        daily.repartition(16, col("day")).as("a")
+          .join(broadcast(daily).as("b"), col("a.day") < col("b.day"))
+          .select((col("b.x") - col("a.x")).as("dx"),
+            datediff(col("b.day"), col("a.day")).cast("long").as("dd"))
+          // long fast path while dx·10⁶ fits int64 (|dx| ≤ 9.2e12 — any
+          // realistic sub-exabyte day), DECIMAL(38) wide path beyond; both
+          // truncate toward zero (Spark DIV == Java long division), so the
+          // branch is value-invariant — spec-pinned in Wave4SemanticsSpec
+          .select(
+            when(abs(col("dx")) <= lit(9000000000000L),
+              expr("(dx * 1000000) DIV dd"))
+              .otherwise(mulDivWideSigned(col("dx"), lit(1000000L), col("dd")))
+              .as("slope_micro"))
+      }
+      // Exact rank selection by ITERATIVE RANGE REFINEMENT (the classic
+      // distributed exact-median loop): each round is one full-parallel
+      // 1024-bucket histogram over the cached slope table, the driver walks
+      // the ≤1025-row histogram (metadata-scale, the Packing discipline) to
+      // the bucket holding rank r1, and the value range narrows 1024× per
+      // round — ≤7 rounds for the full int64 domain. A single fixed
+      // bucketing is NOT enough here: pairwise slopes are violently
+      // fat-tailed (probed at sf0.1: 81% of 2.9M slopes in one of 1024
+      // range buckets), so one-shot bucket-pruning still funnels millions
+      // of rows through the final single-bucket rank window. Refinement
+      // exits when the candidate range is one value (answer is direct) or
+      // few enough rows that the final rank window is a single small task.
+      val extRow = slopes
+        .agg(min(col("slope_micro")), max(col("slope_micro")), count(lit(1)))
+        .head()
+      val (lo, hi, m) = (extRow.getLong(0), extRow.getLong(1), extRow.getLong(2))
+      val r1 = (m + 1) / 2
+      var curLo = lo
+      var curHi = hi
+      var before = 0L
+      var cnt = m
+      var exactVal: Option[Long] = None
+      var rounds = 0
+      while (exactVal.isEmpty && cnt > 65536 && rounds < 8) {
+        val w = (curHi - curLo) / 1024L + 1L
+        val hist = slopes
+          .where(col("slope_micro") >= curLo && col("slope_micro") <= curHi)
+          .groupBy(expr(s"(slope_micro - ${curLo}L) DIV ${w}L").as("bkt"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var k = 0L
+        var ck = 0L
+        var found = false
+        val it = hist.iterator
+        while (it.hasNext && !found) {
+          val (bk, c) = it.next()
+          if (before + c >= r1) { k = bk; ck = c; found = true }
+          else before += c
+        }
+        curLo = curLo + k * w
+        curHi = math.min(curHi, curLo + w - 1L)
+        cnt = ck
+        if (w == 1L) exactVal = Some(curLo) // single-value bucket: done
+        rounds += 1
+      }
+      val median = exactVal.getOrElse {
+        // ≤65536 surviving candidates (loop exit bound): sort driver-side
+        // — half a MB of longs, metadata-scale like the histograms above
+        val cand = slopes
+          .where(col("slope_micro") >= curLo && col("slope_micro") <= curHi)
+          .collect().map(_.getLong(0)).sorted
+        cand((r1 - before - 1L).toInt)
+      }
+      s.range(1).select(lit(m).as("n_pairs"),
+        lit(median).as("slope_micro_median"))
+    }),
+
     // gaps-and-islands dual of q_eng_order_gaps: longest streak of
     // CONSECUTIVE order months per customer (island id = month index −
     // dense_rank, the classic tabulation), rolled into a streak-length
@@ -2735,6 +2865,51 @@ object EngineQueries {
                 ${graft.functions.WideDiv.sqlMulDiv(
                   "ssb", "(n_total - k) * 1000000", "ssw * (k - 1)")} AS f_ppm
          FROM d""",
+
+    "q_eng_mann_kendall" ->
+      s"""WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         p AS (
+           SELECT CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+           FROM daily a JOIN daily b ON a.day < b.day),
+         st AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat FROM p),
+         tg AS (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x),
+         ti AS (
+           SELECT CAST(sum(t) AS BIGINT) AS n_days,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           FROM tg),
+         v AS (
+           SELECT n_days, s_stat,
+                  n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+           FROM st, ti)
+         SELECT n_days, s_stat, var18,
+                CASE WHEN var18 = 0 THEN 0 ELSE ${graft.functions.WideDiv
+                  .sqlMulDiv("s_stat", "CAST(s_stat AS HUGEINT) * 18000000",
+                    "var18")} END AS z2_micro
+         FROM v""",
+
+    "q_eng_theil_sen" ->
+      s"""WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         sl AS (
+           SELECT ${graft.functions.WideDiv.sqlMulDivSigned("b.x - a.x",
+             "1000000", "date_diff('day', a.day, b.day)")} AS slope_micro
+           FROM daily a JOIN daily b ON a.day < b.day),
+         r AS (
+           SELECT slope_micro,
+                  CAST(row_number() OVER (ORDER BY slope_micro) AS BIGINT)
+                    AS rk,
+                  CAST(count(*) OVER () AS BIGINT) AS m
+           FROM sl)
+         SELECT m AS n_pairs, slope_micro AS slope_micro_median
+         FROM r WHERE rk = (m + 1) // 2""",
 
     "q_eng_streaks" ->
       """WITH months AS (

@@ -364,6 +364,48 @@ object SimilarityQueries {
         .orderBy("id")
     }),
 
+    // grid-density clustering (the scalable DBSCAN shape): quantize the
+    // first two embedding dims into cells (floor(v·40) in plain IEEE
+    // double — exact cross-engine), call cells with ≥ 4 points CORE, and
+    // union 8-adjacent core cells into clusters via the star-components
+    // algorithm. Everything after the one fact-sized cell aggregate runs
+    // on the CELL table, which is bounded by the grid resolution — not the
+    // corpus: the classic ε-neighborhood pair join that makes naive DBSCAN
+    // quadratic never touches point-level data. Points in non-core cells
+    // are noise and drop out (the inner cells join). Cluster id = min cell
+    // code, deterministic; the oracle replays it as a recursive min-label
+    // closure over the same adjacency.
+    "q_sim_dbscan_grid" -> ((s, d) => {
+      // labeled core-cell table memoized per (session, sf): the star-
+      // components loop is eager, so without the memo every invocation
+      // re-ran the full iterative closure (the embedClusterTable pattern)
+      val labeled = QueryCaches.memo(s, d, "dbscan_grid_cells") {
+        val pts = Tables.embeddings(s, d).select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 40)
+            .cast("long").as("cx"),
+          floor(element_at(col("embedding"), 2).cast("double") * 40)
+            .cast("long").as("cy"))
+        val cells = pts.groupBy(col("cx"), col("cy"))
+          .agg(count(lit(1)).as("n"))
+        val core = cells.where(col("n") >= 4)
+          .withColumn("cell", (col("cx") + 500L) * 1000L + col("cy") + 500L)
+        val edges = core.as("a").join(core.as("b"),
+            abs(col("a.cx") - col("b.cx")) <= 1 &&
+              abs(col("a.cy") - col("b.cy")) <= 1 &&
+              col("a.cell") < col("b.cell"))
+          .select(col("a.cell").as("ca"), col("b.cell").as("cb"))
+        val comp = graft.operators.StarComponents
+          .components(edges, col("ca"), col("cb"))
+          .withColumnRenamed("doc_id", "cell")
+        core.join(comp, Seq("cell"), "left")
+          .withColumn("cluster", coalesce(col("cluster_id"), col("cell")))
+      }
+      labeled
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+        .orderBy("cluster")
+    }),
+
     // hard-negative mining: top-3 most-similar DIFFERENT-label items per
     // query — the contrastive-training counterpart of ANN search
     "q_sim_hard_negatives" -> ((s, d) =>
@@ -977,6 +1019,40 @@ object SimilarityQueries {
           ${round(2, "l1")}
           SELECT id, label FROM l2 ORDER BY id"""
     },
+
+    // recursive min-label closure over the same core-cell adjacency; the
+    // double cast before ·40 keeps the quantization in IEEE double on both
+    // engines (DuckDB would otherwise multiply in single-precision FLOAT)
+    "q_sim_dbscan_grid" ->
+      """WITH RECURSIVE pts AS (
+           SELECT vec_id,
+                  CAST(floor(CAST(embedding[1] AS DOUBLE) * 40) AS BIGINT)
+                    AS cx,
+                  CAST(floor(CAST(embedding[2] AS DOUBLE) * 40) AS BIGINT)
+                    AS cy
+           FROM embeddings),
+         cells AS (
+           SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+           FROM pts GROUP BY 1, 2),
+         core AS (
+           SELECT cx, cy, n, (cx + 500) * 1000 + cy + 500 AS cell
+           FROM cells WHERE n >= 4),
+         e AS (
+           SELECT a.cell AS src, b.cell AS dst
+           FROM core a JOIN core b
+             ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            AND a.cell <> b.cell),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS r FROM e
+           UNION
+           SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         cl AS (SELECT id AS cell, min(r) AS cluster_id
+                FROM reach GROUP BY 1)
+         SELECT coalesce(cl.cluster_id, core.cell) AS cluster,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(core.n) AS BIGINT) AS n_points
+         FROM core LEFT JOIN cl ON cl.cell = core.cell
+         GROUP BY 1 ORDER BY cluster""",
 
     "q_sim_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -25,7 +25,10 @@ class NoGlobalWindowSpec extends SparkSpec {
       // round-7 eval wave: rank-sum statistics over the unbounded
       // distinct-score domain go through StableIds.rankAndCumSums, and the
       // calibration deciles through StableIds.withRank — never a global window
-      "q_eng_auc", "q_eng_ks_test", "q_eng_calibration")
+      "q_eng_auc", "q_eng_ks_test", "q_eng_calibration",
+      // wave 4: the Theil–Sen median ranks the O(days²) slope table through
+      // StableIds.withRank, never a global row_number window
+      "q_eng_theil_sen")
 
   for (q <- rewritten) test(s"$q: no unpartitioned window in the plan") {
     val df = SparkEntry.queries(q)(spark, sf)
