@@ -1513,6 +1513,106 @@ object EngineQueries {
     // integral. z² in micro units via DECIMAL(38) — S² exceeds nothing at
     // 38 digits. sign() is built from when(), not signum(), to stay in
     // integer arithmetic end-to-end.
+    // Pettitt changepoint test: U_t = Σ_{i≤t, j>t} sign(x_i − x_j) for
+    // every cut day t, K = max |U_t|. Computed incrementally — V_t =
+    // Σ_{j≠t} sign(x_t − x_j) from ONE O(days²) pair aggregate (bounded
+    // domain, broadcast-NLJ like Mann–Kendall), then U_t = Σ_{k≤t} V_k as
+    // a cumulative over the ~day-count table (bounded global window, the
+    // drawdown precedent). All integer; the argmax day reported with
+    // first-day tiebreak via min_by on (−|U|, day).
+    "q_eng_pettitt" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("x"))
+      val v = daily.as("a").join(daily.as("b"), col("a.day") =!= col("b.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(sum(when(col("a.x") > col("b.x"), 1L)
+          .when(col("a.x") < col("b.x"), -1L).otherwise(0L)).as("v"))
+      val wU = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val u = v.withColumn("u", sum(col("v")).over(wU))
+        .withColumn("au", abs(col("u")))
+      val k = u.agg(count(lit(1)).as("n_days"), max(col("au")).as("k_stat"))
+      u.crossJoin(broadcast(k))
+        .where(col("au") === col("k_stat"))
+        .groupBy(col("n_days"), col("k_stat"))
+        .agg(min(col("day")).cast("string").as("change_day"))
+    }),
+
+    // Kadane maximum-sum run over day-over-day revenue DELTAS: the
+    // "best consecutive growth stretch" scan, exact integer cents. Same
+    // sequential-recurrence shape as EWMA/Holt: collect_list over the
+    // bounded day domain, aggregate() fold carrying (cur, best, end day),
+    // recursive-CTE oracle. First maximal run wins (strict > on update).
+    "q_eng_kadane" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("x"))
+      val wL = Window.orderBy(col("day"))
+      val deltas = daily
+        .withColumn("delta", col("x") - lag(col("x"), 1).over(wL))
+        .where(col("delta").isNotNull)
+      deltas
+        .agg(sort_array(collect_list(struct(col("day"), col("delta"))))
+          .as("xs"))
+        .select(aggregate(
+          col("xs"),
+          struct(lit(0L).as("cur"), lit(Long.MinValue).as("best"),
+            lit(null).cast("date").as("bday")),
+          (acc, e) => {
+            val cur = greatest(e.getField("delta"),
+              acc.getField("cur") + e.getField("delta"))
+            val better = cur > acc.getField("best")
+            struct(cur.as("cur"),
+              when(better, cur).otherwise(acc.getField("best")).as("best"),
+              when(better, e.getField("day")).otherwise(acc.getField("bday"))
+                .as("bday"))
+          }).as("r"))
+        .select(col("r.best").as("best_run_cents"),
+          col("r.bday").cast("string").as("best_end_day"))
+    }),
+
+    // Partial correlation price↔quantity controlling for discount:
+    // EXACT integer moment sums (cents / units / discount-per-mille,
+    // squares in DECIMAL(38) — the cuped discipline), covariance
+    // numerators C_ab = n·S_ab − S_a·S_b exact in DECIMAL(38) (≈1e33 at
+    // the 100 TB design point — inside 38 digits; their PRODUCTS are not,
+    // so the partial-corr combination converts each C to double first:
+    // DECIMAL(38,0)→DOUBLE is correctly rounded in both engines — probed,
+    // SURVEY §8 r7 — and every IEEE op after that is identical), then
+    // r_xy.z = (Cxy·Czz − Cxz·Cyz)/√((Cxx·Czz − Cxz²)(Cyy·Czz − Cyz²)).
+    "q_eng_partial_corr" -> ((s, d) => {
+      val t = Tables.lineitem(s, d).select(
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"),
+        floor(col("l_discount") * 1000 + lit(0.5)).cast("long").as("z"))
+      val mom = t.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(wide(col("x")) * wide(col("x"))).as("sxx"),
+        sum(wide(col("y")) * wide(col("y"))).as("syy"),
+        sum(wide(col("z")) * wide(col("z"))).as("szz"),
+        sum(wide(col("x")) * wide(col("y"))).as("sxy"),
+        sum(wide(col("x")) * wide(col("z"))).as("sxz"),
+        sum(wide(col("y")) * wide(col("z"))).as("syz"))
+      def cnum(sab: Column, sa: Column, sb: Column): Column =
+        (wide(col("n")) * sab - wide(sa) * wide(sb)).cast("double")
+      mom.select(col("n"),
+          cnum(col("sxy"), col("sx"), col("sy")).as("cxy"),
+          cnum(col("sxz"), col("sx"), col("sz")).as("cxz"),
+          cnum(col("syz"), col("sy"), col("sz")).as("cyz"),
+          cnum(col("sxx"), col("sx"), col("sx")).as("cxx"),
+          cnum(col("syy"), col("sy"), col("sy")).as("cyy"),
+          cnum(col("szz"), col("sz"), col("sz")).as("czz"))
+        .select(col("n"),
+          (col("cxy") / sqrt(col("cxx") * col("cyy"))).as("r_xy"),
+          ((col("cxy") * col("czz") - col("cxz") * col("cyz")) /
+            sqrt((col("cxx") * col("czz") - col("cxz") * col("cxz")) *
+              (col("cyy") * col("czz") - col("cyz") * col("cyz"))))
+            .as("r_xy_given_z"))
+    }),
+
     "q_eng_mann_kendall" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("day"))
@@ -2865,6 +2965,107 @@ object EngineQueries {
                 ${graft.functions.WideDiv.sqlMulDiv(
                   "ssb", "(n_total - k) * 1000000", "ssw * (k - 1)")} AS f_ppm
          FROM d""",
+
+    "q_eng_pettitt" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         v AS (
+           SELECT a.day AS day,
+                  CAST(sum(CASE WHEN a.x > b.x THEN 1
+                                WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT)
+                    AS v
+           FROM daily a JOIN daily b ON a.day <> b.day GROUP BY 1),
+         u AS (
+           SELECT day,
+                  abs(sum(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+                    AS au
+           FROM v),
+         k AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(max(au) AS BIGINT) AS k_stat
+               FROM u)
+         SELECT n_days, k_stat, CAST(min(day) AS VARCHAR) AS change_day
+         FROM u, k WHERE au = k_stat GROUP BY 1, 2""",
+
+    // the recurrence repeats the new-cur expression (SQL cannot reference
+    // a same-SELECT alias); strict > keeps the FIRST maximal run's end day
+    "q_eng_kadane" -> {
+      val newCur = """CASE WHEN dd.delta > r.cur + dd.delta
+                           THEN dd.delta ELSE r.cur + dd.delta END"""
+      s"""WITH RECURSIVE daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT day, x - lag(x) OVER (ORDER BY day) AS delta,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         dd AS (SELECT i - 1 AS i, day, CAST(delta AS BIGINT) AS delta
+                FROM idx WHERE delta IS NOT NULL),
+         r AS (
+           SELECT i, delta AS cur, delta AS best, day AS bday
+           FROM dd WHERE i = 1
+           UNION ALL
+           SELECT dd.i, $newCur AS cur,
+                  CASE WHEN $newCur > r.best THEN $newCur
+                       ELSE r.best END AS best,
+                  CASE WHEN $newCur > r.best THEN dd.day
+                       ELSE r.bday END AS bday
+           FROM r JOIN dd ON dd.i = r.i + 1)
+         SELECT CAST(best AS BIGINT) AS best_run_cents,
+                CAST(bday AS VARCHAR) AS best_end_day
+         FROM r ORDER BY i DESC LIMIT 1"""
+    },
+
+    // HUGEINT moment algebra is exact; the int128→DOUBLE casts are single
+    // correctly-rounded conversions (scale 0 — no second ÷10^k rounding,
+    // the group_ols lesson), after which both engines run identical IEEE
+    "q_eng_partial_corr" ->
+      """WITH t AS (
+           SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+                  CAST(l_quantity AS BIGINT) AS y,
+                  CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS z
+           FROM lineitem),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(z) AS BIGINT) AS sz,
+                  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                  sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+                  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                  sum(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz,
+                  sum(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS syz
+           FROM t),
+         c AS (
+           SELECT n,
+                  CAST(CAST(n AS HUGEINT) * sxy -
+                       CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                    AS cxy,
+                  CAST(CAST(n AS HUGEINT) * sxz -
+                       CAST(sx AS HUGEINT) * CAST(sz AS HUGEINT) AS DOUBLE)
+                    AS cxz,
+                  CAST(CAST(n AS HUGEINT) * syz -
+                       CAST(sy AS HUGEINT) * CAST(sz AS HUGEINT) AS DOUBLE)
+                    AS cyz,
+                  CAST(CAST(n AS HUGEINT) * sxx -
+                       CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+                    AS cxx,
+                  CAST(CAST(n AS HUGEINT) * syy -
+                       CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                    AS cyy,
+                  CAST(CAST(n AS HUGEINT) * szz -
+                       CAST(sz AS HUGEINT) * CAST(sz AS HUGEINT) AS DOUBLE)
+                    AS czz
+           FROM m)
+         SELECT n, cxy / sqrt(cxx * cyy) AS r_xy,
+                (cxy * czz - cxz * cyz) /
+                sqrt((cxx * czz - cxz * cxz) * (cyy * czz - cyz * cyz))
+                  AS r_xy_given_z
+         FROM c""",
 
     "q_eng_mann_kendall" ->
       s"""WITH daily AS (

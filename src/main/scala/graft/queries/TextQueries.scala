@@ -385,6 +385,25 @@ object TextQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Simpson diversity index per source: D = Σ nᵢ(nᵢ−1) / (N(N−1)) over
+    // the unigram distribution — the probability two random tokens
+    // coincide (the concentration dual of entropy; low D = diverse
+    // vocabulary). Exact integer ppb through the wide path — nᵢ² sums are
+    // unbounded. One token shuffle; per-source rollup is vocabulary-sized
+    "q_text_simpson" -> ((s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(wide(col("c")) * wide(col("c") - 1L)).as("num"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          mulDivWide(col("num"), lit(1000000000L),
+            wide(col("n_tokens")) * wide(col("n_tokens") - 1L))
+            .as("simpson_ppb"))
+        .orderBy("source")
+    }),
+
     // winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     // token 3-gram, keep the MIN hash of each 4-window of consecutive
     // gram positions — guarantees any shared run of ≥ 6 tokens yields a
@@ -1516,6 +1535,28 @@ object TextQueries {
          FROM grid a JOIN grid b
            ON a.tok = b.tok AND a.source < b.source
          GROUP BY 1, 2 ORDER BY src_a, src_b""",
+
+    "q_text_simpson" ->
+      s"""WITH t AS (
+           SELECT source,
+                  CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\\s+') END
+                    AS toks
+           FROM documents),
+         x AS (SELECT source, unnest(toks) AS tok FROM t),
+         cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                 FROM x GROUP BY 1, 2),
+         agg AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS vocab,
+                  sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS num
+           FROM cnt GROUP BY 1)
+         SELECT source, n_tokens, vocab,
+                CAST(num * 1000000000 //
+                     (CAST(n_tokens AS HUGEINT) *
+                      CAST(n_tokens - 1 AS HUGEINT)) AS BIGINT)
+                  AS simpson_ppb
+         FROM agg ORDER BY source""",
 
     "q_text_winnow_pairs" ->
       """WITH t AS (
