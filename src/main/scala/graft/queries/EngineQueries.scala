@@ -1060,16 +1060,19 @@ object EngineQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
     }),
 
-    // plan-time set operators: customers ordering in BOTH 1994 and 1995
-    // (INTERSECT — hashed semi set op) minus those also ordering in 1996
-    // (EXCEPT — hashed anti set op); both stay partial-aggregated
+    // plan-time set operators: customers ordering in BOTH 1995 and 1996
+    // (INTERSECT — hashed semi set op) minus those also ordering in 1997
+    // (EXCEPT — hashed anti set op); both stay partial-aggregated.
+    // Years chosen inside the fixture's order-date domain
+    // (1995-01-01..2001-08-01) so every leg is non-empty — the r7 verdict
+    // flagged the old 1994 leg as empty-by-construction (vacuous gate).
     "q_eng_intersect_except" -> ((s, d) => {
       def custsIn(year: Int): DataFrame =
         Tables.orders(s, d)
           .where(org.apache.spark.sql.functions.year(
             col("o_orderdate").cast("timestamp")) === year)
           .select(col("o_custkey"))
-      custsIn(1994).intersect(custsIn(1995)).except(custsIn(1996))
+      custsIn(1995).intersect(custsIn(1996)).except(custsIn(1997))
         .orderBy("o_custkey")
     }),
 
@@ -1572,6 +1575,12 @@ object EngineQueries {
           }).as("r"))
         .select(col("r.best").as("best_run_cents"),
           col("r.bday").cast("string").as("best_end_day"))
+        // degenerate contract: a single distinct order day produces no
+        // deltas, the fold returns its (Long.MinValue, null) init, and
+        // the recursive-CTE oracle returns zero rows — drop the init row
+        // so both engines agree on empty output. A REAL best can never be
+        // Long.MinValue (deltas are bounded day-revenue differences).
+        .where(col("best_run_cents") =!= lit(Long.MinValue))
     }),
 
     // Partial correlation price↔quantity controlling for discount:
@@ -1693,6 +1702,13 @@ object EngineQueries {
       val extRow = slopes
         .agg(min(col("slope_micro")), max(col("slope_micro")), count(lit(1)))
         .head()
+      // degenerate contract (<2 distinct order days → zero slope pairs):
+      // the oracle's `WHERE rk = (m+1)//2` yields no rows, so return the
+      // same empty result instead of NPE-ing on the null min/max
+      if (extRow.isNullAt(0)) {
+        s.range(0).select(lit(0L).as("n_pairs"),
+          lit(0L).as("slope_micro_median"))
+      } else {
       val (lo, hi, m) = (extRow.getLong(0), extRow.getLong(1), extRow.getLong(2))
       val r1 = (m + 1) / 2
       var curLo = lo
@@ -1702,10 +1718,21 @@ object EngineQueries {
       var exactVal: Option[Long] = None
       var rounds = 0
       while (exactVal.isEmpty && cnt > 65536 && rounds < 8) {
-        val w = (curHi - curLo) / 1024L + 1L
+        // range width in BigInt: slope_micro can legally reach ±9.2e18
+        // (dx at the 9e12 fast-path bound with dd = 1), so hi − lo may
+        // exceed Long.MaxValue — a plain Long subtraction would wrap
+        // negative and silently corrupt the histogram
+        val span = BigInt(curHi) - BigInt(curLo)
+        val w = (span / 1024 + 1).toLong // ≤ 2^64/1024 + 1 — fits Long
+        // the bucket expression subtracts in DECIMAL(38,0) for the same
+        // reason (slope_micro − curLo can overflow Long in round 1);
+        // DIV on a non-negative decimal truncates == floors, matching
+        // the driver's boundary math below
         val hist = slopes
           .where(col("slope_micro") >= curLo && col("slope_micro") <= curHi)
-          .groupBy(expr(s"(slope_micro - ${curLo}L) DIV ${w}L").as("bkt"))
+          .groupBy(expr(
+            s"CAST((CAST(slope_micro AS DECIMAL(38,0)) - ${curLo}" +
+              s") DIV ${w} AS BIGINT)").as("bkt"))
           .agg(count(lit(1)).as("c"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         var k = 0L
@@ -1717,8 +1744,13 @@ object EngineQueries {
           if (before + c >= r1) { k = bk; ck = c; found = true }
           else before += c
         }
-        curLo = curLo + k * w
-        curHi = math.min(curHi, curLo + w - 1L)
+        // boundary math in BigInt too (k·w alone can exceed Long.Max even
+        // though the final clamped bounds always fit — they lie in
+        // [curLo, curHi] ⊆ the Long domain of slope_micro)
+        val newLo = BigInt(curLo) + BigInt(k) * BigInt(w)
+        val newHi = (newLo + BigInt(w) - 1).min(BigInt(curHi))
+        curLo = newLo.toLong
+        curHi = newHi.toLong
         cnt = ck
         if (w == 1L) exactVal = Some(curLo) // single-value bucket: done
         rounds += 1
@@ -1733,6 +1765,7 @@ object EngineQueries {
       }
       s.range(1).select(lit(m).as("n_pairs"),
         lit(median).as("slope_micro_median"))
+      }
     }),
 
     // gaps-and-islands dual of q_eng_order_gaps: longest streak of
@@ -1876,8 +1909,10 @@ object EngineQueries {
     // low-degree centers (deg ≤ 64) — the standard hub cap that bounds the
     // Σdeg² wedge blowup at scale (same df-cap discipline as the n-gram
     // dedup candidates); the Jaccard denominator keeps FULL degrees, so
-    // the score is a documented lower bound. Top-100 via
-    // TakeOrderedAndProject with a total-order tiebreak.
+    // the score is a documented lower bound. Support cn >= 2 (not 3): on
+    // this fixture no pair reaches 3 common low-hub neighbors at any SF,
+    // so the higher threshold made the gate vacuous (r7 verdict). Top-100
+    // via TakeOrderedAndProject with a total-order tiebreak.
     "q_eng_common_neighbors" -> ((s, d) => {
       val e = QueryCaches.memo(s, d, "tri_edges") {
         val op = Tables.lineitem(s, d)
@@ -1899,7 +1934,7 @@ object EngineQueries {
         .join(lowHub.as("b"), col("a.v") === col("b.v") && col("a.u") < col("b.u"))
         .groupBy(col("a.u").as("x"), col("b.u").as("y"))
         .agg(count(lit(1)).as("cn"))
-        .where(col("cn") >= 3)
+        .where(col("cn") >= 2)
       wedges
         .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
         .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
@@ -2637,11 +2672,11 @@ object EngineQueries {
                 (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after""",
 
     "q_eng_intersect_except" ->
-      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          INTERSECT
-         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
-         EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
          ORDER BY o_custkey""",
 
     "q_eng_monthly_trend" ->
@@ -3241,7 +3276,7 @@ object EngineQueries {
           wedges AS (
             SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS cn
             FROM lowhub a JOIN lowhub b ON a.v = b.v AND a.u < b.u
-            GROUP BY 1, 2 HAVING count(*) >= 3)
+            GROUP BY 1, 2 HAVING count(*) >= 2)
           SELECT w.x, w.y, w.cn,
                  ${graft.functions.WideDiv.sqlPpm(
                    "w.cn", "dx.deg + dy.deg - w.cn")} AS jaccard_ppm

@@ -387,8 +387,14 @@ object SimilarityQueries {
             .cast("long").as("cy"))
         val cells = pts.groupBy(col("cx"), col("cy"))
           .agg(count(lit(1)).as("n"))
+        // cell code packs (cx, cy) into one long with a 2^21 stride —
+        // injective for |cx|,|cy| < 2^20 (embedding dims within ±26214 at
+        // this 40× quantization; the old *1000 stride collided beyond
+        // ±12.5 and a collision would merge distant cells identically in
+        // engine AND oracle, invisible to the gate). Max code ≈ 2^42.
         val core = cells.where(col("n") >= 4)
-          .withColumn("cell", (col("cx") + 500L) * 1000L + col("cy") + 500L)
+          .withColumn("cell",
+            (col("cx") + 1048576L) * 2097152L + col("cy") + 1048576L)
         val edges = core.as("a").join(core.as("b"),
             abs(col("a.cx") - col("b.cx")) <= 1 &&
               abs(col("a.cy") - col("b.cy")) <= 1 &&
@@ -1035,7 +1041,8 @@ object SimilarityQueries {
            SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
            FROM pts GROUP BY 1, 2),
          core AS (
-           SELECT cx, cy, n, (cx + 500) * 1000 + cy + 500 AS cell
+           SELECT cx, cy, n,
+                  (cx + 1048576) * 2097152 + cy + 1048576 AS cell
            FROM cells WHERE n >= 4),
          e AS (
            SELECT a.cell AS src, b.cell AS dst

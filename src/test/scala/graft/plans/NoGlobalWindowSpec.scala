@@ -25,10 +25,13 @@ class NoGlobalWindowSpec extends SparkSpec {
       // round-7 eval wave: rank-sum statistics over the unbounded
       // distinct-score domain go through StableIds.rankAndCumSums, and the
       // calibration deciles through StableIds.withRank — never a global window
-      "q_eng_auc", "q_eng_ks_test", "q_eng_calibration",
-      // wave 4: the Theil–Sen median ranks the O(days²) slope table through
-      // StableIds.withRank, never a global row_number window
-      "q_eng_theil_sen")
+      "q_eng_auc", "q_eng_ks_test", "q_eng_calibration")
+      // q_eng_theil_sen is NOT in this list: its median comes from a
+      // driver-coordinated iterative range-refinement loop that runs
+      // eagerly inside the query builder, so the returned DataFrame is a
+      // 1-row literal — asserting on ITS plan would prove nothing. The
+      // dedicated test below asserts on the memoized slopes table (the
+      // only distributed plan the loop repeatedly scans) instead.
 
   for (q <- rewritten) test(s"$q: no unpartitioned window in the plan") {
     val df = SparkEntry.queries(q)(spark, sf)
@@ -37,6 +40,21 @@ class NoGlobalWindowSpec extends SparkSpec {
     }
     assert(bad.isEmpty,
       s"$q plans ${bad.size} global-ORDER-BY window(s) — single-task at scale")
+  }
+
+  test("q_eng_theil_sen: slopes table (the plan its refinement loop scans) " +
+      "has no unpartitioned window") {
+    // running the query populates the (session, sf, "theil_sen_slopes")
+    // memo; fetching the same key afterwards returns the identical cached
+    // instance without invoking the build block
+    SparkEntry.queries("q_eng_theil_sen")(spark, sf).collect()
+    val slopes = graft.queries.QueryCaches.memo(spark, sf, "theil_sen_slopes") {
+      fail("memo should already hold the slopes table")
+    }
+    val bad = slopes.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"slopes table plans ${bad.size} global window(s)")
   }
 
   test("q_eng_rfm quintiles match ntile(5) window semantics") {

@@ -109,7 +109,8 @@ class Wave4SemanticsSpec extends SparkSpec {
       .collect().toSeq.map(r => (r.getLong(1), r.getLong(2)))
     val cellCounts = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val core = cellCounts.filter(_._2 >= 4).keys.toSeq
-    def code(c: (Long, Long)): Long = (c._1 + 500) * 1000 + c._2 + 500
+    def code(c: (Long, Long)): Long =
+      (c._1 + 1048576L) * 2097152L + c._2 + 1048576L
     // naive union-find over 8-adjacency
     val parent = scala.collection.mutable.Map(core.map(c => c -> c): _*)
     def find(c: (Long, Long)): (Long, Long) =

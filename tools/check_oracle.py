@@ -58,6 +58,11 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     s, o = canon(spark_df), canon(oracle_df)
     if list(s.columns) != list(o.columns):
         return f"SCHEMA MISMATCH spark={list(s.columns)} oracle={list(o.columns)}"
+    # A 0-row bilateral match proves nothing about the query's formula —
+    # the r7 verdict found two gate rows passing vacuously for rounds.
+    # Surface it as its own status (counted as FAIL) so it can't recur.
+    if len(s) == 0 and len(o) == 0:
+        return "VACUOUS (0 rows on both engines — formula never exercised)"
     # the driver's gate hashes stringified values, so int64 vs float64 drift
     # ("6" vs "6.0") fails there even when numerically equal — e.g. a DuckDB
     # HUGEINT (sum(BIGINT), uncast) converting to float64 in pandas. Catch the
