@@ -66,6 +66,14 @@ object DedupQueries {
         .select("ida", "idb", "sig_matches", "jac")
     }
 
+  /** Memoized min-label components over the verified MinHash pair graph —
+    * q_dedup_clusters and the cross-modal consistency join
+    * (MultimodalQueries) read the identical table. */
+  private[queries] def textClusterTable(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "text_cluster_table") {
+      Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
+    }
+
   /** Memoized connected components over the cosine near-dup graph —
     * q_dedup_embed_clusters and q_dedup_semdedup_keep run the identical
     * min-label propagation, so they share one materialization. */
@@ -88,8 +96,7 @@ object DedupQueries {
     // pair graph → connected components: the "keep one per cluster" step;
     // iterative min-label propagation, oracle = DuckDB recursive CTE
     "q_dedup_clusters" -> ((s, d) =>
-      Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
-        .orderBy("doc_id")),
+      textClusterTable(s, d).orderBy("doc_id")),
 
     // n-gram Jaccard via inverted-index join with a document-frequency
     // cutoff on the candidate stage (df <= MaxDf): hot stop-shingles cannot
@@ -360,8 +367,10 @@ object DedupQueries {
          FROM sh)"""
 
   /** Shared recursive chain: LSH candidates → Jaccard-verified pairs →
-    * transitive closure → `cl(doc_id, cluster_id)` (min reachable id). */
-  private val clustersCte =
+    * transitive closure → `cl(doc_id, cluster_id)` (min reachable id).
+    * `private[queries]`: the cross-modal oracle (MultimodalQueries)
+    * composes it with the image-cluster chain. */
+  private[queries] val clustersCte =
     s"""${shCte.replaceFirst("WITH", "WITH RECURSIVE")},
         $sigCte,
         bands AS (

@@ -1943,6 +1943,34 @@ object EngineQueries {
             .as("jaccard_ppm"))
         .orderBy(desc("jaccard_ppm"), col("x"), col("y"))
         .limit(100)
+    }),
+
+    // CEP sequence detection, batch twin gated cross-engine (r7 ask #3):
+    // greedy-earliest NON-OVERLAPPING view→click→purchase per user within
+    // a 3-day span, run through PatternMatch.detectBatch — the same fold
+    // the streaming flatMapGroupsWithState path executes (randomized
+    // stream/batch parity specs anchor the stream side to this one). The
+    // oracle replays the fold as a per-user recursive CTE stepping one
+    // event at a time. Non-pattern event types are ignored by the fold
+    // (not resets), so pre-filtering to the three stage types is
+    // semantics-preserving and bounds the recursion depth. Output in
+    // epoch-millis BIGINTs: both engines floor micros→millis identically
+    // for post-1970 timestamps (Timestamp.getTime / epoch_ms), and the
+    // fixture has no same-user same-millisecond ties at any SF, so the
+    // ts-only sort is total.
+    "q_eng_funnel_sequence" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.SessionEvent]
+      graft.streaming.PatternMatch
+        .detectBatch(ev, Seq("view", "click", "purchase"),
+          maxSpanMs = 259200000L)
+        .toDF()
+        .select(col("user_id"), unix_millis(col("start_ts")).as("start_ms"),
+          unix_millis(col("end_ts")).as("end_ms"), col("span_ms"))
+        .orderBy("user_id", "start_ms")
     })
   )
 
@@ -3284,6 +3312,49 @@ object EngineQueries {
           JOIN deg dx ON dx.n = w.x
           JOIN deg dy ON dy.n = w.y
           ORDER BY jaccard_ppm DESC, w.x, w.y
-          LIMIT 100"""
+          LIMIT 100""",
+
+    // recursive-CTE replay of PatternMatch.detectBatch's greedy fold: one
+    // recursion step per (user, event index). `eff` = the partial's stage
+    // AFTER span expiry (expiry runs before matching, exactly like the
+    // Scala fold); a completed match emits (hit_start, hit_end) on the
+    // step row and resets to stage 0.
+    "q_eng_funnel_sequence" -> {
+      val span = 259200000L
+      val eff = s"CASE WHEN s.stage > 0 AND e.t - s.start_ms > $span " +
+        "THEN 0 ELSE s.stage END"
+      val effStart = s"CASE WHEN s.stage > 0 AND e.t - s.start_ms > $span " +
+        "THEN NULL ELSE s.start_ms END"
+      val done = s"($eff) = 2 AND e.event_type = 'purchase'"
+      s"""WITH RECURSIVE ev AS (
+           SELECT user_id, epoch_ms(ts) AS t, event_type,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                    AS BIGINT) AS i
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         n AS (SELECT user_id FROM ev GROUP BY 1),
+         step AS (
+           SELECT user_id, CAST(1 AS BIGINT) AS i, 0 AS stage,
+                  CAST(NULL AS BIGINT) AS start_ms,
+                  CAST(NULL AS BIGINT) AS hit_start,
+                  CAST(NULL AS BIGINT) AS hit_end
+           FROM n
+           UNION ALL
+           SELECT s.user_id, s.i + 1,
+                  CASE WHEN $done THEN 0
+                       WHEN ($eff) = 0 AND e.event_type = 'view' THEN 1
+                       WHEN ($eff) = 1 AND e.event_type = 'click' THEN 2
+                       ELSE ($eff) END AS stage,
+                  CASE WHEN $done THEN NULL
+                       WHEN ($eff) = 0 AND e.event_type = 'view' THEN e.t
+                       ELSE ($effStart) END AS start_ms,
+                  CASE WHEN $done THEN ($effStart) END AS hit_start,
+                  CASE WHEN $done THEN e.t END AS hit_end
+           FROM step s JOIN ev e ON e.user_id = s.user_id AND e.i = s.i)
+         SELECT user_id, hit_start AS start_ms, hit_end AS end_ms,
+                hit_end - hit_start AS span_ms
+         FROM step WHERE hit_end IS NOT NULL
+         ORDER BY user_id, start_ms"""
+    }
   )
 }

@@ -16,6 +16,16 @@ object MultimodalQueries {
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaTable(Tables.documents(s, d))
 
+  /** Memoized image near-dup components (min-label over the verified
+    * phash pair graph) — q_mm_phash_clusters and the cross-modal
+    * consistency join read the identical table. */
+  private def phashClusterTable(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "phash_cluster_table") {
+      graft.dedup.Dedup.duplicateClusters(
+        Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3),
+        col("ida"), col("idb"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // typed mapPartitions decode (stub codec) → per-item features
     "q_mm_decode_features" -> ((s, d) =>
@@ -96,12 +106,33 @@ object MultimodalQueries {
     // phash pair graph — "keep one per cluster" for the image modality,
     // reusing the text-dedup min-label propagation (oracle = recursive CTE)
     "q_mm_phash_clusters" -> ((s, d) =>
-      graft.dedup.Dedup.duplicateClusters(
-          Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3),
-          col("ida"), col("idb"))
+      phashClusterTable(s, d)
         .select(col("doc_id").as("media_id"), col("cluster_id"))
         .orderBy("media_id"))
         ,
+
+    // cross-modal consistency join (r7 ask #7): text near-dup clusters
+    // (MinHash chain) ⋈ image near-dup clusters (pHash chain) on
+    // doc_id = media_id — per TEXT cluster, how many members carry an
+    // image-cluster assignment and how many DISTINCT image clusters they
+    // span. Text-dup docs whose images scatter across many image
+    // clusters are the mislabeled/mismatched-media signal a multimodal
+    // curation pipeline filters on. Both cluster tables are memoized;
+    // the join is a plain equi-join on the id, aggregates on the
+    // cluster key — no new shuffle shape at scale.
+    "q_mm_crossmodal_clusters" -> ((s, d) => {
+      val txt = DedupQueries.textClusterTable(s, d)
+        .select(col("cluster_id").as("text_cluster"), col("doc_id"))
+      val img = phashClusterTable(s, d)
+        .select(col("doc_id").as("media_id"),
+          col("cluster_id").as("img_cluster"))
+      txt.join(img, col("doc_id") === col("media_id"), "left")
+        .groupBy(col("text_cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("img_cluster")).as("n_imaged"),
+          countDistinct(col("img_cluster")).as("n_img_clusters"))
+        .orderBy("text_cluster")
+    }),
 
     // scene-change boundaries: lag window over per-video frame signature
     // sequences, 60-bit hamming delta over threshold → boundary
@@ -541,6 +572,53 @@ object MultimodalQueries {
           SELECT media_id, lap_energy,
                  CASE WHEN lap_energy < 150000 THEN 'blurry'
                       ELSE 'sharp' END AS focus
-          FROM l ORDER BY media_id"""
+          FROM l ORDER BY media_id""",
+
+    // composed oracle: DedupQueries' text-cluster recursive chain
+    // (`cl(doc_id, cluster_id)`) + an i-prefixed replay of the
+    // image-cluster chain (renamed to dodge the shared p/edges/reach CTE
+    // names), joined exactly like the Spark side. Two recursive CTEs in
+    // one WITH RECURSIVE clause is legal DuckDB.
+    "q_mm_crossmodal_clusters" ->
+      s"""${DedupQueries.clustersCte},
+          mm AS (
+            SELECT doc_id AS media_id, md5(text) AS h,
+                   (['image','audio','video'])[(doc_id % 3) + 1] AS media_type
+            FROM documents),
+          ib AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                     i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS bytes
+            FROM mm WHERE media_type = 'image'),
+          it AS (
+            SELECT media_id, bytes,
+                   list_reduce(list_prepend(0::BIGINT, bytes), (a, b) -> a + b) AS total
+            FROM ib),
+          iph AS (
+            SELECT media_id,
+                   CAST(list_reduce(list_prepend(0::BIGINT,
+                     [CASE WHEN bytes[i+1] * 16 > total THEN (1::BIGINT << i)
+                           ELSE 0::BIGINT END for i in range(0, 16)]),
+                     (a, b) -> a + b) AS BIGINT) AS phash
+            FROM it),
+          ip AS (SELECT a.media_id AS ida, b.media_id AS idb
+                 FROM iph a JOIN iph b ON a.media_id < b.media_id
+                 WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+          iedges AS (SELECT ida AS a, idb AS b FROM ip
+                     UNION ALL SELECT idb, ida FROM ip),
+          ireach AS (
+            SELECT DISTINCT a AS id, a AS r FROM iedges
+            UNION
+            SELECT e.a AS id, ireach.r FROM iedges e JOIN ireach ON e.b = ireach.id),
+          icl AS (SELECT id AS media_id, min(r) AS cluster_id
+                  FROM ireach GROUP BY 1),
+          members AS (
+            SELECT cl.cluster_id AS text_cluster, cl.doc_id,
+                   icl.cluster_id AS img_cluster
+            FROM cl LEFT JOIN icl ON icl.media_id = cl.doc_id)
+          SELECT text_cluster, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(img_cluster) AS BIGINT) AS n_imaged,
+                 CAST(count(DISTINCT img_cluster) AS BIGINT) AS n_img_clusters
+          FROM members GROUP BY 1 ORDER BY text_cluster"""
   )
 }

@@ -229,6 +229,45 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // tokenizer-aware pack-and-shuffle EPOCH ASSEMBLER (r7 ask #7): the
+    // full pretraining batch-assembly composition in one operator chain —
+    //   1. leakage-free split on the CONTENT group (split bucket keyed on
+    //      md5(text), so byte-identical docs land in one split),
+    //   2. per-epoch deterministic shuffle: order key = md5("epoch<e>:" ||
+    //      doc_id) ++ zero-padded doc_id (the pad makes the key unique, so
+    //      the layout is total-order deterministic — no RNG state, any
+    //      executor count replays it),
+    //   3. Packing.packByBudget lays the shuffled stream into 512-token
+    //      bins (range-partitioned prefix sums — no global window),
+    //   4. manifest row per (epoch, bin): doc count, token mass, and the
+    //      md5 of the doc_id sequence in pack order — the artifact a
+    //      trainer consumes and the oracle verifies byte-for-byte.
+    "q_text_epoch_manifest" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          graft.text.TextFunctions.splitBucket(md5(col("text"))).as("bucket"))
+        .where(col("bucket") < 80)
+        .drop("bucket")
+      val perEpoch = (0L to 1L).map { e =>
+        val keyed = base.withColumn("okey",
+          concat(md5(concat(lit(s"epoch$e:"), col("doc_id").cast("string"))),
+            lpad(col("doc_id").cast("string"), 12, "0")))
+        graft.operators.Packing.packByBudget(keyed, col("okey"),
+            col("n_tokens"), budget = 512L)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("okey"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), ","))
+              .as("manifest_md5"))
+          .withColumn("epoch", lit(e))
+      }
+      perEpoch.reduce(_ unionByName _)
+        .select("epoch", "bin", "n_docs", "total_tokens", "manifest_md5")
+        .orderBy("epoch", "bin")
+    }),
+
     // term burstiness (Church–Gale): variance-to-mean ratio of per-doc
     // counts over ALL docs (zeros included via the closed form
     // (N·Σc² − (Σc)²)/(N·Σc)) — bursty terms concentrate in few docs,
@@ -1391,6 +1430,38 @@ object TextQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
          FROM b GROUP BY 1 ORDER BY bin""",
+
+    "q_text_epoch_manifest" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS n_tokens,
+                  CAST('0x' || substr(md5(md5(text)), 1, 4) AS BIGINT) % 100
+                    AS bucket
+           FROM documents),
+         tr AS (SELECT doc_id, n_tokens FROM base WHERE bucket < 80),
+         k AS (
+           SELECT t.e, doc_id, n_tokens,
+                  md5('epoch' || CAST(t.e AS VARCHAR) || ':' ||
+                      CAST(doc_id AS VARCHAR)) ||
+                    lpad(CAST(doc_id AS VARCHAR), 12, '0') AS okey
+           FROM tr CROSS JOIN (SELECT * FROM (VALUES (0), (1)) AS v(e)) t),
+         p AS (
+           SELECT e, doc_id, n_tokens, okey,
+                  coalesce(sum(n_tokens) OVER
+                    (PARTITION BY e ORDER BY okey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS pfx
+           FROM k),
+         b AS (SELECT e, doc_id, n_tokens, okey,
+                      CAST(pfx // 512 AS BIGINT) AS bin FROM p)
+         SELECT CAST(e AS BIGINT) AS epoch, bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY okey))
+                  AS manifest_md5
+         FROM b GROUP BY 1, 2 ORDER BY epoch, bin""",
 
     "q_text_burstiness" ->
       """WITH t AS (

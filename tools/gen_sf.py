@@ -23,8 +23,20 @@ Correctness at the new scale is still engine-vs-engine on the SAME parquet
 generator is not required — only schema fidelity (preserved exactly via
 pyarrow) and non-degenerate value distributions (preserved by replication).
 
-Usage: python3 tools/gen_sf.py <srcDir> <dstDir> [copies=10]
+With --mutate, document texts in copies > 0 are perturbed instead of
+copied verbatim: ~10% of whitespace tokens get a content-hash-seeded
+suffix (deterministic per (text, copy)), which drops cross-copy shingle
+Jaccard well below the 0.8 dedup threshold and re-randomizes the
+md5-derived multimodal payloads. Verbatim replication makes pair-output
+queries output-bound (audio_fp_pairs grew 9,416x at sf1 — unreadable as
+a plan-scaling signal); the mutate run is the complementary fixture where
+pair outputs scale ~linearly and super-linear time IS a plan smell.
+n_chars is recomputed so the n_chars == length(text) fixture invariant
+holds for mutated rows.
+
+Usage: python3 tools/gen_sf.py <srcDir> <dstDir> [copies=10] [--mutate]
 """
+import hashlib
 import os
 import sys
 
@@ -90,9 +102,38 @@ def jitter_embeddings(table, copy_idx):
     return table.set_column(idx, table.schema.field(idx), new_emb)
 
 
+def mutate_documents(table, copy_idx):
+    """Content-hash-seeded token perturbation (copies > 0): ~10% of tokens
+    get a deterministic suffix, killing cross-copy near-dup matches."""
+    if copy_idx == 0:
+        return table
+    texts = table.column("text").to_pylist()
+    out = []
+    for t in texts:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+        rng = np.random.RandomState((h ^ (SEED + copy_idx * 0x9E3779))
+                                    % (2 ** 32))
+        toks = t.split(" ")
+        k = max(1, len(toks) // 10)
+        for i in rng.choice(len(toks), size=min(k, len(toks)),
+                            replace=False):
+            toks[i] = f"{toks[i]}x{rng.randint(0, 1296):x}"
+        out.append(" ".join(toks))
+    for col, vals in (("text", pa.array(out, type=table.schema
+                                        .field("text").type)),
+                      ("n_chars", pa.array([len(s) for s in out],
+                                           type=table.schema
+                                           .field("n_chars").type))):
+        idx = table.schema.get_field_index(col)
+        table = table.set_column(idx, table.schema.field(idx), vals)
+    return table
+
+
 def main():
-    src, dst = sys.argv[1], sys.argv[2]
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    argv = [a for a in sys.argv[1:] if a != "--mutate"]
+    mutate = "--mutate" in sys.argv
+    src, dst = argv[0], argv[1]
+    copies = int(argv[2]) if len(argv) > 2 else 10
     os.makedirs(dst, exist_ok=True)
     strides = domain_strides(src)
     print(f"strides: {strides}")
@@ -107,6 +148,8 @@ def main():
             c = shifted_copy(t, name, i, strides)
             if name == "embeddings":
                 c = jitter_embeddings(c, i)
+            if mutate and name == "documents":
+                c = mutate_documents(c, i)
             parts.append(c)
         out = pa.concat_tables(parts)
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
