@@ -1687,84 +1687,20 @@ object EngineQueries {
               .otherwise(mulDivWideSigned(col("dx"), lit(1000000L), col("dd")))
               .as("slope_micro"))
       }
-      // Exact rank selection by ITERATIVE RANGE REFINEMENT (the classic
-      // distributed exact-median loop): each round is one full-parallel
-      // 1024-bucket histogram over the cached slope table, the driver walks
-      // the ≤1025-row histogram (metadata-scale, the Packing discipline) to
-      // the bucket holding rank r1, and the value range narrows 1024× per
-      // round — ≤7 rounds for the full int64 domain. A single fixed
-      // bucketing is NOT enough here: pairwise slopes are violently
-      // fat-tailed (probed at sf0.1: 81% of 2.9M slopes in one of 1024
-      // range buckets), so one-shot bucket-pruning still funnels millions
-      // of rows through the final single-bucket rank window. Refinement
-      // exits when the candidate range is one value (answer is direct) or
-      // few enough rows that the final rank window is a single small task.
-      val extRow = slopes
-        .agg(min(col("slope_micro")), max(col("slope_micro")), count(lit(1)))
-        .head()
-      // degenerate contract (<2 distinct order days → zero slope pairs):
-      // the oracle's `WHERE rk = (m+1)//2` yields no rows, so return the
-      // same empty result instead of NPE-ing on the null min/max
-      if (extRow.isNullAt(0)) {
-        s.range(0).select(lit(0L).as("n_pairs"),
-          lit(0L).as("slope_micro_median"))
-      } else {
-      val (lo, hi, m) = (extRow.getLong(0), extRow.getLong(1), extRow.getLong(2))
-      val r1 = (m + 1) / 2
-      var curLo = lo
-      var curHi = hi
-      var before = 0L
-      var cnt = m
-      var exactVal: Option[Long] = None
-      var rounds = 0
-      while (exactVal.isEmpty && cnt > 65536 && rounds < 8) {
-        // range width in BigInt: slope_micro can legally reach ±9.2e18
-        // (dx at the 9e12 fast-path bound with dd = 1), so hi − lo may
-        // exceed Long.MaxValue — a plain Long subtraction would wrap
-        // negative and silently corrupt the histogram
-        val span = BigInt(curHi) - BigInt(curLo)
-        val w = (span / 1024 + 1).toLong // ≤ 2^64/1024 + 1 — fits Long
-        // the bucket expression subtracts in DECIMAL(38,0) for the same
-        // reason (slope_micro − curLo can overflow Long in round 1);
-        // DIV on a non-negative decimal truncates == floors, matching
-        // the driver's boundary math below
-        val hist = slopes
-          .where(col("slope_micro") >= curLo && col("slope_micro") <= curHi)
-          .groupBy(expr(
-            s"CAST((CAST(slope_micro AS DECIMAL(38,0)) - ${curLo}" +
-              s") DIV ${w} AS BIGINT)").as("bkt"))
-          .agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        var k = 0L
-        var ck = 0L
-        var found = false
-        val it = hist.iterator
-        while (it.hasNext && !found) {
-          val (bk, c) = it.next()
-          if (before + c >= r1) { k = bk; ck = c; found = true }
-          else before += c
-        }
-        // boundary math in BigInt too (k·w alone can exceed Long.Max even
-        // though the final clamped bounds always fit — they lie in
-        // [curLo, curHi] ⊆ the Long domain of slope_micro)
-        val newLo = BigInt(curLo) + BigInt(k) * BigInt(w)
-        val newHi = (newLo + BigInt(w) - 1).min(BigInt(curHi))
-        curLo = newLo.toLong
-        curHi = newHi.toLong
-        cnt = ck
-        if (w == 1L) exactVal = Some(curLo) // single-value bucket: done
-        rounds += 1
-      }
-      val median = exactVal.getOrElse {
-        // ≤65536 surviving candidates (loop exit bound): sort driver-side
-        // — half a MB of longs, metadata-scale like the histograms above
-        val cand = slopes
-          .where(col("slope_micro") >= curLo && col("slope_micro") <= curHi)
-          .collect().map(_.getLong(0)).sorted
-        cand((r1 - before - 1L).toInt)
-      }
-      s.range(1).select(lit(m).as("n_pairs"),
-        lit(median).as("slope_micro_median"))
+      // Exact lower-median by iterative range refinement — extracted to
+      // operators.RankSelect (overflow-hardened BigInt/DECIMAL(38)
+      // arithmetic, spec-tested at Long-domain extremes). Degenerate
+      // contract: <2 distinct order days → zero slope pairs → the
+      // oracle's `WHERE rk = (m+1)//2` yields no rows, so return the
+      // same empty result.
+      graft.operators.RankSelect
+        .exactLowerMedian(slopes, col("slope_micro")) match {
+        case None =>
+          s.range(0).select(lit(0L).as("n_pairs"),
+            lit(0L).as("slope_micro_median"))
+        case Some((m, median)) =>
+          s.range(1).select(lit(m).as("n_pairs"),
+            lit(median).as("slope_micro_median"))
       }
     }),
 
