@@ -30,7 +30,17 @@ def main():
             rec["check"] = "rows_only"
         if not ok:
             rec["err"] = detail
-        if detail.startswith("SCHEMA MISMATCH"):
+        if detail.startswith("VACUOUS"):
+            # both engines agree on EMPTY output: schema/rows/hash all
+            # technically match, but the row proves nothing about the
+            # formula — record it as its own status so the artifact is
+            # honest about evidence strength (e.g. df-capped dedup
+            # candidates saturate under the sf1 fixture's 10x verbatim
+            # replication and legitimately go empty at that scale)
+            rec.update({"rows_match": True, "schema_match": True,
+                        "hash_match": True, "check": "vacuous",
+                        "err": detail})
+        elif detail.startswith("SCHEMA MISMATCH"):
             rec["rows_match"] = rec["hash_match"] = False
         elif detail.startswith("ROWCOUNT MISMATCH"):
             rec["schema_match"] = True
