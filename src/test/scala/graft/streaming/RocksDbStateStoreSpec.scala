@@ -78,6 +78,38 @@ class RocksDbStateStoreSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("CEP sequence detection (PatternMatch) is provider-agnostic") {
+    bothProviders("rocks_cep") { q =>
+      val mem = MemoryStream[SessionEvent](spark)
+      val query = PatternMatch.detect(
+          mem.toDS().withWatermark("ts", "0 seconds").as[SessionEvent],
+          Seq("a", "b", "c"), maxSpanMs = 10L * 60 * 1000)
+        .writeStream.format("memory").queryName(q).outputMode("append").start()
+      mem.addData(
+        // user 1: full match inside span
+        SessionEvent(1L, ts("2024-01-01 08:00:00"), "a"),
+        SessionEvent(1L, ts("2024-01-01 08:02:00"), "b"),
+        SessionEvent(1L, ts("2024-01-01 08:04:00"), "c"),
+        // user 2: span expires between b and c, then a fresh partial
+        SessionEvent(2L, ts("2024-01-01 08:00:00"), "a"),
+        SessionEvent(2L, ts("2024-01-01 08:05:00"), "b"),
+        SessionEvent(2L, ts("2024-01-01 08:30:00"), "a"),
+        SessionEvent(2L, ts("2024-01-01 08:31:00"), "b"),
+        SessionEvent(2L, ts("2024-01-01 08:32:00"), "c"),
+        // user 3: ignored event types between stages, still matches
+        SessionEvent(3L, ts("2024-01-01 08:00:00"), "a"),
+        SessionEvent(3L, ts("2024-01-01 08:01:00"), "noise"),
+        SessionEvent(3L, ts("2024-01-01 08:02:00"), "b"),
+        SessionEvent(3L, ts("2024-01-01 08:03:00"), "c"))
+      query.processAllAvailable()
+      mem.addData(SessionEvent(99L, ts("2030-01-01 00:00:00"), "noise"))
+      query.processAllAvailable()
+      val out = spark.table(q).collect().toSet
+      query.stop()
+      out
+    }
+  }
+
   test("rate limiting (flatMapGroupsWithState + event-time timeout) is provider-agnostic") {
     bothProviders("rocks_rate") { q =>
       val mem = MemoryStream[RateEvent](spark)
