@@ -424,6 +424,13 @@ object MultimodalQueries {
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
           ORDER BY ida, idb""",
 
+    // The closure runs over DISTINCT PHASH VALUES, not images: images with
+    // equal hashes are one node (Hamming 0), a value with ≥2 images
+    // self-edges so its clique participates, and the component's cluster
+    // id = min media_id over its values' minids — provably identical to
+    // the image-level reach, but bounded by the 16-bit hash space instead
+    // of Σcomponent² image pairs (which explodes to 10^8+ reach rows under
+    // the sf1 fixture's 10x verbatim payload replication).
     "q_mm_phash_clusters" ->
       s"""${bytesCte.replaceFirst("WITH", "WITH RECURSIVE")},
           b AS (
@@ -442,17 +449,25 @@ object MultimodalQueries {
                            ELSE 0::BIGINT END for i in range(0, 16)]),
                      (a, b) -> a + b) AS BIGINT) AS phash
             FROM t),
-          p AS (SELECT a.media_id AS ida, b.media_id AS idb
-                FROM ph a JOIN ph b ON a.media_id < b.media_id
-                WHERE bit_count(xor(a.phash, b.phash)) <= 3),
-          edges AS (SELECT ida AS a, idb AS b FROM p
-                    UNION ALL SELECT idb, ida FROM p),
-          reach AS (
-            SELECT DISTINCT a AS id, a AS r FROM edges
+          vals AS (SELECT phash AS v, CAST(count(*) AS BIGINT) AS cnt,
+                          min(media_id) AS minid
+                   FROM ph GROUP BY 1),
+          vedges AS (
+            SELECT a.v AS x, b.v AS y FROM vals a JOIN vals b
+              ON a.v <> b.v AND bit_count(xor(a.v, b.v)) <= 3
+            UNION ALL
+            SELECT v, v FROM vals WHERE cnt >= 2),
+          vreach AS (
+            SELECT DISTINCT x AS id, x AS r FROM vedges
             UNION
-            SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
-          SELECT id AS media_id, min(r) AS cluster_id
-          FROM reach GROUP BY 1 ORDER BY 1""",
+            SELECT e.x AS id, vreach.r FROM vedges e
+            JOIN vreach ON e.y = vreach.id),
+          vcl AS (SELECT vr.id AS v, min(w.minid) AS cluster_id
+                  FROM vreach vr JOIN vals w ON w.v = vr.r
+                  GROUP BY 1)
+          SELECT ph.media_id, vcl.cluster_id
+          FROM ph JOIN vcl ON vcl.v = ph.phash
+          ORDER BY 1""",
 
     "q_mm_scene_changes" ->
       s"""$bytesCte,
@@ -601,17 +616,24 @@ object MultimodalQueries {
                            ELSE 0::BIGINT END for i in range(0, 16)]),
                      (a, b) -> a + b) AS BIGINT) AS phash
             FROM it),
-          ip AS (SELECT a.media_id AS ida, b.media_id AS idb
-                 FROM iph a JOIN iph b ON a.media_id < b.media_id
-                 WHERE bit_count(xor(a.phash, b.phash)) <= 3),
-          iedges AS (SELECT ida AS a, idb AS b FROM ip
-                     UNION ALL SELECT idb, ida FROM ip),
-          ireach AS (
-            SELECT DISTINCT a AS id, a AS r FROM iedges
+          ivals AS (SELECT phash AS v, CAST(count(*) AS BIGINT) AS cnt,
+                           min(media_id) AS minid
+                    FROM iph GROUP BY 1),
+          ivedges AS (
+            SELECT a.v AS x, b.v AS y FROM ivals a JOIN ivals b
+              ON a.v <> b.v AND bit_count(xor(a.v, b.v)) <= 3
+            UNION ALL
+            SELECT v, v FROM ivals WHERE cnt >= 2),
+          ivreach AS (
+            SELECT DISTINCT x AS id, x AS r FROM ivedges
             UNION
-            SELECT e.a AS id, ireach.r FROM iedges e JOIN ireach ON e.b = ireach.id),
-          icl AS (SELECT id AS media_id, min(r) AS cluster_id
-                  FROM ireach GROUP BY 1),
+            SELECT e.x AS id, ivreach.r FROM ivedges e
+            JOIN ivreach ON e.y = ivreach.id),
+          ivcl AS (SELECT vr.id AS v, min(w.minid) AS cluster_id
+                   FROM ivreach vr JOIN ivals w ON w.v = vr.r
+                   GROUP BY 1),
+          icl AS (SELECT iph.media_id, ivcl.cluster_id
+                  FROM iph JOIN ivcl ON ivcl.v = iph.phash),
           members AS (
             SELECT cl.cluster_id AS text_cluster, cl.doc_id,
                    icl.cluster_id AS img_cluster
