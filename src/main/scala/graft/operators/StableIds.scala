@@ -69,6 +69,54 @@ object StableIds {
     * BOTH classes in one score order; funneling the score domain through a
     * single window partition twice is the exact anti-pattern this avoids.
     * The metadata job moves k+1 longs per partition to the driver. */
+  /** Inclusive global running MAX of each `valueCol` (LongType) in
+    * `orderCols` order — the scalable form of
+    * `max() OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`.
+    *
+    * The motivating use is event-time lateness measurement over an
+    * arrival-ordered stream (running max of event time vs each event's own
+    * time = how stale the event was on arrival — the statistic a streaming
+    * watermark is sized from), where the arrival order spans the whole
+    * corpus and a global window would funnel it through one task. Same
+    * two-phase shape as [[rankAndCumSums]]: range-partition + in-partition
+    * sort on ONE materialized RDD, a metadata job collecting the
+    * per-partition max (k longs per partition to the driver), exclusive
+    * prefix maxes seeded with Long.MinValue, then a map-side scan. */
+  def runningMaxes(df: DataFrame, orderCols: Seq[Column],
+                   valueCols: Seq[(String, String)]): DataFrame = {
+    for (c <- valueCols.map(_._2))
+      require(!df.columns.contains(c), s"column '$c' already exists")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = valueCols.map { case (v, _) => sorted.schema.fieldIndex(v) }
+    val k = vIdx.length
+    val rdd = sorted.rdd
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = Array.fill(k)(Long.MinValue)
+      it.foreach { r =>
+        var j = 0
+        while (j < k) { m(j) = math.max(m(j), r.getLong(vIdx(j))); j += 1 }
+      }
+      Iterator((pid, m.toSeq))
+    }.collect().sortBy(_._1)
+    // exclusive prefix max per partition (what all EARLIER partitions saw)
+    val maxOff = Array.tabulate(k) { j =>
+      stats.map(_._2(j)).scanLeft(Long.MinValue)(math.max)
+    }
+    val outSchema = StructType(sorted.schema.fields ++
+      valueCols.map { case (_, c) => StructField(c, LongType, nullable = false) })
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = Array.tabulate(k)(j => maxOff(j)(pid))
+      it.map { r =>
+        var j = 0
+        while (j < k) { run(j) = math.max(run(j), r.getLong(vIdx(j))); j += 1 }
+        Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   def rankAndCumSums(df: DataFrame, orderCols: Seq[Column],
                      valueCols: Seq[(String, String)],
                      rankCol: String = "rank"): DataFrame = {

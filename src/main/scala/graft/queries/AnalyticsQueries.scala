@@ -794,6 +794,79 @@ object AnalyticsQueries {
         .select(col("node").as("part_id"), col("auth_ppm"), col("hub_ppm"))
         .orderBy(col("auth_ppm").desc, col("part_id"))
         .limit(20)
+    }),
+
+    // Event-time lateness audit over ARRIVAL order (event_id): late =
+    // inclusive running max of event time minus the event's own time — the
+    // out-of-orderness statistic a streaming watermark is sized from (a
+    // watermark of W ms drops exactly the events with late > W, so the
+    // per-type tail of this histogram IS the watermark decision). The
+    // running max runs through StableIds.runningMaxes — a range-partitioned
+    // two-phase prefix scan, never `max() OVER (ORDER BY …)`, which would
+    // funnel the whole corpus through one window task. The log2 bucket
+    // (bit length of the millisecond lateness) keeps the histogram to
+    // ~40 rows per type at any scale.
+    "q_eng_event_lateness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      graft.operators.StableIds.runningMaxes(ev, Seq(col("event_id")),
+          Seq("ms" -> "run_max"))
+        .select(col("event_type"), (col("run_max") - col("ms")).as("late"))
+        .groupBy(col("event_type"),
+          when(col("late") === 0L, 0).otherwise(length(bin(col("late"))))
+            .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), max(col("late")).as("max_late_ms"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Welch two-sample t² between the md5 A/B arms (the ab_srm assignment)
+    // on order totals, from exact integer-dollar moments: per arm n, S=Σv,
+    // SS=Σv² with v = floor(o_totalprice) whole dollars — dollar (not cent)
+    // granularity keeps n·(n·SS − S²)·10⁶ inside DECIMAL(38) far beyond
+    // sf1000. The squared mean difference and the variance-of-the-mean-diff
+    // are each separately truncated to micro units, then divided once more:
+    // the integer recurrence IS the cross-engine contract (the DiD
+    // discipline), not real-valued Welch. One fact-sized aggregate;
+    // everything after the 2-row arm table is 1-row scalar algebra.
+    "q_eng_welch_ttest" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWideSigned
+      val o = Tables.orders(s, d)
+        .select(
+          when(conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+            16, 10).cast("long") % 2 === 0, lit("A")).otherwise(lit("B"))
+            .as("arm"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val arms = o.groupBy("arm").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(wide(col("v")) * wide(col("v"))).as("svv"))
+      arms.agg(
+          sum(when(col("arm") === "A", col("n"))).as("n_a"),
+          sum(when(col("arm") === "A", col("sv"))).as("s_a"),
+          sum(when(col("arm") === "A", col("svv"))).as("ss_a"),
+          sum(when(col("arm") === "B", col("n"))).as("n_b"),
+          sum(when(col("arm") === "B", col("sv"))).as("s_b"),
+          sum(when(col("arm") === "B", col("svv"))).as("ss_b"))
+        .select(col("n_a"), col("n_b"),
+          (mulDivWideSigned(col("s_a"), lit(1000000L), col("n_a")) -
+            mulDivWideSigned(col("s_b"), lit(1000000L), col("n_b")))
+            .as("dm_micro"),
+          (mulDivWideSigned(
+              wide(col("n_a")) * col("ss_a") -
+                wide(col("s_a")) * wide(col("s_a")),
+              lit(1000000L),
+              wide(col("n_a")) * wide(col("n_a")) * wide(col("n_a") - 1)) +
+            mulDivWideSigned(
+              wide(col("n_b")) * col("ss_b") -
+                wide(col("s_b")) * wide(col("s_b")),
+              lit(1000000L),
+              wide(col("n_b")) * wide(col("n_b")) * wide(col("n_b") - 1)))
+            .as("se2_micro"))
+        .select(col("n_a"), col("n_b"), col("dm_micro"), col("se2_micro"),
+          when(col("se2_micro") === 0L, lit(null).cast("long"))
+            .otherwise(mulDivWideSigned(
+              wide(col("dm_micro")) * wide(col("dm_micro")),
+              lit(1L), col("se2_micro"))).as("t2_micro"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1416,5 +1489,59 @@ object AnalyticsQueries {
                    AS BIGINT) AS p FROM ia2, ia2m)
          SELECT na2.node AS part_id, na2.p AS auth_ppm, nh.p AS hub_ppm
          FROM na2 JOIN nh ON na2.node = nh.node
-         ORDER BY auth_ppm DESC, part_id LIMIT 20""")
+         ORDER BY auth_ppm DESC, part_id LIMIT 20""",
+
+    // the oracle may use the global window — IT runs on one node by
+    // design; the Spark side must not (StableIds.runningMaxes)
+    "q_eng_event_lateness" ->
+      """WITH l AS (
+           SELECT event_type,
+                  max(epoch_ms(CAST(ts AS TIMESTAMP)))
+                    OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - epoch_ms(CAST(ts AS TIMESTAMP)) AS late
+           FROM events)
+         SELECT event_type,
+                CAST(CASE WHEN late = 0 THEN 0
+                     ELSE length(bin(late)) END AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(late) AS BIGINT) AS max_late_ms
+         FROM l GROUP BY 1, 2 ORDER BY event_type, bucket""",
+
+    "q_eng_welch_ttest" ->
+      """WITH v AS (
+           SELECT CASE WHEN CAST('0x' ||
+                    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                  CAST(floor(o_totalprice) AS BIGINT) AS val
+           FROM orders),
+         m AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(val) AS BIGINT) AS sv,
+                  sum(CAST(val AS HUGEINT) * CAST(val AS HUGEINT)) AS svv
+           FROM v GROUP BY arm),
+         w AS (
+           SELECT CAST(sum(CASE WHEN arm = 'A' THEN n END) AS HUGEINT) AS n_a,
+                  CAST(sum(CASE WHEN arm = 'A' THEN sv END) AS HUGEINT) AS s_a,
+                  sum(CASE WHEN arm = 'A' THEN svv END) AS ss_a,
+                  CAST(sum(CASE WHEN arm = 'B' THEN n END) AS HUGEINT) AS n_b,
+                  CAST(sum(CASE WHEN arm = 'B' THEN sv END) AS HUGEINT) AS s_b,
+                  sum(CASE WHEN arm = 'B' THEN svv END) AS ss_b
+           FROM m),
+         t AS (
+           SELECT n_a, n_b,
+                  CAST(s_a * 1000000 // n_a - s_b * 1000000 // n_b AS BIGINT)
+                    AS dm_micro,
+                  CAST((n_a * ss_a - s_a * s_a) * 1000000
+                         // (n_a * n_a * (n_a - 1)) +
+                       (n_b * ss_b - s_b * s_b) * 1000000
+                         // (n_b * n_b * (n_b - 1)) AS BIGINT) AS se2_micro
+           FROM w)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                dm_micro, se2_micro,
+                CASE WHEN se2_micro = 0 THEN NULL
+                     ELSE CAST(CAST(dm_micro AS HUGEINT) *
+                               CAST(dm_micro AS HUGEINT) // se2_micro
+                          AS BIGINT) END AS t2_micro
+         FROM t""")
 }

@@ -59,4 +59,34 @@ class StableIdsSpec extends SparkSpec {
       .select("event_id", "rank", "c").as[(Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("runningMaxes matches the window formulation, incl. negative values") {
+    import org.apache.spark.sql.expressions.Window
+    // (event_id % 11) - 5 exercises negatives against the Long.MinValue
+    // seed; event_id % 7 exercises a second value column in the same scan
+    val df = ev.select($"event_id",
+      (($"event_id" % 11) - 5).as("v1"), ($"event_id" % 7).as("v2"))
+    val got = StableIds.runningMaxes(df, Seq($"event_id"),
+        Seq("v1" -> "m1", "v2" -> "m2"))
+      .select("event_id", "m1", "m2")
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("m1", max($"v1").over(w))
+      .withColumn("m2", max($"v2").over(w))
+      .select("event_id", "m1", "m2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("runningMaxes is partition-layout independent") {
+    val df = ev.select($"event_id", ($"event_id" % 13).as("v"))
+    val a = StableIds.runningMaxes(df, Seq($"event_id"), Seq("v" -> "m"))
+      .select("event_id", "m").as[(Long, Long)].collect().toSet
+    val b = StableIds.runningMaxes(df.repartition(17), Seq($"event_id"),
+        Seq("v" -> "m"))
+      .select("event_id", "m").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }
