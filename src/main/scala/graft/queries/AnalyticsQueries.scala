@@ -867,6 +867,84 @@ object AnalyticsQueries {
             .otherwise(mulDivWideSigned(
               wide(col("dm_micro")) * wide(col("dm_micro")),
               lit(1L), col("se2_micro"))).as("t2_micro"))
+    }),
+
+    // Daily-revenue autocorrelation at lags 1..7 — the periodicity probe a
+    // forecasting/seasonality audit starts from. Exact integer contract:
+    // center in the integer domain as c_d = n·x_d − S (no float mean), so
+    // acf_ppm(L) = trunc(1e6 · Σ c_d·c_{d+L} / Σ c_d²) is a pure
+    // DECIMAL(38) rational — c ≈ n·x stays ≤ ~1e13 cents·days at sf1 and
+    // the squared sums ≤ ~1e28, well inside the wide domain. The lag join
+    // runs on the bounded day domain (≤ ~2.4k distinct order days at any
+    // SF — day-domain tables are constant in corpus size); the only
+    // corpus-sized work is the daily aggregate.
+    "q_eng_acf" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWideSigned
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val c = daily.crossJoin(broadcast(tot))
+        .select(col("day"),
+          (wide(col("n")) * col("x") - wide(col("sx"))).as("c"))
+      val c0 = c.agg(sum(col("c") * col("c")).as("c0"))
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      c.crossJoin(broadcast(lags))
+        .join(c.select(col("day").as("day2"), col("c").as("c2")),
+          date_add(col("day"), col("lag")) === col("day2"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("c") * col("c2")).as("num"))
+        .crossJoin(broadcast(c0))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          when(col("c0") === lit(0).cast("decimal(38,0)"),
+            lit(null).cast("long"))
+            .otherwise(mulDivWideSigned(col("num"), lit(1000000L), col("c0")))
+            .as("acf_ppm"))
+        .orderBy("lag")
+    }),
+
+    // Wald–Wolfowitz runs test on the SIGN of day-over-day revenue moves:
+    // R = number of maximal up/down runs; z² = (R − E[R])²/Var[R] with
+    // E = 2pm/n + 1, Var = 2pm(2pm−n)/(n²(n−1)) — algebraically collapsed
+    // to the single exact rational z² = D²(n−1)/(2pm(2pm−n)), D = Rn−2pm−n,
+    // evaluated once in DECIMAL(38): no float surface at all. Complements
+    // Mann-Kendall (monotone trend) with a randomness-of-direction test.
+    // Both window scans run on the bounded day domain (≤ ~2.4k rows at any
+    // SF) — keys-sized, never corpus-sized.
+    "q_eng_runs_test" -> ((s, d) => {
+      import graft.functions.WideDiv.mulDivWide
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("x"))
+      // bounded-domain window: distinct order days, constant in corpus size
+      val w = Window.orderBy("day")
+      val sg = daily
+        .select(col("day"), (col("x") - lag(col("x"), 1).over(w)).as("dx"))
+        .where(col("dx").isNotNull && col("dx") =!= 0L)
+        .select(col("day"), when(col("dx") > 0, 1).otherwise(-1).as("sg"))
+      val ch = sg.select(col("sg"),
+        when(lag(col("sg"), 1).over(w).isNull ||
+          col("sg") =!= lag(col("sg"), 1).over(w), 1L).otherwise(0L).as("chg"))
+      ch.agg(
+          sum(when(col("sg") === 1, 1L).otherwise(0L)).as("p"),
+          sum(when(col("sg") === -1, 1L).otherwise(0L)).as("m"),
+          sum(col("chg")).as("r"))
+        .select(col("p"), col("m"), col("r"),
+          (wide(col("r")) * wide(col("p") + col("m")) -
+            lit(2).cast("decimal(38,0)") * wide(col("p")) * wide(col("m")) -
+            wide(col("p") + col("m"))).as("dd"),
+          (lit(2).cast("decimal(38,0)") * wide(col("p")) * wide(col("m")) *
+            (lit(2).cast("decimal(38,0)") * wide(col("p")) * wide(col("m")) -
+              wide(col("p") + col("m")))).as("den"))
+        .select((col("p") + col("m")).as("n_days"), col("p").as("n_pos"),
+          col("m").as("n_neg"), col("r").as("n_runs"),
+          when(col("den") <= lit(0).cast("decimal(38,0)"),
+            lit(null).cast("long"))
+            .otherwise(mulDivWide(
+              col("dd") * col("dd") * wide(col("p") + col("m") - 1),
+              lit(1000000L), col("den"))).as("z2_micro"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1543,5 +1621,55 @@ object AnalyticsQueries {
                      ELSE CAST(CAST(dm_micro AS HUGEINT) *
                                CAST(dm_micro AS HUGEINT) // se2_micro
                           AS BIGINT) END AS t2_micro
-         FROM t""")
+         FROM t""",
+
+    "q_eng_acf" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                        CAST(sum(x) AS HUGEINT) AS sx FROM daily),
+         c AS (SELECT day, n * x - sx AS c FROM daily, tot),
+         c0 AS (SELECT sum(c * c) AS c0 FROM c),
+         l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
+         p AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                      sum(a.c * b.c) AS num
+               FROM c a, l, c b WHERE b.day = a.day + lag
+               GROUP BY lag)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+                CASE WHEN c0.c0 = 0 THEN NULL
+                     ELSE CAST(CAST(num AS HUGEINT) * 1000000
+                               // CAST(c0.c0 AS HUGEINT) AS BIGINT)
+                END AS acf_ppm
+         FROM p, c0 ORDER BY lag""",
+
+    "q_eng_runs_test" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         df AS (SELECT day, x - lag(x) OVER (ORDER BY day) AS dx FROM daily),
+         sg AS (SELECT day, CASE WHEN dx > 0 THEN 1 ELSE -1 END AS sg
+                FROM df WHERE dx IS NOT NULL AND dx <> 0),
+         ch AS (SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY day) IS NULL
+                                  OR sg <> lag(sg) OVER (ORDER BY day)
+                           THEN 1 ELSE 0 END AS chg FROM sg),
+         a AS (SELECT CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS p,
+                      CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS m,
+                      CAST(sum(chg) AS HUGEINT) AS r FROM ch)
+         SELECT CAST(p + m AS BIGINT) AS n_days, CAST(p AS BIGINT) AS n_pos,
+                CAST(m AS BIGINT) AS n_neg, CAST(r AS BIGINT) AS n_runs,
+                CASE WHEN 2 * p * m * (2 * p * m - (p + m)) <= 0 THEN NULL
+                     ELSE CAST((r * (p + m) - 2 * p * m - (p + m))
+                               * (r * (p + m) - 2 * p * m - (p + m))
+                               * (p + m - 1) * 1000000
+                               // (2 * p * m * (2 * p * m - (p + m)))
+                          AS BIGINT)
+                END AS z2_micro
+         FROM a""")
 }

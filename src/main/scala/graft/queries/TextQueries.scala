@@ -1167,7 +1167,34 @@ object TextQueries {
           size(array_distinct(col("toks"))).cast("long").as("n_types"))
         .withColumn("ttr_ppm", when(col("n_tokens") === 0, lit(0L))
           .otherwise(ppmWide(col("n_types"), col("n_tokens"))))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Heaps'-law vocabulary growth curve: cumulative token count vs
+    // cumulative distinct-type count at 10 corpus-order checkpoints
+    // (doc_id deciles). The "will the vocabulary saturate" projection a
+    // tokenizer-budget decision reads. Scalable shape: NO cumulative
+    // distinct-counting pass — each type contributes exactly once at the
+    // decile of its FIRST occurrence (min bucket per token, one
+    // vocabulary-sized aggregate), so cum_types is a running sum over the
+    // 10-row bucket domain (bounded window, documented), and cum_tokens a
+    // second. The postings explode is the only corpus-sized work (shared
+    // memoized postings table).
+    "q_text_heaps" -> ((s, d) => {
+      val mx = docs(s, d).agg(max(col("doc_id")).as("mx"))
+      val b = postings(s, d).crossJoin(broadcast(mx))
+        .select(expr("doc_id * 10 DIV (mx + 1)").as("bucket"), col("tok"))
+      val tokCnt = b.groupBy("bucket").agg(count(lit(1)).as("n_toks"))
+      val newTypes = b.groupBy("tok").agg(min(col("bucket")).as("fb"))
+        .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("n_new"))
+      // ≤ 10-row domain: the running sums are keys-sized by construction
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      tokCnt.join(newTypes, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .select(col("bucket"), sum(col("n_toks")).over(w).as("cum_tokens"),
+          sum(col("n_new")).over(w).as("cum_types"))
+        .orderBy("bucket")
+    })
   )
 
   /** DuckDB-side score expression for one language profile. */
@@ -2408,6 +2435,27 @@ object TextQueries {
                      ELSE CAST(CAST(len(list_distinct(toks)) AS HUGEINT)
                                * 1000000 // len(toks) AS BIGINT)
                 END AS ttr_ppm
-         FROM t ORDER BY doc_id"""
+         FROM t ORDER BY doc_id""",
+
+    "q_text_heaps" ->
+      s"""WITH t AS (
+           SELECT doc_id, $sqlToks AS toks FROM documents),
+         x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         mx AS (SELECT max(doc_id) AS mx FROM documents),
+         b AS (SELECT doc_id * 10 // (mx + 1) AS bucket, tok FROM x, mx),
+         tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks
+                FROM b GROUP BY 1),
+         ty AS (SELECT tok, min(bucket) AS fb FROM b GROUP BY 1),
+         nb AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new
+                FROM ty GROUP BY 1)
+         SELECT tb.bucket AS bucket,
+                CAST(sum(tb.n_toks) OVER (ORDER BY tb.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens,
+                CAST(sum(COALESCE(nb.n_new, 0)) OVER (ORDER BY tb.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_types
+         FROM tb LEFT JOIN nb ON tb.bucket = nb.bucket
+         ORDER BY bucket"""
   )
 }

@@ -25,7 +25,10 @@ class NoGlobalWindowSpec extends SparkSpec {
       // round-7 eval wave: rank-sum statistics over the unbounded
       // distinct-score domain go through StableIds.rankAndCumSums, and the
       // calibration deciles through StableIds.withRank — never a global window
-      "q_eng_auc", "q_eng_ks_test", "q_eng_calibration")
+      "q_eng_auc", "q_eng_ks_test", "q_eng_calibration",
+      // round-8: arrival-order lateness ranks through StableIds.runningMaxes
+      // (the oracle's max() OVER (ORDER BY ...) form exists only in DuckDB)
+      "q_eng_event_lateness")
       // q_eng_theil_sen is NOT in this list: its median comes from a
       // driver-coordinated iterative range-refinement loop that runs
       // eagerly inside the query builder, so the returned DataFrame is a
