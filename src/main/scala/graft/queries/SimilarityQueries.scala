@@ -262,6 +262,20 @@ object SimilarityQueries {
         nCentroids = 8, queryMaxId = QuerySetMax, k = 3, nprobe = 2)
         .orderBy("qid", "rank")),
 
+    // clustering quality readout: per-cell mean of the centroid-based
+    // silhouette (squared-distance form, per-point micro-quantized at the
+    // leaf — Similarity.silhouetteByCell), over the same 2-iteration
+    // trained k-means as q_sim_ivf_kmeans. The "are the IVF cells
+    // actually separated" audit that decides whether the coarse quantizer
+    // needs more centroids before scaling the index out. Integer mean:
+    // no float sum ever crosses a partition boundary.
+    "q_sim_silhouette" -> ((s, d) =>
+      Similarity.silhouetteByCell(Tables.embeddings(s, d), k = 8, iters = 2)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_points"), sum(col("s_micro")).as("sum_s_micro"))
+        .withColumn("mean_sil_micro", expr("sum_s_micro DIV n_points"))
+        .orderBy("cell")),
+
     // trained IVF: 2 Lloyd iterations (exact integer-microunit centroid
     // sums → partition-order-independent AND bitwise cross-engine), then
     // nearest-centroid assignment (cached — q_sim_cell_sample shares it)
@@ -895,6 +909,28 @@ object SimilarityQueries {
     "q_sim_ivf_kmeans" ->
       s"""WITH $kmeansCtes
           SELECT id AS vec_id, cid AS cell, dist2 FROM af ORDER BY vec_id""",
+
+    "q_sim_silhouette" ->
+      s"""WITH $kmeansCtes,
+          t2 AS (SELECT id, cid, dist2,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY dist2, cid) AS rn
+                 FROM sf),
+          per AS (SELECT id,
+                    min(CASE WHEN rn = 1 THEN cid END) AS cell,
+                    min(CASE WHEN rn = 1 THEN dist2 END) AS a2,
+                    min(CASE WHEN rn = 2 THEN dist2 END) AS b2
+                  FROM t2 WHERE rn <= 2 GROUP BY id),
+          sil AS (SELECT id, cell,
+                    CASE WHEN greatest(a2, b2) <= 0.0 THEN 0
+                         ELSE CAST(floor((b2 - a2) / greatest(a2, b2)
+                                * 1000000.0 + 0.5) AS BIGINT)
+                    END AS s_micro
+                  FROM per)
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(s_micro) AS BIGINT) AS sum_s_micro,
+                 CAST(sum(s_micro) // count(*) AS BIGINT) AS mean_sil_micro
+          FROM sil GROUP BY cell ORDER BY cell""",
 
     "q_sim_cell_sample" ->
       s"""WITH $kmeansCtes,

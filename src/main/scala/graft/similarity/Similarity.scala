@@ -193,16 +193,52 @@ object Similarity {
   /** One Lloyd assignment step: each vector to its nearest centroid by
     * squared L2 distance, ties → lowest cid. The dist2 expression keeps a
     * fixed association order so the oracle reproduces it bitwise. */
-  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = v.crossJoin(broadcast(cents))
+  /** All-centroid squared distances: one row per (vector, centroid). The
+    * dist² chain (‖v‖² − 2·v·c + ‖c‖²) is the fixed-order IEEE expression
+    * the DuckDB oracles mirror bitwise. */
+  private def scoredCells(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
       .withColumn("dist2",
         dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
           dot(col("cv"), col("cv")))
+
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
-    scored.withColumn("rn", row_number().over(w))
+    scoredCells(v, cents).withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("id"), col("v"), col("cid"), col("dist2"))
+  }
+
+  /** Per-point centroid-based (simplified) silhouette over trained k-means
+    * cells, on SQUARED distances: a² = dist² to the nearest centroid (the
+    * own cell by construction), b² = dist² to the second-nearest, and
+    * s = (b² − a²)/max(a², b²) ∈ [0, 1] quantized per point to integer
+    * micro-units at the leaf (floor(s·10⁶ + 0.5) of a double both engines
+    * build from bitwise-identical dist² chains) — so downstream per-cell
+    * means are exact integer arithmetic, never an order-sensitive float
+    * sum. The classical full silhouette needs all-pairs distances (O(n²));
+    * the centroid form is the standard scalable surrogate: per point it
+    * touches only the k broadcast centroids, and the per-id window spans
+    * exactly k rows. Returns (id, cell, s_micro). */
+  def silhouetteByCell(vectors: DataFrame, k: Int, iters: Int,
+                       dims: Int = 64): DataFrame = {
+    val v = vectors.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = kmeansCentroids(vectors, k, iters, dims)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
+    val top2 = scoredCells(v, cents)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+    top2.groupBy("id").agg(
+        min(when(col("rn") === 1, col("cid"))).as("cell"),
+        min(when(col("rn") === 1, col("dist2"))).as("a2"),
+        min(when(col("rn") === 2, col("dist2"))).as("b2"))
+      .select(col("id"), col("cell"),
+        when(greatest(col("a2"), col("b2")) <= 0.0, lit(0L))
+          .otherwise(floor((col("b2") - col("a2")) /
+            greatest(col("a2"), col("b2")) * 1e6 + lit(0.5)).cast("long"))
+          .as("s_micro"))
   }
 
   /** Lloyd k-means training for the IVF coarse quantizer, engineered for
