@@ -361,6 +361,29 @@ object ParityQueries {
         .agg(countDistinct(col("o_custkey")).as("n_groups"),
           count(lit(1)).as("n_rows"))
         .orderBy("fold"))
+  ,
+
+    // two-stage cluster sampling (the survey-sampling design for corpora
+    // too big to frame-sample directly): stage 1 draws 3 of the ~10
+    // sources in content-hash order (a sources-sized TakeOrdered — the
+    // PSU draw), stage 2 draws exact-5 docs per selected source, again in
+    // content-hash order (per-source window, deterministic and
+    // partition-layout independent — the SampleOrder.HashOf contract).
+    // At 100 TB the stage-1 frame is the tiny dimension (sources/shards),
+    // so the expensive corpus scan only ever touches selected clusters.
+    "q_sample_two_stage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val picked = docs.select(col("source")).distinct()
+        .orderBy(md5(col("source")), col("source")).limit(3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.join(broadcast(picked), Seq("source"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -586,6 +609,19 @@ object ParityQueries {
            FROM orders)
          SELECT fold, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
                 CAST(count(*) AS BIGINT) AS n_rows
-         FROM b GROUP BY 1 ORDER BY fold"""
+         FROM b GROUP BY 1 ORDER BY fold""",
+
+    "q_sample_two_stage" ->
+      """WITH picked AS (
+           SELECT source FROM (SELECT DISTINCT source FROM documents)
+           ORDER BY md5(source), source LIMIT 3),
+         r AS (
+           SELECT d.source, d.doc_id,
+                  CAST(row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                    AS BIGINT) AS rn
+           FROM documents d JOIN picked USING (source))
+         SELECT source, rn, doc_id FROM r WHERE rn <= 5
+         ORDER BY source, rn"""
   )
 }
