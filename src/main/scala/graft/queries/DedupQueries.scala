@@ -21,11 +21,29 @@ object DedupQueries {
   private val BANDS = 4    // LSH bands (r = 2)
   private val R = 2
   private val NGRAM = 3    // word-shingle width
-  private val MaxDf = 8    // candidate-stage df cutoff (no-op at sf0.01,
-                           // where max shingle df is 7; at sf0.1 it prunes
-                           // 85% of the inverted-index join pairs at the
-                           // cost of 4/256 recall — pairs overlapping only
-                           // in stop-shingles, which MinHash-LSH catches)
+  // Candidate-stage df cutoff: 0.2% of the corpus, floored at 8. An
+  // ABSOLUTE cap is a scale bug, found live at sf1: the verbatim 10×
+  // fixture gives every shingle df ≥ 10, so df ≤ 8 excluded every hash
+  // and the containment/jaccard/sweep gates went VACUOUS (0 rows on both
+  // engines). A corpus-relative cap keeps duplicated shingles inside the
+  // candidate index no matter the duplication factor, while still pruning
+  // stop-shingles (at sf0.1 it drops 85% of inverted-index join pairs at
+  // 4/256 recall cost — pairs overlapping only in stop-shingles, which
+  // MinHash-LSH catches). sf0.001/sf0.01 values are unchanged (cap still
+  // 8 there). At 100 TB the same fraction holds the same argument — a
+  // hash carried by >0.2% of documents is boilerplate, not signal — and
+  // the per-hash join contribution stays bounded at cap² under AQE's
+  // skew split.
+  private def maxDf(s: SparkSession, d: String): Int =
+    math.max(8, (docCount(s, d) / 500L).toInt)
+  // oracle twin (inlined at the three `keep` CTE sites):
+  //   HAVING count(*) <= greatest(8, (SELECT count(*) FROM documents) // 500)
+  // metadata-cheap corpus count, cached per (session, dir) like QueryCaches
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private def docCount(s: SparkSession, d: String): Long =
+    countCache.getOrElseUpdate((System.identityHashCode(s), d),
+      docs(s, d).count())
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -99,7 +117,8 @@ object DedupQueries {
       textClusterTable(s, d).orderBy("doc_id")),
 
     // n-gram Jaccard via inverted-index join with a document-frequency
-    // cutoff on the candidate stage (df <= MaxDf): hot stop-shingles cannot
+    // cutoff on the candidate stage (df <= maxDf, corpus-relative): hot
+    // stop-shingles cannot
     // blow the self-join up to C(df, 2) pairs each; exact full-set Jaccard
     // verifies every candidate, so emitted values are unfiltered
     "q_dedup_ngram_jaccard" -> ((s, d) => {
@@ -109,7 +128,7 @@ object DedupQueries {
           .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
       }
       Dedup.ngramJaccardPairs(sh, col("doc_id"), col("hs"),
-          minJaccard = 0.8, maxDf = MaxDf)
+          minJaccard = 0.8, maxDf = maxDf(s, d))
         .orderBy("ida", "idb")
     }),
 
@@ -124,7 +143,7 @@ object DedupQueries {
       }
       val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
       Dedup.ngramJaccardPairs(sh, col("doc_id"), col("hs"),
-          minJaccard = 0.5, maxDf = MaxDf)
+          minJaccard = 0.5, maxDf = maxDf(s, d))
         .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
         .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
         .select(expr("shared * 10 DIV (na + nb - shared)").as("jac_decile"))
@@ -143,7 +162,7 @@ object DedupQueries {
           .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
       }
       Dedup.containmentPairs(sh, col("doc_id"), col("hs"),
-          minContainment = 0.9, maxDf = MaxDf)
+          minContainment = 0.9, maxDf = maxDf(s, d))
         .orderBy("ida", "idb")
     }),
 
@@ -474,7 +493,7 @@ object DedupQueries {
                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
             FROM sh),
           ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 8),
+          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= greatest(8, (SELECT count(*) FROM documents) // 500)),
           kx AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
           cand AS (
             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
@@ -497,7 +516,7 @@ object DedupQueries {
                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
             FROM sh),
           ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 8),
+          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= greatest(8, (SELECT count(*) FROM documents) // 500)),
           kx AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
           cand AS (
             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
@@ -548,7 +567,7 @@ object DedupQueries {
                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
             FROM sh),
           ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 8),
+          keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= greatest(8, (SELECT count(*) FROM documents) // 500)),
           kx AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
           cand AS (
             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
