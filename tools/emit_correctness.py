@@ -19,10 +19,15 @@ def main():
     report, dst, sf = sys.argv[1], sys.argv[2], sys.argv[3]
     out = {}
     for line in open(report):
-        m = re.match(r"(PASS|FAIL)\s+(\S+)\s+(.*)", line.rstrip())
+        m = re.match(r"(PASS|FAIL|SKIP)\s+(\S+)\s+(.*)", line.rstrip())
         if not m:
             continue
         status, name, detail = m.groups()
+        if status == "SKIP":
+            # oracle not evaluated at this SF (checker --skip, with reason)
+            # — recorded as its own status, never as a silent green
+            out[name] = {"skipped": True, "reason": detail, "sf": sf}
+            continue
         ok = status == "PASS"
         rec = {"rows_match": ok, "schema_match": ok, "hash_match": ok,
                "sf": sf}
@@ -49,11 +54,12 @@ def main():
             rec["schema_match"] = True
             rec["rows_match"] = True
         out[name] = rec
-    n_ok = sum(1 for r in out.values()
-               if r["rows_match"] and r["schema_match"] and r["hash_match"])
+    n_skip = sum(1 for r in out.values() if r.get("skipped"))
+    n_ok = sum(1 for r in out.values() if not r.get("skipped")
+               and r["rows_match"] and r["schema_match"] and r["hash_match"])
     with open(dst, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"{dst}: {n_ok}/{len(out)} pass")
+    print(f"{dst}: {n_ok}/{len(out) - n_skip} pass ({n_skip} skipped)")
 
 
 if __name__ == "__main__":
