@@ -863,7 +863,7 @@ object SimilarityQueries {
     // vector rank CTE shared with q_sim_topk_brute — the fusion oracle
     // can only drift if one of those does
     "q_sim_rrf_fusion" ->
-      s"""WITH ${TextQueries.bm25RankCte},
+      s"""WITH ${TextQueries.bm25RankCte()},
           e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           scored AS (
             SELECT x.vec_id AS qid, y.vec_id AS nid, $cosSql AS cos

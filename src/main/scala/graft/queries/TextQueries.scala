@@ -36,8 +36,16 @@ object TextQueries {
     * b=0.75 as exact integer rationals and the audited idf ln site —
     * consumed by q_text_bm25 and the RRF fusion oracle in
     * [[SimilarityQueries]], so the two stay in lockstep by construction. */
-  private[queries] val bm25RankCte: String =
-    """t AS (
+  /** @param qBag SQL predicate selecting the query-doc bag. The default
+    *             (first 10 docs) is what q_sim_rrf_fusion pairs with its
+    *             vector leg; q_text_bm25 itself passes the informative-doc
+    *             bag — on this fixture's 31-token vocabulary only one term
+    *             ever clears the 30% stop cut, and whether a low-id doc
+    *             carries it is luck (it does at sf0.01, not at sf0.1/sf1 —
+    *             the gate row was silently vacuous there until the sf1
+    *             run flagged it). */
+  private[queries] def bm25RankCte(qBag: String = "doc_id < 10"): String =
+    raw"""t AS (
            SELECT doc_id,
                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                        ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
@@ -58,7 +66,7 @@ object TextQueries {
                         st.n, st.sumdl
                  FROM dft, st),
          q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS tok
-               FROM t WHERE doc_id < 10),
+               FROM t WHERE $qBag),
          qd AS (SELECT q.qid, dfi.tok, dfi.idf_micro, dfi.n, dfi.sumdl
                 FROM q JOIN dfi USING (tok)
                 WHERE dfi.df * 1000 <= dfi.n * 300),
@@ -454,8 +462,14 @@ object TextQueries {
     "q_text_winnow_pairs" -> ((s, d) => {
       val fps = graft.text.Winnowing.fingerprints(postings(s, d),
         col("doc_id"), col("pos"), col("tok"), k = 3, w = 4)
+      // corpus-relative hot-fingerprint cap (0.2% of docs, floored at 8):
+      // the absolute df > 8 cut went vacuous at sf1 — every fingerprint's
+      // df ≥ 10 under the verbatim 10× fixture, so all were excluded
+      // (same class as the dedup MaxDf scale bug, same fix)
+      val n = docs(s, d).agg(count(lit(1)).as("n"))
       val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .where(col("df") > 8).select("fp")
+        .crossJoin(broadcast(n))
+        .where(col("df") > greatest(lit(8L), expr("n DIV 500"))).select("fp")
       val kept = fps.join(hot, Seq("fp"), "left_anti")
       kept.as("a").join(kept.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -636,9 +650,21 @@ object TextQueries {
     // so no engine-version float drift can flip a score
     "q_text_bm25" -> ((s, d) => {
       val all = docs(s, d)
+      // query bag: the 10 lowest-id docs carrying ≥1 informative
+      // (sub-30%-df) term. A fixed first-10 bag is fixture luck — on the
+      // 31-token vocabulary only one term clears the stop cut, and no
+      // low-id doc carries it at sf0.1/sf1, which made this gate row
+      // silently vacuous there (caught by the sf1 VACUOUS status).
+      val n = all.agg(count(lit(1)).as("n"))
+      val docTok = postings(s, d).select(col("doc_id"), col("tok")).distinct()
+      val nonstop = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .where(col("df") * 1000 <= col("n") * 300).select("tok")
+      val qids = docTok.join(broadcast(nonstop), "tok")
+        .select("doc_id").distinct().orderBy("doc_id").limit(10)
       graft.text.Bm25.topK(all, col("doc_id"), col("text"),
-          all.where(col("doc_id") < 10), col("doc_id"), col("text"), k = 5,
-          maxDfPermille = 300)
+          all.join(broadcast(qids), "doc_id"), col("doc_id"), col("text"),
+          k = 5, maxDfPermille = 300)
         .orderBy("qid", "rank")
     }),
 
@@ -1683,7 +1709,9 @@ object TextQueries {
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
            FROM h),
          fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE nw = 4),
-         keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
+         keep AS (SELECT fp FROM fps GROUP BY fp
+                  HAVING count(*) <= greatest(8,
+                    (SELECT count(*) FROM documents) // 500)),
          kf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
          SELECT a.doc_id AS ida, b.doc_id AS idb,
                 CAST(count(*) AS BIGINT) AS shared_fps
@@ -1891,7 +1919,12 @@ object TextQueries {
          FROM b LEFT JOIN top USING (doc_id) ORDER BY b.doc_id""",
 
     "q_text_bm25" ->
-      s"""WITH $bm25RankCte
+      s"""WITH ${bm25RankCte(qBag =
+        """doc_id IN (
+             SELECT nid FROM (
+               SELECT DISTINCT p.nid FROM p JOIN dfi USING (tok)
+               WHERE dfi.df * 1000 <= dfi.n * 300)
+             ORDER BY nid LIMIT 10)""")}
          SELECT qid, nid, rank, score_micro FROM lexr WHERE rank <= 5
          ORDER BY qid, rank""",
 
@@ -2204,10 +2237,16 @@ object TextQueries {
            SELECT tok.doc_id, tok.pos, tok.tok
            FROM tok LEFT JOIN cov
              ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
-           WHERE cov.doc_id IS NULL)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-                md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
-         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+           WHERE cov.doc_id IS NULL),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+           FROM kept GROUP BY doc_id),
+         alld AS (SELECT DISTINCT doc_id FROM tok)
+         SELECT alld.doc_id AS doc_id,
+                CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                COALESCE(agg.kept_md5, md5('')) AS kept_md5
+         FROM alld LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 
     "q_text_tfidf" ->
       """WITH t AS (

@@ -57,10 +57,20 @@ object SpanDedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
     val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-    kept.groupBy("doc_id").agg(
+    val agg = kept.groupBy("doc_id").agg(
       count(lit(1)).cast("long").as("n_kept"),
       md5(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s("tok")), " ")).as("kept_md5"))
+    // A fully-deduplicated document must still appear (n_kept = 0, md5 of
+    // the empty string) — dropping it made the operator's output EMPTY on
+    // a corpus where every span is duplicated (the sf1 verbatim fixture:
+    // every 3-gram occurs ≥ 10×), which is precisely when a dedup report
+    // matters most, and left the gate row vacuous.
+    toks.select(col("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 }

@@ -28,14 +28,18 @@ class SpanDedupSpec extends SparkSpec {
     assert(kept == 1L)
   }
 
-  test("fully-duplicated documents drop out; md5 matches the reassembled text") {
+  test("fully-duplicated documents stay as n_kept = 0 rows (md5 of empty); " +
+      "survivors match the reassembled text") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "k l m n")).toDF("id", "txt")
     val out = SpanDedup.removeDuplicatedSpans(docs, col("id"), col("txt"), n = 3)
-    assert(out.count() == 1)
-    val (id, fp) = out.select("doc_id", "kept_md5").as[(Long, String)].head()
-    assert(id == 3L)
-    val expected = spark.sql("SELECT md5('k l m n')").as[String].head()
-    assert(fp == expected)
+      .select("doc_id", "n_kept", "kept_md5").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val emptyMd5 = spark.sql("SELECT md5('')").as[String].head()
+    val fullMd5 = spark.sql("SELECT md5('k l m n')").as[String].head()
+    // the fully-deduplicated docs 1 and 2 must still APPEAR — on a corpus
+    // where every span is duplicated the report would otherwise be empty
+    assert(out == Seq((1L, 0L, emptyMd5), (2L, 0L, emptyMd5),
+      (3L, 4L, fullMd5)))
   }
 
   test("short documents (< n tokens) are never removed") {
