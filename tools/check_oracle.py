@@ -128,7 +128,16 @@ def main():
     thr = os.environ.get("ORACLE_THREADS", "24")
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET threads TO {thr}")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Per-process spill dir: DuckDB names its temp files
+    # duckdb_temp_storage-N.tmp, so two concurrent check_oracle runs
+    # sharing one directory clobber each other's spill (observed at sf1:
+    # cross-process corruption surfaced as a bogus "list dimensions must
+    # be equal, got left length 0" and a terminate() on file removal).
+    spill = f"/tmp/duckdb_spill_{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
+    import atexit, shutil
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
