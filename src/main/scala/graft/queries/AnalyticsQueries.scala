@@ -45,10 +45,10 @@ object AnalyticsQueries {
   /** Shared SQL CTE chain for the same graph (mirrors [[copurchaseEdges]]). */
   private val copurchaseSql =
     """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       und AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+       und AS MATERIALIZED (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
                GROUP BY 1, 2 HAVING count(*) >= 2),
-       e AS (SELECT u AS src, v AS dst, w FROM und
+       e AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM und
              UNION ALL SELECT v, u, w FROM und)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -405,7 +405,7 @@ object DedupQueries {
           WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
                   / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
                      - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) >= 0.8),
-        edges AS (SELECT ida AS a, idb AS b FROM p
+        edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM p
                   UNION ALL SELECT idb, ida FROM p),
         reach AS (
           SELECT DISTINCT a AS id, a AS r FROM edges
@@ -631,7 +631,7 @@ object DedupQueries {
               * sqrt(list_dot_product(y.v, y.v))) AS cos
            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
          p AS (SELECT va, vb FROM cosp WHERE cos >= 0.4),
-         edges AS (SELECT va AS a, vb AS b FROM p
+         edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM p
                    UNION ALL SELECT vb, va FROM p),
          reach AS (
            SELECT DISTINCT a AS id, a AS r FROM edges
@@ -668,7 +668,7 @@ object DedupQueries {
             WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
                     / (CAST(len(x.shingles) AS DOUBLE) + CAST(len(y.shingles) AS DOUBLE)
                        - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)) >= 0.8),
-          edges AS (SELECT ida AS a, idb AS b FROM p
+          edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM p
                     UNION ALL SELECT idb, ida FROM p),
           reach AS (
             SELECT DISTINCT a AS id, a AS r FROM edges
@@ -695,8 +695,8 @@ object DedupQueries {
              / (sqrt(list_dot_product(x.v, x.v))
               * sqrt(list_dot_product(y.v, y.v))) AS cos
            FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
-         p AS (SELECT va, vb, cos FROM cosp WHERE cos >= 0.4),
-         edges AS (SELECT va AS a, vb AS b FROM p
+         p AS MATERIALIZED (SELECT va, vb, cos FROM cosp WHERE cos >= 0.4),
+         edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM p
                    UNION ALL SELECT vb, va FROM p),
          reach AS (
            SELECT DISTINCT a AS id, a AS r FROM edges

@@ -2739,19 +2739,19 @@ object EngineQueries {
     "q_eng_kcore" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                      FROM lineitem),
-         e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
                 FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
          k1 AS (SELECT n FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
                 GROUP BY n HAVING count(*) >= 80),
-         e1 AS (SELECT * FROM e0
+         e1 AS MATERIALIZED (SELECT * FROM e0
                 WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
          k2 AS (SELECT n FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
                 GROUP BY n HAVING count(*) >= 80),
-         e2 AS (SELECT * FROM e1
+         e2 AS MATERIALIZED (SELECT * FROM e1
                 WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
          k3 AS (SELECT n FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
                 GROUP BY n HAVING count(*) >= 80),
-         e3 AS (SELECT * FROM e2
+         e3 AS MATERIALIZED (SELECT * FROM e2
                 WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3))
          SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
          FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)

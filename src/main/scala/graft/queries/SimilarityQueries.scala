@@ -66,7 +66,7 @@ object SimilarityQueries {
                   UNION ALL
                   SELECT vec_id, b, xor(pat, 1::BIGINT << j) AS probe
                   FROM kept, range(0, $LshWidth) tj(j)),
-       cand AS (SELECT DISTINCT a.vec_id AS va, p.vec_id AS vb
+       cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS va, p.vec_id AS vb
                 FROM kept a JOIN probes p
                   ON a.b = p.b AND a.pat = p.probe AND a.vec_id < p.vec_id)"""
 
@@ -1054,7 +1054,7 @@ object SimilarityQueries {
             SELECT va, vb, $cosSql AS cos
             FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
           p AS (SELECT va, vb FROM cosp WHERE cos >= 0.4),
-          ed AS (SELECT va AS src, vb AS dst FROM p
+          ed AS MATERIALIZED (SELECT va AS src, vb AS dst FROM p
                  UNION ALL SELECT vb, va FROM p),
           l0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
           ${round(1, "l0")},
