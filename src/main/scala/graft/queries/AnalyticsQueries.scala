@@ -796,6 +796,58 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // Newman modularity of 3-hop min-label communities on the weighted
+    // co-purchase graph (parts sharing ≥ 2 orders — the hits/BFS graph,
+    // suite-cached): labels come from 3 rounds of SYNCHRONOUS min-label
+    // propagation, label(n) ← min over the CLOSED neighborhood (the
+    // self-loop union turns each round into one aggregate, and min is a
+    // total order — no tie-break rule needed). Then the unweighted
+    // Q = Σ_c [m_c/m − (d_c/2m)²] = (4m·Σm_c − Σd_c²) / 4m² in exact
+    // signed ppm via DECIMAL(38) — Σd_c² ≤ 4m² overflows int64 past
+    // ~1.5e9 edges. Scale shape: 3 bounded rounds of one dst-keyed join +
+    // node-sized min-aggregate (the standard CC iterate, same as
+    // StarComponents' small-star step); community stats are two node-sized
+    // joins; output is ONE row. The oracle unrolls the same 3 rounds as
+    // CTEs, so equality proves every propagation round bit-exact.
+    "q_eng_modularity" -> ((s, d) => {
+      import graft.functions.WideDiv.{mulDivWideSigned, wide}
+      val und = copurchaseEdges(s, d).select(col("src"), col("dst"))
+      val ec = und.where(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val nodes = und.select(col("src").as("n")).distinct()
+      val undc = und.union(nodes.select(col("n"), col("n")))
+      var lab = nodes.select(col("n"), col("n").as("lab"))
+      for (_ <- 1 to 3) {
+        lab = undc.as("g")
+          .join(lab.as("l"), col("g.dst") === col("l.n"))
+          .groupBy(col("g.src").as("n"))
+          .agg(min(col("l.lab")).as("lab"))
+      }
+      lab = lab.localCheckpoint() // consumed 3x below; truncate the lineage
+      val mdf = ec.agg(count(lit(1)).as("m"))
+      val win = ec
+        .join(lab.select(col("n").as("nu"), col("lab").as("lu")),
+          col("u") === col("nu"))
+        .join(lab.select(col("n").as("nv"), col("lab").as("lv")),
+          col("v") === col("nv"))
+        .where(col("lu") === col("lv"))
+        .agg(count(lit(1)).as("within_edges"))
+      val deg = und.groupBy(col("src").as("dn")).agg(count(lit(1)).as("deg"))
+      val s2 = deg.join(lab, col("dn") === col("n"))
+        .groupBy(col("lab")).agg(sum(col("deg")).as("dsum"))
+        .agg(sum(wide(col("dsum")) * wide(col("dsum"))).as("sum_dc2"))
+      val nc = lab.agg(countDistinct(col("lab")).as("n_communities"))
+      broadcast(mdf).crossJoin(broadcast(win)).crossJoin(broadcast(s2))
+        .crossJoin(broadcast(nc))
+        .select(
+          mulDivWideSigned(
+            wide(col("m")) * wide(col("within_edges")) * lit(4L)
+              - col("sum_dc2"),
+            lit(1000000L),
+            wide(col("m")) * wide(col("m")) * lit(4L)).as("modularity_ppm"),
+          col("n_communities"), col("m").as("n_edges"), col("within_edges"))
+    }),
+
     // Event-time lateness audit over ARRIVAL order (event_id): late =
     // inclusive running max of event time minus the event's own time — the
     // out-of-orderness statistic a streaming watermark is sized from (a
@@ -1568,6 +1620,39 @@ object AnalyticsQueries {
          SELECT na2.node AS part_id, na2.p AS auth_ppm, nh.p AS hub_ppm
          FROM na2 JOIN nh ON na2.node = nh.node
          ORDER BY auth_ppm DESC, part_id LIMIT 20""",
+
+    // 3 unrolled min-label rounds over the closed neighborhood, then the
+    // same integer modularity algebra; MATERIALIZED stops DuckDB from
+    // re-inlining the propagation chain into every downstream reference
+    "q_eng_modularity" ->
+      s"""WITH $copurchaseSql,
+         nodes AS (SELECT DISTINCT src AS n FROM e),
+         undc AS MATERIALIZED (SELECT src, dst FROM e
+               UNION ALL SELECT n, n FROM nodes),
+         l1 AS MATERIALIZED (SELECT g.src AS n, min(l.n) AS lab
+               FROM undc g JOIN nodes l ON g.dst = l.n GROUP BY 1),
+         l2 AS MATERIALIZED (SELECT g.src AS n, min(l.lab) AS lab
+               FROM undc g JOIN l1 l ON g.dst = l.n GROUP BY 1),
+         l3 AS MATERIALIZED (SELECT g.src AS n, min(l.lab) AS lab
+               FROM undc g JOIN l2 l ON g.dst = l.n GROUP BY 1),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         wc AS (SELECT CAST(count(*) AS BIGINT) AS within_edges
+               FROM und JOIN l3 a ON und.u = a.n JOIN l3 b ON und.v = b.n
+               WHERE a.lab = b.lab),
+         deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+               FROM e GROUP BY 1),
+         dc AS (SELECT l3.lab, CAST(sum(deg.deg) AS BIGINT) AS dsum
+               FROM deg JOIN l3 USING (n) GROUP BY 1),
+         s2 AS (SELECT CAST(sum(CAST(dsum AS HUGEINT) * dsum) AS HUGEINT)
+                  AS sum_dc2 FROM dc),
+         nc AS (SELECT CAST(count(DISTINCT lab) AS BIGINT) AS n_communities
+               FROM l3)
+         SELECT ${graft.functions.WideDiv.sqlMulDivSigned(
+        "4 * CAST(mm.m AS HUGEINT) * wc.within_edges - s2.sum_dc2",
+        "1000000",
+        "4 * CAST(mm.m AS HUGEINT) * mm.m")} AS modularity_ppm,
+                nc.n_communities, mm.m AS n_edges, wc.within_edges
+         FROM mm, wc, s2, nc""",
 
     // the oracle may use the global window — IT runs on one node by
     // design; the Spark side must not (StableIds.runningMaxes)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.WideDiv.{mulDivWide, mulDivWideSigned, ppmWide, sqlMulDiv, sqlMulDivSigned, sqlPpm, wide}
 import graft.operators.StableIds
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -52,6 +53,29 @@ object EvalQueries {
            SELECT l_orderkey,
                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS label
            FROM lineitem GROUP BY 1) r ON o.o_orderkey = r.l_orderkey)"""
+
+  /** Benjamini–Hochberg step-up over a (name, p_ub_ppm) frame: rank by
+    * (p asc, name asc), reject ranks ≤ max{i : p_(i)·m ≤ i·α·1e6}. Factored
+    * out so the property spec can drive synthetic p-value frames with
+    * mixed accept/reject outcomes through the SAME code path the fixture
+    * query uses (the fixture is deliberately uniform, so the honest gate
+    * result rejects nothing and would leave this branch unexercised).
+    * The Window is over the caller's BOUNDED test-family domain. */
+  private[queries] def bhStepUp(pv: DataFrame, alphaPpm: Long): DataFrame = {
+    val mdf = pv.agg(count(lit(1)).as("m"))
+    val ranked = pv
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("p_ub_ppm"), col("n_name")))
+          .cast("long"))
+      .crossJoin(broadcast(mdf))
+    val km = ranked.agg(max(when(
+      col("p_ub_ppm") * col("m") <= col("rk") * alphaPpm, col("rk"))).as("kmax"))
+    ranked.crossJoin(broadcast(km))
+      .select(col("n_name"), col("p_ub_ppm"), col("rk"),
+        when(col("rk") <= coalesce(col("kmax"), lit(0L)), 1L).otherwise(0L)
+          .as("rejected"))
+      .orderBy(col("rk"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AUC of the cents score predicting the returned label, as the exact
@@ -181,6 +205,86 @@ object EvalQueries {
                 wide(col("n") - col("a1")) * wide(col("n") - col("b1"))))
             .as("kappa_ppm"),
           col("n"), col("a1"), col("b1"), col("n11"))
+    }),
+
+    // Benjamini–Hochberg FDR over per-nation return-rate tests, all-integer:
+    // under H0 a nation's positive count is Binomial(n, p0) with p0 the
+    // global rate, and Chebyshev bounds p ≤ Var/dev² = n·p0(1−p0)/(pos−n·p0)².
+    // Clearing denominators by n_tot²: varnum = n·pos_tot·(n_tot−pos_tot),
+    // dev = |pos·n_tot − n·pos_tot|. The ppm bound divides by dev TWICE
+    // (q1 = ⌊varnum/dev⌋, then ⌊q1·1e6/dev⌋, with an early q1 ≥ dev → 1e6
+    // cap) so no intermediate ever squares dev — dev² alone reaches 1e48
+    // at the 100 TB design point and would overflow DECIMAL(38)/HUGEINT
+    // in BOTH engines. The two-step truncation IS the cross-engine
+    // contract, mirrored verbatim in the oracle. The BH step-up then runs
+    // on the BOUNDED nation domain (≤25 rows — the Window is over a
+    // dimension table, same discipline as q_sample_pps): rank by (p asc,
+    // name), reject ranks ≤ max{i : p_(i)·m ≤ i·α·1e6}, α = 0.05.
+    "q_eng_fdr_bh" -> ((s, d) => {
+      val oc = scored(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      val byNation = oc.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+      val tot = byNation
+        .agg(sum(col("n")).as("n_tot"), sum(col("pos")).as("pos_tot"))
+      val pv = byNation.crossJoin(broadcast(tot))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("dev", abs(wide(col("pos")) * wide(col("n_tot")) -
+          wide(col("n")) * wide(col("pos_tot"))))
+        .withColumn("varnum", wide(col("n")) * wide(col("pos_tot")) *
+          wide(col("n_tot") - col("pos_tot")))
+        .withColumn("q1",
+          when(col("dev") > 0, mulDivWide(col("varnum"), lit(1L), col("dev"))))
+        .withColumn("p_ub_ppm",
+          when(col("dev") === 0 || wide(col("q1")) >= col("dev"), lit(1000000L))
+            .otherwise(mulDivWide(col("q1"), lit(1000000L), col("dev"))))
+        .select(col("n_name"), col("p_ub_ppm"))
+      bhStepUp(pv, alphaPpm = 50000L)
+    }),
+
+    // Split-conformal prediction thresholds with test-side coverage:
+    // calibration = odd order keys, test = even; per priority group the
+    // threshold is the k-th smallest calibration score with
+    // k = min(n, ⌈0.9·(n+1)⌉) (the n-cap keeps the group well-defined when
+    // ⌈0.9(n+1)⌉ > n — documented divergence from the +∞ threshold).
+    // Selection is NOT a per-group sort: the distinct (group, score)
+    // domain goes through ONE global rankAndCumSums two-phase scan ordered
+    // by (group, score); per-group running counts are the global running
+    // sum minus the earlier-groups offset (a ≤5-row broadcast — the
+    // Window below is over the bounded priority domain). Coverage then
+    // broadcasts the 5-row threshold table against the test split.
+    "q_eng_conformal" -> ((s, d) => {
+      val sc = scored(s, d)
+      val cal = sc.where(col("o_orderkey") % 2 === 1)
+      val tst = sc.where(col("o_orderkey") % 2 === 0)
+      val dist = cal.groupBy(col("o_orderpriority").as("g"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = StableIds.rankAndCumSums(dist,
+        Seq(col("g"), col("cents")), Seq("cnt" -> "cum"))
+      val gk = dist.groupBy(col("g")).agg(sum(col("cnt")).as("n_cal"))
+        .withColumn("off", coalesce(sum(col("n_cal")).over(
+          Window.orderBy(col("g"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("k",
+          least(col("n_cal"), expr("(n_cal * 9 + 18) DIV 10")))
+      val thr = cum.join(broadcast(gk), Seq("g"))
+        .where(col("cum") - col("off") >= col("k"))
+        .groupBy(col("g"))
+        .agg(min(col("cents")).as("threshold_cents"))
+      val cov = tst
+        .join(broadcast(thr), col("o_orderpriority") === thr("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("cents") <= col("threshold_cents"), 1L).otherwise(0L))
+            .as("covered"))
+      gk.join(broadcast(thr), Seq("g")).join(broadcast(cov), Seq("g"))
+        .select(col("g").as("priority"), col("n_cal"), col("k"),
+          col("threshold_cents"), col("n_test"), col("covered"),
+          ppmWide(col("covered"), col("n_test")).as("coverage_ppm"))
+        .orderBy(col("priority"))
     })
   )
 
@@ -285,6 +389,72 @@ object EvalQueries {
           "(CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))")}
            AS kappa_ppm,
                 n, a1, b1, n11
-         FROM c"""
+         FROM c""",
+
+    // mirrors the two-step truncating division verbatim (HUGEINT `//` is
+    // floor division; operands non-negative here)
+    "q_eng_fdr_bh" ->
+      s"""WITH $scoredSql,
+         oc AS (SELECT c_nationkey, label FROM scored s
+                JOIN customer c ON s.o_custkey = c.c_custkey),
+         bn AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(label) AS BIGINT) AS pos
+                FROM oc GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                      CAST(sum(pos) AS BIGINT) AS pos_tot FROM bn),
+         pv AS (SELECT n_name,
+                       abs(CAST(pos AS HUGEINT) * t.n_tot
+                           - CAST(n AS HUGEINT) * t.pos_tot) AS dev,
+                       CAST(n AS HUGEINT) * t.pos_tot * (t.n_tot - t.pos_tot)
+                         AS varnum
+                FROM bn CROSS JOIN t
+                JOIN nation ON bn.c_nationkey = n_nationkey),
+         pp AS (SELECT n_name,
+                       CASE WHEN dev = 0 THEN 1000000
+                            WHEN varnum // dev >= dev THEN 1000000
+                            ELSE CAST((varnum // dev) * 1000000 // dev
+                                      AS BIGINT) END AS p_ub_ppm
+                FROM pv),
+         rk AS (SELECT n_name, p_ub_ppm,
+                       CAST(row_number() OVER (ORDER BY p_ub_ppm, n_name)
+                         AS BIGINT) AS rk,
+                       CAST(count(*) OVER () AS BIGINT) AS m
+                FROM pp),
+         km AS (SELECT max(CASE WHEN p_ub_ppm * m <= rk * 50000
+                                THEN rk END) AS kmax FROM rk)
+         SELECT n_name, p_ub_ppm, rk,
+                CAST(CASE WHEN rk <= coalesce(km.kmax, 0) THEN 1 ELSE 0 END
+                  AS BIGINT) AS rejected
+         FROM rk, km ORDER BY rk""",
+
+    "q_eng_conformal" ->
+      s"""WITH $scoredSql,
+         cal AS (SELECT o_orderpriority AS g, cents FROM scored
+                 WHERE o_orderkey % 2 = 1),
+         tst AS (SELECT o_orderpriority AS g, cents FROM scored
+                 WHERE o_orderkey % 2 = 0),
+         dist AS (SELECT g, cents, CAST(count(*) AS BIGINT) AS cnt
+                  FROM cal GROUP BY 1, 2),
+         cum AS (SELECT g, cents,
+                        CAST(sum(cnt) OVER (PARTITION BY g ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum
+                 FROM dist),
+         gk AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_cal,
+                       least(CAST(sum(cnt) AS BIGINT),
+                             (CAST(sum(cnt) AS BIGINT) * 9 + 18) // 10) AS k
+                FROM dist GROUP BY 1),
+         thr AS (SELECT cum.g, min(cents) AS threshold_cents
+                 FROM cum JOIN gk USING (g)
+                 WHERE cum.cum >= gk.k GROUP BY 1),
+         cov AS (SELECT t.g, CAST(count(*) AS BIGINT) AS n_test,
+                        CAST(sum(CASE WHEN t.cents <= thr.threshold_cents
+                          THEN 1 ELSE 0 END) AS BIGINT) AS covered
+                 FROM tst t JOIN thr ON t.g = thr.g GROUP BY 1)
+         SELECT gk.g AS priority, gk.n_cal, CAST(gk.k AS BIGINT) AS k,
+                thr.threshold_cents, cov.n_test, cov.covered,
+                ${sqlPpm("cov.covered", "cov.n_test")} AS coverage_ppm
+         FROM gk JOIN thr USING (g) JOIN cov ON cov.g = gk.g
+         ORDER BY priority"""
   )
 }
