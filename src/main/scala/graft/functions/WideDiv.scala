@@ -52,6 +52,23 @@ object WideDiv {
   def ppmWide(num: Column, den: Column): Column =
     mulDivWide(num, lit(1000000L), den)
 
+  /** [[mulDivWide]] that KEEPS the DECIMAL(38,0) result instead of casting
+    * to long — for intermediates that are themselves unbounded sums (e.g.
+    * the ARI expected-index term, ~n² at the design point) and feed a later
+    * wide division rather than the output schema. Same non-negative /
+    * den > 0 contract; DuckDB twin is plain HUGEINT `... * m // d`, which
+    * stays HUGEINT. */
+  def mulDivWideDec(num: Column, mul: Column, den: Column): Column = {
+    val n = num.cast(D) * mul.cast(D)
+    val d = den.cast(D)
+    val q0 = floor(n / d).cast(D)
+    val r = n - q0 * d
+    when(r < lit(0).cast(D), q0 - lit(1).cast(D))
+      .when(r >= d, q0 + lit(1).cast(D))
+      .otherwise(q0)
+      .cast(D)
+  }
+
   /** Exact `trunc-toward-zero(num * mul / den)` as long, via DECIMAL(38,0),
     * for SIGNED numerators (smoothing trends, covariance numerators,
     * detrended residuals). `den > 0` still required.

@@ -77,6 +77,50 @@ object EvalQueries {
       .orderBy(col("rk"))
   }
 
+  /** PAVA via the minimax identity over a BOUNDED (bin, n_bin, pos_bin)
+    * frame: iso_ppm(i) = max_{j≤i} min_{k≥i} ⌊1e6·pos(j..k)/n(j..k)⌋.
+    * Factored so specs can drive synthetic bin frames (violator pools,
+    * already-monotone inputs) through the exact code path the fixture
+    * query uses. Caller guarantees the bin domain is small (≤ ~100): the
+    * interval table is O(B²), the interval×bin join O(B³), the Window is
+    * over the B-row domain. */
+  private[queries] def isotonicFit(bins: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cn", sum(col("n_bin")).over(w))
+      .withColumn("cp", sum(col("pos_bin")).over(w))
+    val lo = cum.select(col("bin").as("j"),
+      (col("cn") - col("n_bin")).as("cn0"), (col("cp") - col("pos_bin")).as("cp0"))
+    val hi = cum.select(col("bin").as("k2"), col("cn").as("cn1"), col("cp").as("cp1"))
+    val ivl = lo.join(broadcast(hi), col("j") <= col("k2"))
+      .select(col("j"), col("k2"),
+        ppmWide(col("cp1") - col("cp0"), col("cn1") - col("cn0")).as("a_ppm"))
+    bins.select(col("bin"))
+      .join(broadcast(ivl), col("j") <= col("bin") && col("bin") <= col("k2"))
+      .groupBy(col("bin"), col("j")).agg(min(col("a_ppm")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("iso_ppm"))
+  }
+
+  /** Wald SPRT stopping rule over a (key, llr) stream ordered by `key`:
+    * first rank where the running micro-nat LLR exits ±`bound`. One
+    * two-phase rankAndCumSums scan + a broadcast row-lookup; returns
+    * (n_obs, llr_micro, decision) — empty iff the walk never exits.
+    * Factored so specs can drive synthetic streams with hand-computed
+    * crossings (including lower-boundary H0 acceptance, which a
+    * high-rate fixture never exercises). */
+  private[queries] def sprtDetect(stream: DataFrame, bound: Long): DataFrame = {
+    val cum = StableIds.rankAndCumSums(stream, Seq(col("key")),
+      Seq("llr" -> "cum_llr"))
+    val cross = cum
+      .where(col("cum_llr") >= bound || col("cum_llr") <= -bound)
+      .agg(min(col("rank")).as("n_obs"))
+    cum.join(broadcast(cross), col("rank") === col("n_obs"))
+      .select(col("n_obs"), col("cum_llr").as("llr_micro"),
+        when(col("cum_llr") >= bound, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AUC of the cents score predicting the returned label, as the exact
     // Mann-Whitney rank-sum with the standard tie correction: over the
@@ -285,7 +329,52 @@ object EvalQueries {
           col("threshold_cents"), col("n_test"), col("covered"),
           ppmWide(col("covered"), col("n_test")).as("coverage_ppm"))
         .orderBy(col("priority"))
-    })
+    }),
+
+    // Isotonic (monotone non-decreasing) calibration of the score→label
+    // relation via the PAVA minimax identity: over 20 equidepth score bins,
+    // fit_i = max_{j≤i} min_{k≥i} rate(j..k) with rate(j..k) the pooled
+    // positive rate of bins j..k. The minimax runs over ppm-TRUNCATED pooled
+    // rates — that truncation is the cross-engine contract (comparing exact
+    // rationals would need fraction ordering both engines can't hash-match).
+    // Scale shape: ONE corpus-sized aggregate lands the 20-row bin table
+    // (ranked scalably via StableIds — no global row window); every join
+    // after it is over the bounded bin/interval domain (≤ 210 interval
+    // rows, ≤ 1.5k interval×bin rows), so the O(B³) closed form replaces
+    // the inherently sequential PAVA sweep with bounded declarative joins.
+    // The Window below is over the 20-row bin domain.
+    "q_eng_isotonic" -> ((s, d) => {
+      val sc = scored(s, d)
+      val tot = sc.agg(count(lit(1)).as("n_tot"))
+      val bins = StableIds.withRank(sc, Seq(col("cents"), col("o_orderkey")), "rk")
+        .crossJoin(broadcast(tot))
+        .withColumn("bin", expr("(rk - 1) * 20 DIV n_tot"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_bin"), sum(col("label")).as("pos_bin"))
+      bins.join(broadcast(isotonicFit(bins)), Seq("bin"))
+        .select(col("bin"), col("n_bin"), col("pos_bin"),
+          ppmWide(col("pos_bin"), col("n_bin")).as("raw_ppm"), col("iso_ppm"))
+        .orderBy(col("bin"))
+    }),
+
+    // Wald's sequential probability ratio test over the arrival-ordered
+    // returned-label stream: H0 p = 0.6 vs H1 p = 0.7, α = β = 0.05. Each
+    // order contributes a FIXED integer micro-nat log-likelihood step
+    // (⌊ln(0.7/0.6)·1e6⌋ = +154150 on a return, trunc(ln(0.3/0.4)·1e6) =
+    // −287682 otherwise — the constants are shared literals, no runtime
+    // logs, so the walk is exact integer arithmetic in both engines); the
+    // test stops at the first |LLR| ≥ ⌊ln((1−β)/α)·1e6⌋ = ln(19) µnats.
+    // The corpus-sized running sum is ONE StableIds.rankAndCumSums
+    // two-phase scan (never a single-partition ORDER BY window); crossing
+    // detection is an aggregate over the crossing rows plus one broadcast
+    // row-lookup join. The early-stopping readout an A/B pipeline runs
+    // instead of fixing n up front.
+    "q_eng_sprt" -> ((s, d) =>
+      sprtDetect(
+        scored(s, d).select(col("o_orderkey").as("key"),
+          when(col("label") === 1L, lit(154150L)).otherwise(lit(-287682L))
+            .as("llr")),
+        bound = 2944438L))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -455,6 +544,61 @@ object EvalQueries {
                 thr.threshold_cents, cov.n_test, cov.covered,
                 ${sqlPpm("cov.covered", "cov.n_test")} AS coverage_ppm
          FROM gk JOIN thr USING (g) JOIN cov ON cov.g = gk.g
-         ORDER BY priority"""
+         ORDER BY priority""",
+
+    // minimax over the SAME ppm-truncated pooled rates (HUGEINT `//` =
+    // floor on the non-negative operands here)
+    "q_eng_isotonic" ->
+      s"""WITH $scoredSql,
+         rk AS (SELECT label,
+                       CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                         AS BIGINT) AS rk
+                FROM scored),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM scored),
+         b AS (SELECT (rk - 1) * 20 // t.n_tot AS bin, label FROM rk, t),
+         bins AS (SELECT CAST(bin AS BIGINT) AS bin,
+                         CAST(count(*) AS BIGINT) AS n_bin,
+                         CAST(sum(label) AS BIGINT) AS pos_bin
+                  FROM b GROUP BY 1),
+         cum AS (SELECT bin, n_bin, pos_bin,
+                        CAST(sum(n_bin) OVER w AS BIGINT) AS cn,
+                        CAST(sum(pos_bin) OVER w AS BIGINT) AS cp
+                 FROM bins
+                 WINDOW w AS (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         ivl AS (SELECT lo.bin AS j, hi.bin AS k2,
+                        ${sqlPpm("hi.cp - (lo.cp - lo.pos_bin)",
+        "hi.cn - (lo.cn - lo.n_bin)")} AS a_ppm
+                 FROM cum lo JOIN cum hi ON lo.bin <= hi.bin),
+         mn AS (SELECT bins.bin, ivl.j, min(a_ppm) AS mn
+                FROM bins JOIN ivl
+                  ON ivl.j <= bins.bin AND bins.bin <= ivl.k2
+                GROUP BY 1, 2),
+         iso AS (SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm
+                 FROM mn GROUP BY 1)
+         SELECT bins.bin, n_bin, pos_bin,
+                ${sqlPpm("pos_bin", "n_bin")} AS raw_ppm, iso_ppm
+         FROM bins JOIN iso USING (bin) ORDER BY bin""",
+
+    // same fixed micro-nat step constants; single-partition running sum is
+    // the oracle-side form only
+    "q_eng_sprt" ->
+      s"""WITH $scoredSql,
+         st AS (SELECT o_orderkey,
+                       CASE WHEN label = 1 THEN 154150 ELSE -287682 END AS llr
+                FROM scored),
+         cum AS (SELECT o_orderkey,
+                        CAST(row_number() OVER (ORDER BY o_orderkey)
+                          AS BIGINT) AS rnk,
+                        CAST(sum(llr) OVER (ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum_llr
+                 FROM st),
+         x AS (SELECT CAST(min(rnk) AS BIGINT) AS n_obs FROM cum
+               WHERE cum_llr >= 2944438 OR cum_llr <= -2944438)
+         SELECT x.n_obs, cum.cum_llr AS llr_micro,
+                CASE WHEN cum.cum_llr >= 2944438 THEN 'accept_h1'
+                     ELSE 'accept_h0' END AS decision
+         FROM cum JOIN x ON cum.rnk = x.n_obs"""
   )
 }

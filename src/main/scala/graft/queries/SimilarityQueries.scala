@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.WideDiv.{mulDivWide, mulDivWideDec, mulDivWideSigned, wide}
 import graft.similarity.Similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -38,6 +39,38 @@ object SimilarityQueries {
 
   /** Memoized trained-IVF assignment (2 Lloyd iterations) — shared by
     * q_sim_ivf_kmeans and q_sim_cell_sample. */
+  /** Adjusted Rand Index from a BOUNDED (cell, lab, nij) contingency
+    * frame, all pair counts in "x(x−1)" units (never /2), the ~n⁴
+    * expected-index product avoided by a two-step truncating division
+    * (e_ppm = ⌊sum_a2·1e6/pairs2⌋ ≤ 1e6, then e2 = ⌊2·sum_b2·e_ppm/1e6⌋
+    * held in DECIMAL(38)). Factored so specs can drive synthetic
+    * contingencies with known ARI (perfect = 1e6, independent ≈ 0)
+    * through the exact code path the fixture query uses. */
+  private[queries] def ariFromContingency(ctg: DataFrame): DataFrame = {
+    val p1 = ctg.agg(
+      sum(wide(col("nij")) * wide(col("nij") - 1L)).as("sum_idx2"),
+      countDistinct(col("cell")).as("n_cells"),
+      countDistinct(col("lab")).as("n_labels"))
+    val pa = ctg.groupBy(col("cell")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(wide(col("ai")) * wide(col("ai") - 1L)).as("sum_a2"),
+        sum(col("ai")).as("n"))
+    val pb = ctg.groupBy(col("lab")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(wide(col("bj")) * wide(col("bj") - 1L)).as("sum_b2"))
+    p1.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
+      .withColumn("pairs2", wide(col("n")) * wide(col("n") - 1L))
+      .withColumn("e_ppm",
+        mulDivWide(col("sum_a2"), lit(1000000L), col("pairs2")))
+      .withColumn("e2",
+        mulDivWideDec(wide(col("sum_b2")) * lit(2L), col("e_ppm"),
+          lit(1000000L)))
+      .withColumn("den", wide(col("sum_a2")) + wide(col("sum_b2")) - col("e2"))
+      .select(col("n"), col("n_cells"), col("n_labels"),
+        when(col("den") <= 0, lit(0L))
+          .otherwise(mulDivWideSigned(
+            wide(col("sum_idx2")) * lit(2L) - col("e2"),
+            lit(1000000L), col("den"))).as("ari_ppm"))
+  }
+
   private def kmeansTable(s: SparkSession, d: String): DataFrame =
     QueryCaches.memo(s, d, "kmeans_assign") {
       Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
@@ -275,6 +308,30 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_points"), sum(col("s_micro")).as("sum_s_micro"))
         .withColumn("mean_sil_micro", expr("sum_s_micro DIV n_points"))
         .orderBy("cell")),
+
+    // Adjusted Rand Index between the trained k-means cells and the
+    // ground-truth label column — the external clustering-agreement score
+    // ("did unsupervised cells recover the labels?") run before trusting
+    // cluster ids as pseudo-labels. One cell⋈label join lands the bounded
+    // k×L contingency table; everything after is row-bounded integer
+    // algebra. All pair counts stay in "2·C(x,2) = x(x−1)" units so no /2
+    // ever truncates; the expected-index term E = sum_a2·sum_b2/pairs2 is
+    // ~n² of a product of two ~n² sums — n⁴ would overflow DECIMAL(38)
+    // past n ≈ 3e9 — so it divides in TWO truncating steps (e_ppm =
+    // ⌊sum_a2·1e6/pairs2⌋ ≤ 1e6, then e2 = ⌊2·sum_b2·e_ppm/1e6⌋ kept in
+    // DECIMAL(38)): the two-step truncation is the cross-engine contract,
+    // mirrored verbatim in the oracle (same discipline as q_eng_fdr_bh's
+    // dev² avoidance). ARI = (2·sum_idx2 − e2)/(sum_a2 + sum_b2 − e2),
+    // signed-truncated to ppm (legitimately negative for worse-than-chance
+    // agreement).
+    "q_sim_ari" -> ((s, d) =>
+      ariFromContingency(
+        kmeansTable(s, d).select(col("id"), col("cell"))
+          .join(Tables.embeddings(s, d)
+            .select(col("vec_id"), col("label").cast("long").as("lab")),
+            col("id") === col("vec_id"))
+          .groupBy(col("cell"), col("lab"))
+          .agg(count(lit(1)).as("nij")))),
 
     // trained IVF: 2 Lloyd iterations (exact integer-microunit centroid
     // sums → partition-order-independent AND bitwise cross-engine), then
@@ -909,6 +966,39 @@ object SimilarityQueries {
     "q_sim_ivf_kmeans" ->
       s"""WITH $kmeansCtes
           SELECT id AS vec_id, cid AS cell, dist2 FROM af ORDER BY vec_id""",
+
+    // two-step truncating expected-index division mirrored verbatim
+    // (HUGEINT `//` truncates toward zero — matches mulDivWideSigned)
+    "q_sim_ari" ->
+      s"""WITH $kmeansCtes,
+          lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lb FROM embeddings),
+          ctg AS (SELECT af.cid AS cell, lb,
+                         CAST(count(*) AS BIGINT) AS nij
+                  FROM af JOIN lab ON af.id = lab.vec_id GROUP BY 1, 2),
+          p1 AS (SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1))
+                           AS HUGEINT) AS sum_idx2,
+                        CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+                        CAST(count(DISTINCT lb) AS BIGINT) AS n_labels
+                 FROM ctg),
+          pa AS (SELECT CAST(sum(CAST(ai AS HUGEINT) * (ai - 1))
+                           AS HUGEINT) AS sum_a2,
+                        CAST(sum(ai) AS BIGINT) AS n
+                 FROM (SELECT cell, CAST(sum(nij) AS BIGINT) AS ai
+                       FROM ctg GROUP BY 1)),
+          pb AS (SELECT CAST(sum(CAST(bj AS HUGEINT) * (bj - 1))
+                           AS HUGEINT) AS sum_b2
+                 FROM (SELECT lb, CAST(sum(nij) AS BIGINT) AS bj
+                       FROM ctg GROUP BY 1)),
+          f AS (SELECT *, CAST(n AS HUGEINT) * (n - 1) AS pairs2
+                FROM p1, pa, pb),
+          g AS (SELECT *, sum_a2 * 1000000 // pairs2 AS e_ppm FROM f),
+          h AS (SELECT *, (2 * sum_b2 * e_ppm) // 1000000 AS e2 FROM g)
+          SELECT n, n_cells, n_labels,
+                 CASE WHEN (sum_a2 + sum_b2 - e2) <= 0 THEN 0
+                      ELSE CAST((2 * sum_idx2 - e2) * 1000000
+                                // (sum_a2 + sum_b2 - e2) AS BIGINT)
+                 END AS ari_ppm
+          FROM h""",
 
     "q_sim_silhouette" ->
       s"""WITH $kmeansCtes,
