@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.WideDiv.{mulDivWide, mulDivWideSigned, ppmWide, sqlMulDiv, sqlMulDivSigned, sqlPpm, wide}
+import graft.functions.WideDiv.{mulDivWide, mulDivWideDec, mulDivWideSigned, ppmWide, sqlMulDiv, sqlMulDivSigned, sqlPpm, wide}
 import graft.operators.StableIds
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,15 +61,61 @@ object EvalQueries {
     * query uses (the fixture is deliberately uniform, so the honest gate
     * result rejects nothing and would leave this branch unexercised).
     * The Window is over the caller's BOUNDED test-family domain. */
-  private[queries] def bhStepUp(pv: DataFrame, alphaPpm: Long): DataFrame = {
+  /** Per-nation Chebyshev p-value upper bounds on the return-rate test —
+    * the (n_name, p_ub_ppm) frame both FDR procedures rank. See
+    * q_eng_fdr_bh's comment for the two-step dev-division contract. */
+  private def nationReturnPv(s: SparkSession, d: String): DataFrame = {
+    val oc = scored(s, d)
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val byNation = oc.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+    val tot = byNation
+      .agg(sum(col("n")).as("n_tot"), sum(col("pos")).as("pos_tot"))
+    byNation.crossJoin(broadcast(tot))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("dev", abs(wide(col("pos")) * wide(col("n_tot")) -
+        wide(col("n")) * wide(col("pos_tot"))))
+      .withColumn("varnum", wide(col("n")) * wide(col("pos_tot")) *
+        wide(col("n_tot") - col("pos_tot")))
+      .withColumn("q1",
+        when(col("dev") > 0, mulDivWide(col("varnum"), lit(1L), col("dev"))))
+      .withColumn("p_ub_ppm",
+        when(col("dev") === 0 || wide(col("q1")) >= col("dev"), lit(1000000L))
+          .otherwise(mulDivWide(col("q1"), lit(1000000L), col("dev"))))
+      .select(col("n_name"), col("p_ub_ppm"))
+  }
+
+  private[queries] def bhStepUp(pv: DataFrame, alphaPpm: Long): DataFrame =
+    stepUp(pv, alphaPpm, harmonic = false)
+
+  /** Benjamini–Yekutieli variant: the arbitrary-dependence-robust step-up
+    * divides α by H_m = Σ_{i≤m} 1/i. H_m enters as the integer
+    * per-term-truncated micro-scale sum Σ⌊1e6/i⌋ (both engines build the
+    * identical value over the bounded family), so the rejection rule
+    * p·m·H_ppm ≤ i·α_ppm·1e6 stays exact int64 — p ≤ 1e6, m and H
+    * bounded by the caller's test-family domain. */
+  private[queries] def byStepUp(pv: DataFrame, alphaPpm: Long): DataFrame =
+    stepUp(pv, alphaPpm, harmonic = true)
+
+  private def stepUp(pv: DataFrame, alphaPpm: Long,
+                     harmonic: Boolean): DataFrame = {
     val mdf = pv.agg(count(lit(1)).as("m"))
     val ranked = pv
       .withColumn("rk",
         row_number().over(Window.orderBy(col("p_ub_ppm"), col("n_name")))
           .cast("long"))
       .crossJoin(broadcast(mdf))
-    val km = ranked.agg(max(when(
-      col("p_ub_ppm") * col("m") <= col("rk") * alphaPpm, col("rk"))).as("kmax"))
+    val rejectAt =
+      if (harmonic)
+        col("p_ub_ppm") * col("m") *
+          expr("aggregate(sequence(1L, m), 0L, (acc, i) -> acc + 1000000 DIV i)") <=
+          col("rk") * alphaPpm * lit(1000000L)
+      else
+        col("p_ub_ppm") * col("m") <= col("rk") * alphaPpm
+    val km = ranked.agg(max(when(rejectAt, col("rk"))).as("kmax"))
     ranked.crossJoin(broadcast(km))
       .select(col("n_name"), col("p_ub_ppm"), col("rk"),
         when(col("rk") <= coalesce(col("kmax"), lit(0L)), 1L).otherwise(0L)
@@ -264,29 +310,89 @@ object EvalQueries {
     // on the BOUNDED nation domain (≤25 rows — the Window is over a
     // dimension table, same discipline as q_sample_pps): rank by (p asc,
     // name), reject ranks ≤ max{i : p_(i)·m ≤ i·α·1e6}, α = 0.05.
-    "q_eng_fdr_bh" -> ((s, d) => {
-      val oc = scored(s, d)
-        .join(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-      val byNation = oc.groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
-      val tot = byNation
-        .agg(sum(col("n")).as("n_tot"), sum(col("pos")).as("pos_tot"))
-      val pv = byNation.crossJoin(broadcast(tot))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .withColumn("dev", abs(wide(col("pos")) * wide(col("n_tot")) -
-          wide(col("n")) * wide(col("pos_tot"))))
-        .withColumn("varnum", wide(col("n")) * wide(col("pos_tot")) *
-          wide(col("n_tot") - col("pos_tot")))
-        .withColumn("q1",
-          when(col("dev") > 0, mulDivWide(col("varnum"), lit(1L), col("dev"))))
-        .withColumn("p_ub_ppm",
-          when(col("dev") === 0 || wide(col("q1")) >= col("dev"), lit(1000000L))
-            .otherwise(mulDivWide(col("q1"), lit(1000000L), col("dev"))))
-        .select(col("n_name"), col("p_ub_ppm"))
-      bhStepUp(pv, alphaPpm = 50000L)
+    "q_eng_fdr_bh" -> ((s, d) =>
+      bhStepUp(nationReturnPv(s, d), alphaPpm = 50000L)),
+
+    // Benjamini–Yekutieli over the SAME per-nation Chebyshev p-value
+    // bounds: the dependence-robust step-up (per-nation tests share the
+    // global rate estimate, so independence is genuinely questionable
+    // here). Same bounded-domain machinery; only the rejection threshold
+    // tightens by the exact integer harmonic factor.
+    "q_eng_fdr_by" -> ((s, d) =>
+      byStepUp(nationReturnPv(s, d), alphaPpm = 50000L)),
+
+    // McNemar's paired test on the 2×2 disagreement between the two
+    // heuristic raters q_eng_kappa compares (rater A: priority ∈
+    // {urgent, high}; rater B: order contains a return): χ² = (b−c)²/(b+c)
+    // over the discordant counts only — the paired-rater upgrade question
+    // ("does B systematically flag what A misses?") that kappa's symmetric
+    // agreement number can't answer. One corpus aggregate; (b−c)² runs in
+    // DECIMAL(38) (b,c are row counts — squares pass int64 at ~3e9 rows).
+    "q_eng_mcnemar" -> ((s, d) => {
+      scored(s, d)
+        .withColumn("a",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L))
+        .agg(sum(when(col("a") === 1L && col("label") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("a") === 0L && col("label") === 1L, 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("b"), col("c"),
+          when(col("b") + col("c") === 0L, lit(0L))
+            .otherwise(mulDivWide(
+              wide(col("b") - col("c")) * wide(col("b") - col("c")),
+              lit(1000000L), col("b") + col("c"))).as("chi2_ppm"))
+    }),
+
+    // Spearman rank correlation between order value and basket size
+    // (line count), tie-corrected via Pearson-on-midranks in EXACT integer
+    // arithmetic: doubled midranks (2·cum − cnt + 1, always integral) have
+    // mean exactly n+1, so centering is integer subtraction and the
+    // centered values are |c| ≤ n — the moment sums stay ≤ n³ ≤ 1e36 in
+    // DECIMAL(38) at the 100 TB design point (never the n⁴ of the
+    // uncentered form). ρ² would need num²/(dx·dy) ~ n¹² — instead the
+    // SYMMETRIC two-step t1 = ⌊|num|·1e6/dx⌋, t2 = ⌊|num|·1e6/dy⌋,
+    // ρ²_ppm = sign·⌊t1·t2/1e6⌋ keeps every intermediate ≤ 1e24 and the
+    // product ≤ 1e12 by Cauchy–Schwarz (num² ≤ dx·dy). The two-step
+    // truncation IS the cross-engine contract, mirrored in the oracle.
+    // Midrank lookup: x-ranks come from one rankAndCumSums over the
+    // distinct-cents domain joined back on cents; y (basket size) is a
+    // ≤10-value domain — broadcast.
+    "q_eng_spearman" -> ((s, d) => {
+      val rows = scored(s, d)
+        .join(Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nlines")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("cents"), col("nlines"))
+      val xd = rows.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      val xr = StableIds.rankAndCumSums(xd, Seq(col("cents")),
+          Seq("cnt" -> "cum"))
+        .select(col("cents").as("xv"),
+          (col("cum") * 2L - col("cnt") + 1L).as("mx2"))
+      val yd = rows.groupBy(col("nlines")).agg(count(lit(1)).as("cnt"))
+      val yr = StableIds.rankAndCumSums(yd, Seq(col("nlines")),
+          Seq("cnt" -> "cum"))
+        .select(col("nlines").as("yv"),
+          (col("cum") * 2L - col("cnt") + 1L).as("my2"))
+      val tot = rows.agg(count(lit(1)).as("n"))
+      val cent = rows
+        .join(xr, col("cents") === col("xv"))
+        .join(broadcast(yr), col("nlines") === col("yv"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), (col("mx2") - col("n") - 1L).as("cx"),
+          (col("my2") - col("n") - 1L).as("cy"))
+      cent.groupBy(col("n"))
+        .agg(sum(wide(col("cx")) * wide(col("cy"))).as("num"),
+          sum(wide(col("cx")) * wide(col("cx"))).as("dx"),
+          sum(wide(col("cy")) * wide(col("cy"))).as("dy"))
+        .select(col("n"),
+          when(col("dx") <= 0 || col("dy") <= 0, lit(0L))
+            .otherwise(
+              when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+                mulDivWide(
+                  mulDivWideDec(abs(col("num")), lit(1000000L), col("dx")),
+                  mulDivWideDec(abs(col("num")), lit(1000000L), col("dy")),
+                  lit(1000000L))).as("rho2_sign_ppm"))
     }),
 
     // Split-conformal prediction thresholds with test-side coverage:
@@ -515,6 +621,104 @@ object EvalQueries {
                 CAST(CASE WHEN rk <= coalesce(km.kmax, 0) THEN 1 ELSE 0 END
                   AS BIGINT) AS rejected
          FROM rk, km ORDER BY rk""",
+
+    // BY: same chain as BH with the exact integer harmonic factor in the
+    // step-up comparison (list comprehension over the bounded family)
+    "q_eng_fdr_by" ->
+      s"""WITH $scoredSql,
+         oc AS (SELECT c_nationkey, label FROM scored s
+                JOIN customer c ON s.o_custkey = c.c_custkey),
+         bn AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(label) AS BIGINT) AS pos
+                FROM oc GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                      CAST(sum(pos) AS BIGINT) AS pos_tot FROM bn),
+         pv AS (SELECT n_name,
+                       abs(CAST(pos AS HUGEINT) * t.n_tot
+                           - CAST(n AS HUGEINT) * t.pos_tot) AS dev,
+                       CAST(n AS HUGEINT) * t.pos_tot * (t.n_tot - t.pos_tot)
+                         AS varnum
+                FROM bn CROSS JOIN t
+                JOIN nation ON bn.c_nationkey = n_nationkey),
+         pp AS (SELECT n_name,
+                       CASE WHEN dev = 0 THEN 1000000
+                            WHEN varnum // dev >= dev THEN 1000000
+                            ELSE CAST((varnum // dev) * 1000000 // dev
+                                      AS BIGINT) END AS p_ub_ppm
+                FROM pv),
+         rk AS (SELECT n_name, p_ub_ppm,
+                       CAST(row_number() OVER (ORDER BY p_ub_ppm, n_name)
+                         AS BIGINT) AS rk,
+                       CAST(count(*) OVER () AS BIGINT) AS m
+                FROM pp),
+         hm AS (SELECT CAST(list_sum(
+                  [1000000 // i for i in range(1, m + 1)]) AS BIGINT) AS h,
+                       n_name, p_ub_ppm, rk, m
+                FROM rk),
+         km AS (SELECT max(CASE WHEN p_ub_ppm * m * h <=
+                                     rk * 50000 * 1000000
+                                THEN rk END) AS kmax FROM hm)
+         SELECT n_name, p_ub_ppm, rk,
+                CAST(CASE WHEN rk <= coalesce(km.kmax, 0) THEN 1 ELSE 0 END
+                  AS BIGINT) AS rejected
+         FROM hm, km ORDER BY rk""",
+
+    "q_eng_mcnemar" ->
+      s"""WITH $scoredSql,
+         c AS (SELECT
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN o_orderpriority NOT IN
+                               ('1-URGENT', '2-HIGH')
+                               AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+               FROM scored)
+         SELECT b, c,
+                CASE WHEN b + c = 0 THEN 0
+                     ELSE ${sqlMulDiv(
+        "CAST(b - c AS HUGEINT) * (b - c)", "1000000", "b + c")}
+                END AS chi2_ppm
+         FROM c""",
+
+    // symmetric two-step ρ² division mirrored verbatim (all division
+    // operands non-negative → HUGEINT // floor == the Spark floor)
+    "q_eng_spearman" ->
+      s"""WITH $scoredSql,
+         rws AS (SELECT cents, nlines FROM scored s
+                 JOIN (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS nlines
+                       FROM lineitem GROUP BY 1) l
+                   ON s.o_orderkey = l.l_orderkey),
+         xd AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+                FROM rws GROUP BY 1),
+         xr AS (SELECT cents AS xv,
+                       CAST(sum(cnt) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         * 2 - cnt + 1 AS BIGINT) AS mx2
+                FROM xd),
+         yd AS (SELECT nlines, CAST(count(*) AS BIGINT) AS cnt
+                FROM rws GROUP BY 1),
+         yr AS (SELECT nlines AS yv,
+                       CAST(sum(cnt) OVER (ORDER BY nlines
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         * 2 - cnt + 1 AS BIGINT) AS my2
+                FROM yd),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rws),
+         cent AS (SELECT t.n, mx2 - t.n - 1 AS cx, my2 - t.n - 1 AS cy
+                  FROM rws JOIN xr ON rws.cents = xr.xv
+                  JOIN yr ON rws.nlines = yr.yv
+                  CROSS JOIN t),
+         mom AS (SELECT n,
+                        CAST(sum(CAST(cx AS HUGEINT) * cy) AS HUGEINT) AS num,
+                        CAST(sum(CAST(cx AS HUGEINT) * cx) AS HUGEINT) AS dx,
+                        CAST(sum(CAST(cy AS HUGEINT) * cy) AS HUGEINT) AS dy
+                 FROM cent GROUP BY 1)
+         SELECT n,
+                CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                     ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+                       ((abs(num) * 1000000 // dx) *
+                        (abs(num) * 1000000 // dy) // 1000000) AS BIGINT)
+                END AS rho2_sign_ppm
+         FROM mom""",
 
     "q_eng_conformal" ->
       s"""WITH $scoredSql,

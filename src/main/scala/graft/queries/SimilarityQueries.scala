@@ -333,6 +333,47 @@ object SimilarityQueries {
           .groupBy(col("cell"), col("lab"))
           .agg(count(lit(1)).as("nij")))),
 
+    // Davies–Bouldin cluster-validity readout (squared-distance form, the
+    // companion to q_sim_silhouette): per-cell scatter s²_i = mean squared
+    // distance to the trained centroid, micro-quantized PER POINT at the
+    // leaf (integer sums — never an order-sensitive float sum crosses a
+    // partition boundary), and R_i = max_{j≠i} (s²_i + s²_j)/d²(c_i, c_j)
+    // over the k² = 64 BOUNDED centroid-pair grid (micro units cancel in
+    // the ppm ratio; coincident-centroid pairs — d² = 0 — are excluded,
+    // they cannot occur for a converged non-degenerate quantizer). High
+    // R = that cell overlaps a neighbor → the coarse quantizer needs more
+    // centroids before the IVF index scales out. One corpus-sized
+    // aggregate over the memoized assignment; everything else broadcast.
+    "q_sim_davies_bouldin" -> ((s, d) => {
+      val sc = kmeansTable(s, d)
+        .select(col("cell"),
+          floor(col("dist2") * 1e6 + lit(0.5)).cast("long").as("d2m"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_points"), sum(col("d2m")).as("s2sum"))
+        .withColumn("s2_micro", expr("s2sum DIV n_points"))
+      val cents = Similarity.kmeansCentroids(Tables.embeddings(s, d),
+        k = 8, iters = 2)
+      val sep = cents.select(col("cid").as("i"), col("cv").as("vi"))
+        .join(broadcast(cents.select(col("cid").as("j"), col("cv").as("vj"))),
+          col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          floor((Similarity.dot(col("vi"), col("vi")) -
+            lit(2.0) * Similarity.dot(col("vi"), col("vj")) +
+            Similarity.dot(col("vj"), col("vj"))) * 1e6 + lit(0.5))
+            .cast("long").as("sepm"))
+        .where(col("sepm") > 0L)
+      sc.select(col("cell").as("i"), col("n_points"), col("s2_micro"))
+        .join(broadcast(sc.select(col("cell").as("j"),
+          col("s2_micro").as("sj"))), col("i") =!= col("j"))
+        .join(broadcast(sep), Seq("i", "j"))
+        .groupBy(col("i"), col("n_points"), col("s2_micro"))
+        .agg(max(mulDivWide(col("s2_micro") + col("sj"), lit(1000000L),
+          col("sepm"))).as("r_max_ppm"))
+        .select(col("i").as("cell"), col("n_points"), col("s2_micro"),
+          col("r_max_ppm"))
+        .orderBy(col("cell"))
+    }),
+
     // trained IVF: 2 Lloyd iterations (exact integer-microunit centroid
     // sums → partition-order-independent AND bitwise cross-engine), then
     // nearest-centroid assignment (cached — q_sim_cell_sample shares it)
@@ -966,6 +1007,32 @@ object SimilarityQueries {
     "q_sim_ivf_kmeans" ->
       s"""WITH $kmeansCtes
           SELECT id AS vec_id, cid AS cell, dist2 FROM af ORDER BY vec_id""",
+
+    // per-point micro-quantized scatter + bounded centroid-pair grid;
+    // dist² parenthesization matches the Spark side's IEEE order
+    "q_sim_davies_bouldin" ->
+      s"""WITH $kmeansCtes,
+          dbsc AS (SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_points,
+                          CAST(sum(CAST(floor(dist2 * 1000000.0 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS s2sum
+                   FROM af GROUP BY 1),
+          dbs2 AS (SELECT cell, n_points, s2sum // n_points AS s2_micro
+                   FROM dbsc),
+          dbsep AS (SELECT a.cid AS i, b.cid AS j,
+                           CAST(floor(((${dotSql("a.cv", "a.cv")}
+                             - 2.0 * ${dotSql("a.cv", "b.cv")})
+                             + ${dotSql("b.cv", "b.cv")}) * 1000000.0 + 0.5)
+                             AS BIGINT) AS sepm
+                    FROM c2 a JOIN c2 b ON a.cid != b.cid),
+          dbr AS (SELECT x.cell, x.n_points, x.s2_micro,
+                         CAST(max((x.s2_micro + y.s2_micro) * 1000000
+                                  // dbsep.sepm) AS BIGINT) AS r_max_ppm
+                  FROM dbs2 x JOIN dbs2 y ON x.cell != y.cell
+                  JOIN dbsep ON dbsep.i = x.cell AND dbsep.j = y.cell
+                  WHERE dbsep.sepm > 0
+                  GROUP BY 1, 2, 3)
+          SELECT cell, n_points, s2_micro, r_max_ppm
+          FROM dbr ORDER BY cell""",
 
     // two-step truncating expected-index division mirrored verbatim
     // (HUGEINT `//` truncates toward zero — matches mulDivWideSigned)
