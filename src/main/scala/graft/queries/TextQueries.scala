@@ -21,6 +21,37 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** Waterfilling allocation over a BOUNDED (source, cap) frame with
+    * budget ⌊bNum·Σcap/bDen⌋ — see q_text_mix_waterfill (which fixes
+    * 9/10). Factored so specs can drive synthetic cap profiles and
+    * budgets (all-saturated with bNum ≥ bDen, none-saturated, exact
+    * boundary) through the same code path the fixture query uses. The
+    * Window is over the caller's bounded source domain. */
+  private[queries] def waterfill(caps: DataFrame, bNum: Long = 9L,
+                                 bDen: Long = 10L): DataFrame = {
+    val w = Window.orderBy(col("cap"), col("source"))
+    val tot = caps.agg(sum(col("cap")).as("captot"), count(lit(1)).as("m"))
+    val flagged = caps.crossJoin(broadcast(tot))
+      .withColumn("b", expr(s"captot * $bNum DIV $bDen"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("sk", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sat",
+        when(col("cap") * (col("m") - col("k")) <= col("b") - col("sk"), 1L)
+          .otherwise(0L))
+    val t = flagged.agg(sum(col("sat")).as("t"),
+      coalesce(max(when(col("sat") === 1L, col("sk"))), lit(0L)).as("st0"))
+    flagged.crossJoin(broadcast(t))
+      .withColumn("level",
+        when(col("t") === col("m"), lit(-1L))
+          .otherwise(expr("(b - st0) DIV (m - t)")))
+      .select(col("source"), col("cap").as("cap_tokens"),
+        when(col("sat") === 1L, col("cap"))
+          .otherwise(least(col("cap"), col("level"))).as("alloc_tokens"),
+        col("sat").as("saturated"), col("level"))
+      .orderBy(col("source"))
+  }
+
   /** Memoized positional postings `(doc_id, pos, tok)` — six queries
     * (phrase, span removal, skip-grams, entropy, TF-IDF, hash vectors)
     * consume the same tokenize+explode, so the suite materializes it
@@ -383,6 +414,24 @@ object TextQueries {
     // units AT THE LEAF (audited site, QuantBoundarySpec) so the shares
     // and epoch factors are pure integer arithmetic. One aggregate over
     // documents; everything else on the sources-sized table
+    // Waterfilling mixture allocation under availability caps — the
+    // budgeting step temperature/sqrt weighting cannot do: given a token
+    // budget B = ⌊0.9·total⌋ and per-source available tokens cap_i, find
+    // the level L with Σ min(cap_i, L) = B; sources below L are taken
+    // whole ("saturated" — their data is scarcer than the mixture wants),
+    // the rest contribute exactly ⌊L⌋. Closed form over the BOUNDED
+    // sources domain (one corpus-sized token aggregate, then an
+    // ≤m-row window): ascending caps, saturated iff
+    // c_k·(m−k) ≤ B − S_k (the prefix property is exact — f(k) is
+    // non-increasing), L = (B − S_t) DIV (m − t). At sf0.01 the budget
+    // saturates exactly two sources, so BOTH branches gate. Floor-level
+    // semantics (Σalloc ≤ B by < m−t tokens) are the cross-engine
+    // contract; level = −1 flags the degenerate all-saturated case.
+    "q_text_mix_waterfill" -> ((s, d) =>
+      waterfill(
+        docs(s, d).groupBy(col("source"))
+          .agg(sum(tokenCount(col("text")).cast("long")).as("cap")))),
+
     "q_text_mix_temperature" -> ((s, d) => {
       val cnt = docs(s, d).groupBy(col("source"))
         .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
@@ -1610,6 +1659,44 @@ object TextQueries {
                 CAST(CAST(cum AS HUGEINT) * 1000000 // CAST(t AS HUGEINT)
                   AS BIGINT) AS coverage_ppm
          FROM r, tt ORDER BY rank""",
+
+    // ascending-caps prefix saturation + floor level, mirrored verbatim;
+    // the all-saturated −1 branch is unreachable at bNum/bDen = 9/10
+    // (sat_m would need B ≥ Σcap) but mirrored for formula parity
+    "q_text_mix_waterfill" ->
+      """WITH t AS (
+           SELECT source,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS nt
+           FROM documents),
+         caps AS (SELECT source, CAST(sum(CAST(nt AS BIGINT)) AS BIGINT) AS cap
+                  FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(cap) AS BIGINT) AS captot,
+                        CAST(count(*) AS BIGINT) AS m
+                 FROM caps),
+         rk AS (SELECT source, cap, captot * 9 // 10 AS b, m,
+                       CAST(row_number() OVER (ORDER BY cap, source)
+                         AS BIGINT) AS k,
+                       CAST(sum(cap) OVER (ORDER BY cap, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS sk
+                FROM caps, tot),
+         fl AS (SELECT *, CASE WHEN cap * (m - k) <= b - sk
+                               THEN 1 ELSE 0 END AS sat
+                FROM rk),
+         tt AS (SELECT CAST(sum(sat) AS BIGINT) AS t,
+                       CAST(coalesce(max(CASE WHEN sat = 1 THEN sk END), 0)
+                         AS BIGINT) AS st0
+                FROM fl)
+         SELECT source, cap AS cap_tokens,
+                CAST(CASE WHEN sat = 1 THEN cap
+                          ELSE least(cap, (b - st0) // (m - t))
+                     END AS BIGINT) AS alloc_tokens,
+                CAST(sat AS BIGINT) AS saturated,
+                CAST(CASE WHEN t = m THEN -1
+                          ELSE (b - st0) // (m - t) END AS BIGINT) AS level
+         FROM fl, tt ORDER BY source""",
 
     "q_text_mix_temperature" ->
       """WITH t AS (

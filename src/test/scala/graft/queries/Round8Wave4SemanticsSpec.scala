@@ -118,6 +118,48 @@ class Round8Wave4SemanticsSpec extends SparkSpec {
     assert(want != 0, "fixture correlation should be non-trivial")
   }
 
+  test("waterfill: hand-computed mixed case, uniform, and all-saturated") {
+    // caps (10, 100, 1000), B = ⌊0.9·1110⌋ = 999: k=1 sat (20 ≤ 989),
+    // k=2 sat (100 ≤ 889), k=3 not (S₃ > B) → t = 2, L = 999−110 = 889,
+    // alloc = (10, 100, 889), Σalloc = B exactly here
+    val mixed = Seq(("a", 10L), ("b", 100L), ("c", 1000L))
+      .toDF("source", "cap")
+    val gotM = TextQueries.waterfill(mixed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(gotM == Seq(("a", 10L, 10L, 1L, 889L), ("b", 100L, 100L, 1L, 889L),
+      ("c", 1000L, 889L, 0L, 889L)))
+
+    // uniform caps: nothing saturates, everyone gets the floor level
+    val uni = Seq(("a", 100L), ("b", 100L), ("c", 100L), ("d", 100L))
+      .toDF("source", "cap")
+    val gotU = TextQueries.waterfill(uni).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotU.forall(_ == ((90L, 0L, 90L))))
+
+    // budget ≥ Σcap (bNum/bDen = 2): all saturated, level = −1 sentinel
+    val gotA = TextQueries.waterfill(mixed, bNum = 2L, bDen = 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(gotA.forall { case (cap, alloc, sat, lvl) =>
+      alloc == cap && sat == 1L && lvl == -1L })
+  }
+
+  test("q_text_mix_waterfill conserves the budget within m − t tokens") {
+    val rows = SparkEntry.queries("q_text_mix_waterfill")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val capTot = rows.map(_._1).sum
+    val b = capTot * 9 / 10
+    val alloc = rows.map(_._2).sum
+    val unsat = rows.count(_._3 == 0L)
+    assert(alloc <= b && b - alloc < math.max(1, unsat),
+      s"alloc=$alloc b=$b unsat=$unsat")
+    // every saturated source is taken whole; none exceeds its cap
+    assert(rows.forall { case (cap, al, sat) =>
+      if (sat == 1L) al == cap else al <= cap })
+  }
+
   test("q_sim_davies_bouldin equals the brute-force scatter/separation") {
     def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0
