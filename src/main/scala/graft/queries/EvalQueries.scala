@@ -359,11 +359,17 @@ object EvalQueries {
     // distinct-cents domain joined back on cents; y (basket size) is a
     // ≤10-value domain — broadcast.
     "q_eng_spearman" -> ((s, d) => {
-      val rows = scored(s, d)
-        .join(Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nlines")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("cents"), col("nlines"))
+      // memoized: the (cents, nlines) pair table feeds FOUR consumers
+      // (x-domain, y-domain, total, centered moments) — without the cache
+      // each re-runs the orders⋈lineitem join; with it the join runs once
+      // (the production-scale persist, lifecycle-managed by QueryCaches)
+      val rows = QueryCaches.memo(s, d, "spearman_rows") {
+        scored(s, d)
+          .join(Tables.lineitem(s, d)
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nlines")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("cents"), col("nlines"))
+      }
       val xd = rows.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
       val xr = StableIds.rankAndCumSums(xd, Seq(col("cents")),
           Seq("cnt" -> "cum"))
@@ -452,11 +458,16 @@ object EvalQueries {
     "q_eng_isotonic" -> ((s, d) => {
       val sc = scored(s, d)
       val tot = sc.agg(count(lit(1)).as("n_tot"))
+      // localCheckpoint: the 20-row bin table is consumed by four
+      // downstream subtrees (lo/hi/minimax/final) — without it each one
+      // re-runs the corpus aggregate (8 parquet scans in the probed plan;
+      // 1 after). Same tiny-frame precedent as Similarity.kmeansCentroids.
       val bins = StableIds.withRank(sc, Seq(col("cents"), col("o_orderkey")), "rk")
         .crossJoin(broadcast(tot))
         .withColumn("bin", expr("(rk - 1) * 20 DIV n_tot"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_bin"), sum(col("label")).as("pos_bin"))
+        .localCheckpoint()
       bins.join(broadcast(isotonicFit(bins)), Seq("bin"))
         .select(col("bin"), col("n_bin"), col("pos_bin"),
           ppmWide(col("pos_bin"), col("n_bin")).as("raw_ppm"), col("iso_ppm"))

@@ -46,7 +46,9 @@ object SimilarityQueries {
     * held in DECIMAL(38)). Factored so specs can drive synthetic
     * contingencies with known ARI (perfect = 1e6, independent ≈ 0)
     * through the exact code path the fixture query uses. */
-  private[queries] def ariFromContingency(ctg: DataFrame): DataFrame = {
+  private[queries] def ariFromContingency(ctg0: DataFrame): DataFrame = {
+    // localCheckpoint: the bounded k×L contingency feeds three aggregates
+    val ctg = ctg0.localCheckpoint()
     val p1 = ctg.agg(
       sum(wide(col("nij")) * wide(col("nij") - 1L)).as("sum_idx2"),
       countDistinct(col("cell")).as("n_cells"),
@@ -345,12 +347,14 @@ object SimilarityQueries {
     // centroids before the IVF index scales out. One corpus-sized
     // aggregate over the memoized assignment; everything else broadcast.
     "q_sim_davies_bouldin" -> ((s, d) => {
+      // localCheckpoint: the 8-row scatter table joins against itself
       val sc = kmeansTable(s, d)
         .select(col("cell"),
           floor(col("dist2") * 1e6 + lit(0.5)).cast("long").as("d2m"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_points"), sum(col("d2m")).as("s2sum"))
         .withColumn("s2_micro", expr("s2sum DIV n_points"))
+        .localCheckpoint()
       val cents = Similarity.kmeansCentroids(Tables.embeddings(s, d),
         k = 8, iters = 2)
       val sep = cents.select(col("cid").as("i"), col("cv").as("vi"))

@@ -31,6 +31,9 @@ object TextQueries {
                                  bDen: Long = 10L): DataFrame = {
     val w = Window.orderBy(col("cap"), col("source"))
     val tot = caps.agg(sum(col("cap")).as("captot"), count(lit(1)).as("m"))
+    // localCheckpoint: the m-row flagged table feeds both the t-aggregate
+    // and the final projection — without it each re-runs the corpus token
+    // aggregate (tiny-frame precedent: Similarity.kmeansCentroids)
     val flagged = caps.crossJoin(broadcast(tot))
       .withColumn("b", expr(s"captot * $bNum DIV $bDen"))
       .withColumn("k", row_number().over(w).cast("long"))
@@ -39,6 +42,7 @@ object TextQueries {
       .withColumn("sat",
         when(col("cap") * (col("m") - col("k")) <= col("b") - col("sk"), 1L)
           .otherwise(0L))
+      .localCheckpoint()
     val t = flagged.agg(sum(col("sat")).as("t"),
       coalesce(max(when(col("sat") === 1L, col("sk"))), lit(0L)).as("st0"))
     flagged.crossJoin(broadcast(t))
