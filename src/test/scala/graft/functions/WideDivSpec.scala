@@ -3,7 +3,7 @@ package graft.functions
 import java.math.BigInteger
 
 import graft.SparkSpec
-import graft.functions.WideDiv.{mulDivWide, ppmWide, wide}
+import graft.functions.WideDiv.{mulDivWide, mulDivWideDec, ppmWide, wide}
 import org.apache.spark.sql.functions._
 
 /** Pins the overflow-proof share arithmetic: [[WideDiv.mulDivWide]] must
@@ -68,6 +68,26 @@ class WideDivSpec extends SparkSpec {
     val got = r2.toDF("num", "den")
       .select(ppmWide(col("num"), col("den")).as("q")).head().getLong(0)
     assert(got == 999999L)
+  }
+
+  test("mulDivWideDec keeps beyond-int64 quotients exact in DECIMAL(38)") {
+    // quotient ~1.4e23 — far past Long.Max; the DECIMAL-returning variant
+    // must still land on the exact BigInteger floor (incl. the remainder
+    // correction at a just-below-integer quotient)
+    val cases = Seq(
+      (1000000000000000000L, 1000000L, 7L),
+      (999999999999999999L, 999999L, 3L),
+      (21L * 2097151L, 1L, 2097152L), // floor just below an integer
+      (0L, 1000000L, 9L))
+    val got = cases.toDF("num", "mul", "den")
+      .select(col("num"), mulDivWideDec(wide(col("num")), col("mul"),
+        col("den")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).toBigInteger).toMap
+    cases.foreach { case (n, m, d) =>
+      val want = BigInteger.valueOf(n).multiply(BigInteger.valueOf(m))
+        .divide(BigInteger.valueOf(d))
+      assert(got(n) == want, s"num=$n mul=$m den=$d")
+    }
   }
 
   test("wide() products stay exact where int64 squares overflow") {
