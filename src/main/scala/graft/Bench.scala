@@ -8,6 +8,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Fixture-scale split sizing: the test parquet is a handful of
+      // single-digit-MB files, far below the 128 MB default split size,
+      // so every scan would be one task and per-row-heavy projections
+      // (tokenize, regex, md5 banks) would serialize. 512 KB splits give
+      // the local 32 threads real scan parallelism wherever the file's
+      // row-group layout allows it — the same splits-per-core tuning a
+      // real cluster does, just at fixture scale.
+      .config("spark.sql.files.maxPartitionBytes", "524288")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -100,7 +100,12 @@ object Dedup {
     * genuinely similar buckets (AQE skew-join splits any hot bucket). */
   def lshCandidates(df: DataFrame, idCol: Column, sigCol: Column,
                     bands: Int, r: Int): DataFrame = {
-    val e = df.select(idCol.as("id"), explode(lshBands(sigCol, bands, r)).as("bd"))
+    // round-robin pin BEFORE the signature projection: minhash banks cost
+    // k md5 calls per shingle per doc, and over a mono-split scan (or a
+    // sub-minPartitionSize exchange that AQE coalesced to one task) that
+    // work would run serial — see [[graft.operators.Fanout]]
+    val e = graft.operators.Fanout.pin(df)
+      .select(idCol.as("id"), explode(lshBands(sigCol, bands, r)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     e.as("a").join(e.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -134,6 +139,9 @@ object Dedup {
     * @param maxDf    candidate-stage document-frequency cutoff */
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, hashesCol: Column,
                         minJaccard: Double, maxDf: Int): DataFrame = {
+    // no Fanout.pin here: this family's parallelism comes from its own
+    // shingle-row exchanges (large enough for AQE to size correctly), and
+    // an A/B at sf1m showed the extra repartition costs ~30% with no win
     val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
     // jac = s/(na+nb−s) is monotone increasing in s, so the ub bound is a
     // lossless prune: a pair whose bound misses the threshold provably
@@ -186,6 +194,7 @@ object Dedup {
                         hashesCol: Column, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tPpm = math.round(minJaccard * 1000000).toInt
+    // no Fanout.pin (same A/B rationale as ngramJaccardPairs)
     val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
     val ex = base.select(col("id"), explode(col("hs")).as("h"))
     val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -250,6 +259,7 @@ object Dedup {
     * in s, so no qualifying pair is dropped. */
   def containmentPairs(docs: DataFrame, idCol: Column, hashesCol: Column,
                        minContainment: Double, maxDf: Int): DataFrame = {
+    // no Fanout.pin (same A/B rationale as ngramJaccardPairs)
     val base = docs.select(idCol.as("id"), hashesCol.as("hs"))
     // C = s/min(na,nb) is monotone in s — same lossless-prune argument
     val pruned = candidateBounds(base, maxDf)
@@ -332,7 +342,10 @@ object Dedup {
     * explode → single groupBy with 60 conditional sums (one shuffle,
     * map-side combined), not a per-row O(features·bits) lambda. */
   def simhash(df: DataFrame, idCol: Column, featuresCol: Column): DataFrame = {
-    val f = df.select(idCol.as("id"), explode(featuresCol).as("s"))
+    // pin before the feature explode + per-shingle md5 (serial over a
+    // mono-split scan otherwise — see [[graft.operators.Fanout]])
+    val f = graft.operators.Fanout.pin(df)
+      .select(idCol.as("id"), explode(featuresCol).as("s"))
       .select(col("id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
     val bitSums = (0 until 60).map(b =>
@@ -358,7 +371,13 @@ object Dedup {
     require(maxHamming <= 8,
       "2-of-10-chunk banding guarantees full recall only for Hamming <= 8")
     val combos = for { a <- 0 until 10; b <- a + 1 until 10 } yield (a, b)
-    val chunks = sig.select(col("id"), col("simhash"),
+    // the signature aggregate is docs-count-sized (tiny post-shuffle →
+    // AQE would coalesce it to one partition) while this stage fans out
+    // 45× into the chunk-pair candidate join — round-robin pin so the
+    // explode runs n-way; the join's own (c,v) exchange carries the
+    // chunk-level (45×) row count and keeps AQE skew-splitting
+    val pinned = graft.operators.Fanout.pin(sig)
+    val chunks = pinned.select(col("id"), col("simhash"),
       explode(array(combos.map { case (a, b) =>
         struct(lit(a * 10 + b).as("c"),
           (shiftright(col("simhash"), 6 * a).bitwiseAND(lit(63L)) * 64 +

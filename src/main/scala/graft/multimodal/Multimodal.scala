@@ -242,10 +242,16 @@ object Multimodal {
   def phashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "1-of-4-nibble banding guarantees full recall only for Hamming <= 3")
-    val chunks = sig.select(col("media_id"), col("phash"),
-        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-          shiftright(col("phash"), 4 * c).bitwiseAND(lit(15L)).as("v"))): _*)).as("ch"))
-      .select(col("media_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    // keyed pin: the signature table is media-count-sized (tiny → AQE
+    // would run the whole n²/bucket fan-out in 1-2 tasks); (c, v) is a
+    // 64-value uniform band domain (hash bits), safe to pin without AQE
+    // skew-splitting — see [[graft.operators.Fanout]]
+    val chunks = graft.operators.Fanout.pin(
+        sig.select(col("media_id"), col("phash"),
+          explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+            shiftright(col("phash"), 4 * c).bitwiseAND(lit(15L)).as("v"))): _*)).as("ch"))
+        .select(col("media_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v")),
+        col("c"), col("v"))
     chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.media_id") < col("b.media_id"))
@@ -281,10 +287,13 @@ object Multimodal {
                        maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "1-of-4-nibble banding guarantees full recall only for Hamming <= 3")
-    def chunks(sig: DataFrame) = sig.select(col("media_id"), col("phash"),
-        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-          shiftright(col("phash"), 4 * c).bitwiseAND(lit(15L)).as("v"))): _*)).as("ch"))
-      .select(col("media_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    // same keyed pin rationale as [[phashPairs]]
+    def chunks(sig: DataFrame) = graft.operators.Fanout.pin(
+      sig.select(col("media_id"), col("phash"),
+          explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+            shiftright(col("phash"), 4 * c).bitwiseAND(lit(15L)).as("v"))): _*)).as("ch"))
+        .select(col("media_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v")),
+      col("c"), col("v"))
     chunks(sigA).as("a").join(chunks(sigB).as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.media_id") < col("b.media_id"))

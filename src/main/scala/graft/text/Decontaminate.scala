@@ -28,7 +28,11 @@ object Decontaminate {
     * result) instead of running the n-gram pipeline per side. */
   def ngramTable(df: DataFrame, id: Column, text: Column, n: Int,
                  idName: String = "doc_id"): DataFrame =
-    df.select(id.as(idName),
+    // pin: the n-gram explode + per-gram md5 fans out ~|tokens| rows per
+    // doc and would otherwise run serial over a mono-split scan — see
+    // [[graft.operators.Fanout]]
+    graft.operators.Fanout.pin(df)
+      .select(id.as(idName),
         explode(array_distinct(TextFunctions.tokenNgrams(text, n))).as("__ng"))
       .withColumn("__ng", md5(col("__ng")))
 

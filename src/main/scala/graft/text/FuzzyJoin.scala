@@ -52,11 +52,21 @@ object FuzzyJoin {
   def editDistancePairs2(vocab: DataFrame, word: Column): DataFrame = {
     // two projections: aliasing `word` to "w" in the SAME select that
     // re-references it would resolve as a lateral column alias (explode
-    // over LCA is unsupported)
-    val idx = vocab.select(word.as("__w0"))
-      .select(col("__w0").as("w"),
-        explode(deletionVariants2(col("__w0"))).as("__v"))
-      .distinct()
+    // over LCA is unsupported). The pins are load-bearing: the vocabulary
+    // exchange above this point is a few hundred KB, which AQE would
+    // coalesce to one partition — serializing the O(L²) variant explode,
+    // the candidate join fan-out, AND the levenshtein verify that all
+    // execute in this stage (measured 128 s → 12 s at sf1m). Round-robin,
+    // NOT keyed on the word: a keyed repartition matches the incoming
+    // hashpartitioning from the caller's vocabulary distinct, so the
+    // planner elides it as redundant and the coalesce returns. The second
+    // pin keeps the join probe itself at full width (the index exchange
+    // is small enough for AQE to under-provision).
+    val idx = graft.operators.Fanout.pin(
+      graft.operators.Fanout.pin(vocab.select(word.as("__w0")))
+        .select(col("__w0").as("w"),
+          explode(deletionVariants2(col("__w0"))).as("__v"))
+        .distinct())
     val a = idx.select(col("w").as("wa"), col("__v").as("__va"))
     val b = idx.select(col("w").as("wb"), col("__v").as("__vb"))
     a.join(b, col("__va") === col("__vb") && col("wa") < col("wb"))

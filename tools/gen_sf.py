@@ -152,8 +152,15 @@ def main():
                 c = mutate_documents(c, i)
             parts.append(c)
         out = pa.concat_tables(parts)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+        # Many row groups, not one: a mono-row-group file gives Spark's
+        # scan exactly one split regardless of maxPartitionBytes, which
+        # serializes every per-row-heavy projection above it and hides
+        # real plan parallelism from the scaling runs. ~32 groups per
+        # table mirrors the many-split layout any real corpus has.
+        rgs = max(4096, out.num_rows // 32)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=rgs)
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows (rg={rgs})")
 
 
 if __name__ == "__main__":
