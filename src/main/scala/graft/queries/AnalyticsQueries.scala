@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.WideDiv.{ppmWide, wide}
+import graft.functions.WideDiv.{mulDivWide, mulDivWideDec, ppmWide, sqlMulDiv, wide}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -187,6 +187,116 @@ object AnalyticsQueries {
           (dvn * dvn / (col("r").cast("double") * col("c").cast("double") *
             col("n").cast("double"))).as("chi2_contrib"))
         .orderBy("et", "dow")
+    }),
+
+    // Cramér's V effect size for the same (event type × weekday)
+    // contingency: V = sqrt(χ² / (n · (min(r,c) − 1))). Unlike
+    // q_eng_chi_square (per-cell double contributions), the TOTAL χ²
+    // crosses engines here, so per-cell contributions are floored to
+    // exact integer micro-units via the DECIMAL(38) wide path — the SUM
+    // is then exact integer arithmetic with no cross-engine float
+    // summation-order surface; the oracle mirrors each per-cell floor.
+    // V itself is one identical IEEE tree over the exact integers.
+    // (dev² · 1e6 stays inside DECIMAL(38) up to ~1e7-row×margin scales;
+    // beyond that the margins pre-scale to per-million shares first.)
+    "q_eng_cramers_v" -> ((s, d) => {
+      val base = Tables.events(s, d).select(col("event_type").as("et"),
+        pmod(datediff(to_date(col("ts")), to_date(lit("1995-01-02")))
+          .cast("long"), lit(7L)).as("dow"))
+      val cells = base.groupBy("et", "dow").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("et").agg(sum("o").as("r"))
+      val colT = cells.groupBy("dow").agg(sum("o").as("c"))
+      val tot = cells.agg(sum("o").as("n"),
+        countDistinct(col("et")).as("nr"), countDistinct(col("dow")).as("nc"))
+      val dev = wide(col("o")) * wide(col("n")) - wide(col("r")) * wide(col("c"))
+      cells.join(broadcast(rowT), "et").join(broadcast(colT), "dow")
+        .crossJoin(broadcast(tot))
+        .select(mulDivWide(dev * dev, lit(1000000L),
+            wide(col("r")) * wide(col("c")) * wide(col("n"))).as("contrib"),
+          col("n"), col("nr"), col("nc"))
+        .groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sum(col("contrib")).as("chi2_micro"))
+        .select(col("chi2_micro"), col("n"),
+          (least(col("nr"), col("nc")) - lit(1L)).as("min_dim"),
+          sqrt(col("chi2_micro").cast("double") /
+            (lit(1000000.0) * col("n").cast("double") *
+              (least(col("nr"), col("nc")) - lit(1L)).cast("double")))
+            .as("cramers_v"))
+    }),
+
+    // Good-Turing frequency smoothing over the customer "species" domain:
+    // p0 = N₁/N estimates the probability mass of NEVER-seen buyers in the
+    // next order stream, and r* = (r+1)·N_{r+1}/N_r re-estimates the true
+    // rate of customers seen r times — the novelty-rate statistic a
+    // pipeline uses to size how much of tomorrow's stream is new entities.
+    // (Word tokens are the textbook domain, but this fixture's 31-token
+    // vocabulary has no r ≤ 5 tail — min token freq 26 — so the gate row
+    // would be vacuous there; orders-per-customer has a real singleton
+    // tail at every SF.) One fact aggregate → customer-domain freq table →
+    // bounded freq-of-freqs; the r=0 output row carries (N, N₁, p0_ppm)
+    // through the SAME (r+1)·n_next·1e6/n_r formula, exact via the wide
+    // floor-division path.
+    "q_eng_good_turing" -> ((s, d) => {
+      val freq = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("r"))
+      val fof = freq.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      val tot = fof.agg(sum(col("r") * col("n_r")).as("n_obs"))
+      val nxt = fof.select((col("r") - lit(1L)).as("r0"), col("n_r").as("nn"))
+      val rows5 = fof.where(col("r") <= 5)
+        .join(nxt, col("r") === col("r0"), "left")
+        .select(col("r"), col("n_r"),
+          coalesce(col("nn"), lit(0L)).as("n_next"))
+      val row0 = fof.where(col("r") === 1L)
+        .crossJoin(broadcast(tot))
+        .select(lit(0L).as("r"), col("n_obs").as("n_r"),
+          col("n_r").as("n_next"))
+      rows5.unionByName(row0)
+        .select(col("r"), col("n_r"), col("n_next"),
+          mulDivWide((col("r") + lit(1L)) * col("n_next"), lit(1000000L),
+            col("n_r")).as("gt_ppm"))
+        .orderBy(col("r"))
+    }),
+
+    // Brown–Forsythe (median-centered Levene) homogeneity-of-variance test
+    // across market segments on account balances: z = |2x − med2_g| stays
+    // integer via the same 2×-median rank-selection trick as
+    // q_eng_mad_outliers (bucket-pruned two-phase medianRank2 — no
+    // full-group sort), and W = ((N−k)/(k−1))·SSB/SSW is carried as exact
+    // integer rationals: both sums multiply through by N, the per-group
+    // S_g²·N/n_g terms floor through DECIMAL(38) (mirrored floor-for-floor
+    // in the oracle), and the single output ratio floors once to ppm.
+    "q_eng_levene_bf" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_mktsegment").as("seg"), col("c_custkey").as("ck"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+      val m = graft.operators.WeightedMedian.medianRank2(c,
+          grp = col("seg"), v = col("cents"), ord = col("ck"),
+          bucketWidth = 10000.0)
+        .select(col("grp").as("seg"), col("med2"))
+      val z = c.join(broadcast(m), "seg")
+        .select(col("seg"), abs(col("cents") * 2 - col("med2")).as("z"))
+      val g = z.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"), sum(wide(col("z"))).as("s_g"),
+          sum(wide(col("z")) * wide(col("z"))).as("q_g"))
+      val tot = g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"))
+      g.crossJoin(broadcast(tot))
+        .select(mulDivWideDec(col("s_g") * col("s_g"), col("n"),
+            col("n_g")).as("term"),
+          col("n"), col("k"), col("s"), col("q"))
+        .groupBy(col("n"), col("k"), col("s"), col("q"))
+        .agg(sum(col("term")).as("termsum"))
+        .select(col("n"), col("k"),
+          // signed (truncating) variant: the numerator is mathematically
+          // ≥ 0 (SSB·N) but the mirrored per-group floors could push a
+          // near-zero value fractionally negative, and DuckDB's HUGEINT
+          // `//` truncates toward zero there — mulDivWideSigned is its
+          // exact twin on both signs
+          graft.functions.WideDiv.mulDivWideSigned(
+            (col("termsum") - col("s") * col("s")) * wide(col("n") - col("k")),
+            lit(1000000L),
+            (col("q") * wide(col("n")) - col("termsum")) *
+              wide(col("k") - lit(1L))).as("w_ppm"))
     }),
 
     // minority-class balancing: downsample every language class to the
@@ -1109,6 +1219,99 @@ object AnalyticsQueries {
          JOIN ct USING (dow)
          CROSS JOIN t
          ORDER BY et, dow""",
+
+    "q_eng_cramers_v" ->
+      """WITH base AS (
+           SELECT event_type AS et,
+                  ((datediff('day', DATE '1995-01-02', CAST(ts AS DATE)) % 7)
+                   + 7) % 7 AS dow
+           FROM events),
+         cells AS (SELECT et, CAST(dow AS BIGINT) AS dow,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM base GROUP BY 1, 2),
+         rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                      CAST(count(DISTINCT et) AS BIGINT) AS nr,
+                      CAST(count(DISTINCT dow) AS BIGINT) AS nc
+               FROM cells),
+         cj AS (SELECT CAST(o AS HUGEINT) * t.n - CAST(r AS HUGEINT) * c AS dev,
+                       CAST(r AS HUGEINT) * c * t.n AS den,
+                       t.n AS n, t.nr AS nr, t.nc AS nc
+                FROM cells JOIN rt USING (et) JOIN ct USING (dow)
+                CROSS JOIN t),
+         k AS (SELECT CAST(sum(dev * dev * 1000000 // den) AS BIGINT)
+                        AS chi2_micro,
+                      CAST(max(n) AS BIGINT) AS n,
+                      CAST(max(nr) AS BIGINT) AS nr,
+                      CAST(max(nc) AS BIGINT) AS nc
+               FROM cj)
+         SELECT chi2_micro, n,
+                CAST(least(nr, nc) - 1 AS BIGINT) AS min_dim,
+                sqrt(CAST(chi2_micro AS DOUBLE) /
+                     (1000000.0 * CAST(n AS DOUBLE) *
+                      CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+         FROM k""",
+
+    "q_eng_good_turing" ->
+      """WITH f AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS r
+                    FROM orders GROUP BY 1),
+         fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM f GROUP BY r),
+         tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_obs FROM fof),
+         rows5 AS (SELECT a.r, a.n_r,
+                          CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_next
+                   FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+                   WHERE a.r <= 5),
+         row0 AS (SELECT CAST(0 AS BIGINT) AS r, tot.n_obs AS n_r,
+                         fof.n_r AS n_next
+                  FROM fof CROSS JOIN tot WHERE fof.r = 1),
+         u AS (SELECT * FROM rows5 UNION ALL SELECT * FROM row0)
+         SELECT r, n_r, n_next,
+                CAST((r + 1) * CAST(n_next AS HUGEINT) * 1000000 // n_r
+                  AS BIGINT) AS gt_ppm
+         FROM u ORDER BY r""",
+
+    "q_eng_levene_bf" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_custkey AS ck,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer),
+         r1 AS (
+           SELECT seg, ck, cents,
+                  row_number() OVER (PARTITION BY seg ORDER BY cents, ck) AS rn,
+                  count(*) OVER (PARTITION BY seg) AS n
+           FROM c),
+         m AS (
+           SELECT seg,
+                  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                     + max(CASE WHEN rn = n // 2 + 1 THEN cents END)
+                   AS BIGINT) AS med2
+           FROM r1 GROUP BY seg),
+         z AS (
+           SELECT c.seg, abs(c.cents * 2 - m.med2) AS z
+           FROM c JOIN m ON c.seg = m.seg),
+         g AS (
+           SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS s_g,
+                  CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q_g
+           FROM z GROUP BY seg),
+         tot AS (
+           SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(s_g) AS HUGEINT) AS s,
+                  CAST(sum(q_g) AS HUGEINT) AS q
+           FROM g),
+         terms AS (
+           SELECT CAST(sum(s_g * s_g * tot.n // n_g) AS HUGEINT) AS termsum,
+                  CAST(max(tot.n) AS BIGINT) AS n,
+                  CAST(max(tot.k) AS BIGINT) AS k,
+                  CAST(max(tot.s) AS HUGEINT) AS s,
+                  CAST(max(tot.q) AS HUGEINT) AS q
+           FROM g CROSS JOIN tot)
+         SELECT n, k,
+                CAST((termsum - s * s) * (n - k) * 1000000
+                  // ((q * n - termsum) * (k - 1)) AS BIGINT) AS w_ppm
+         FROM terms""",
 
     "q_sample_balanced" ->
       """WITH k AS (

@@ -94,6 +94,51 @@ object DataQualityQueries {
         .select(col("n_orders"), col("dup_orderkeys"), col("cust_orphans"),
           col("item_orphans"), col("nonpos_totals"),
           ppmWide(col("nn_prio"), col("n_orders")).as("prio_complete_ppm"))
+    }),
+
+    // k-anonymity audit over the (nation, market-segment) quasi-identifier:
+    // for each disclosure threshold k, how many QI equivalence classes have
+    // fewer than k members and how many individuals those classes expose.
+    // The release gate a pipeline runs before publishing per-group rollups
+    // of user-derived data. One fact-sized aggregate to the QI-domain-sized
+    // class table (map-side combined), then a broadcast 4-row threshold
+    // grid — nothing after the first shuffle scales with the corpus.
+    "q_eng_k_anonymity" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"))
+      val th = s.range(1).select(
+        explode(array(lit(2L), lit(5L), lit(10L), lit(25L))).as("threshold"))
+      g.crossJoin(broadcast(th))
+        .groupBy(col("threshold"))
+        .agg(count(when(col("k") < col("threshold"), 1)).as("groups_below"),
+          coalesce(sum(when(col("k") < col("threshold"), col("k"))), lit(0L))
+            .as("rows_exposed"),
+          count(lit(1)).as("n_groups"),
+          min(col("k")).as("min_k"))
+        .orderBy(col("threshold"))
+    }),
+
+    // l-diversity audit: within each (nation, segment) QI class, how many
+    // distinct sensitive values (order priority) do its members carry —
+    // histogram of classes by diversity level l. A k-anonymous class with
+    // l = 1 still leaks the sensitive attribute outright. Customer is the
+    // broadcast dim side; the (QI × priority) distinct is a bounded-domain
+    // partial aggregate, so the shuffle after the fact scan moves at most
+    // |QI| × 5 rows. Classes whose customers placed no orders carry no
+    // sensitive values and are out of scope (inner join).
+    "q_eng_l_diversity" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderpriority"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("o_orderpriority"))
+        .distinct()
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("l"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("l"))
     })
   )
 
@@ -164,6 +209,30 @@ object DataQualityQueries {
          SELECT n_orders, dup_orderkeys, cust_orphans, item_orphans,
                 nonpos_totals,
                 ${sqlPpm("nn_prio", "n_orders")} AS prio_complete_ppm
-         FROM base, co, io"""
+         FROM base, co, io""",
+
+    "q_eng_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k
+           FROM customer GROUP BY 1, 2),
+         t(threshold) AS (VALUES (2), (5), (10), (25))
+         SELECT CAST(threshold AS BIGINT) AS threshold,
+                CAST(count(CASE WHEN k < threshold THEN 1 END) AS BIGINT)
+                  AS groups_below,
+                CAST(COALESCE(sum(CASE WHEN k < threshold THEN k END), 0)
+                  AS BIGINT) AS rows_exposed,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(min(k) AS BIGINT) AS min_k
+         FROM g CROSS JOIN t
+         GROUP BY threshold ORDER BY threshold""",
+
+    "q_eng_l_diversity" ->
+      """WITH p AS (
+           SELECT DISTINCT c_nationkey, c_mktsegment, o_orderpriority
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS l
+               FROM p GROUP BY 1, 2)
+         SELECT l, CAST(count(*) AS BIGINT) AS n_groups
+         FROM g GROUP BY l ORDER BY l"""
   )
 }

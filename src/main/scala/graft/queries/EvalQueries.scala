@@ -223,6 +223,52 @@ object EvalQueries {
           col("t1").as("n_urgent"), col("t2").as("n_other"))
     }),
 
+    // Mann-Whitney U (Wilcoxon rank-sum) between urgent and non-urgent
+    // order values: the nonparametric two-sample location test that
+    // complements the KS distance above. Average ranks ride the SAME
+    // distinct-score rankAndCumSums scan (2× scaling keeps tied mid-ranks
+    // integer: avgrank·2 = 2·cum_before + t + 1), the tie-corrected
+    // variance floor V = ⌊n1·n2·(N(N−1)(N+1) − Σ(t³−t)) / (12N(N−1))⌋ is
+    // exact DECIMAL(38) arithmetic mirrored floor-for-floor in DuckDB, and
+    // z is one identical IEEE tree over the exact integers (A / 2√V; the
+    // sub-integer truncation of V is ~1e-16 relative at fixture scale and
+    // bit-identical cross-engine by construction).
+    "q_eng_mann_whitney" -> ((s, d) => {
+      val sc = scored(s, d)
+        .withColumn("g1",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+        .groupBy(col("cents"))
+        .agg(sum(col("g1")).as("n1"),
+          (count(lit(1)) - sum(col("g1"))).as("n2"))
+      val agg = StableIds.rankAndCumSums(sc, Seq(col("cents")),
+          Seq("n1" -> "cum1", "n2" -> "cum2"))
+        .select(
+          (wide(col("n1")) *
+            wide((col("cum1") - col("n1") + col("cum2") - col("n2")) * 2L +
+              col("n1") + col("n2") + 1L)).as("r2term"),
+          col("n1"), col("n2"),
+          (wide(col("n1") + col("n2")) * wide(col("n1") + col("n2")) *
+            wide(col("n1") + col("n2")) -
+            wide(col("n1") + col("n2"))).as("tieterm"))
+        .agg(sum(col("r2term")).as("r1x2"), sum(col("n1")).as("t1"),
+          sum(col("n2")).as("t2"), sum(col("tieterm")).as("ties"))
+      val n = col("t1") + col("t2")
+      agg
+        .withColumn("u1x2",
+          (col("r1x2") - wide(col("t1")) * wide(col("t1") + lit(1L)))
+            .cast("long"))
+        .withColumn("adiff", col("u1x2") - col("t1") * col("t2"))
+        .withColumn("vfloor", mulDivWide(
+          wide(col("t1")) * wide(col("t2")) *
+            (wide(n) * wide(n - lit(1L)) * wide(n + lit(1L)) - col("ties")),
+          lit(1L),
+          wide(lit(12L)) * wide(n) * wide(n - lit(1L))))
+        .select(col("t1").as("n_urgent"), col("t2").as("n_other"),
+          col("u1x2"),
+          (col("adiff").cast("double") /
+            (lit(2.0) * sqrt(col("vfloor").cast("double")))).as("z"))
+    }),
+
     // calibration / lift table: equidepth deciles of the score (ranked
     // scalably — range-partitioned zipWithIndex, no global window), per-bin
     // observed positive rate in ppm and lift vs the base rate in ppm.
@@ -540,6 +586,45 @@ object EvalQueries {
         "CAST(t1 AS HUGEINT) * CAST(t2 AS HUGEINT)")} AS ks_ppm,
                 t1 AS n_urgent, t2 AS n_other
          FROM m""",
+
+    "q_eng_mann_whitney" ->
+      s"""WITH $scoredSql,
+         sc AS (SELECT cents,
+                       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(count(*) - sum(CASE WHEN o_orderpriority =
+                         '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                FROM scored GROUP BY 1),
+         cumt AS (SELECT n1, n2,
+                    CAST(sum(n1) OVER w AS BIGINT) AS cum1,
+                    CAST(sum(n2) OVER w AS BIGINT) AS cum2
+                  FROM sc
+                  WINDOW w AS (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         a AS (SELECT
+                 CAST(sum(CAST(n1 AS HUGEINT) *
+                   (2 * (cum1 - n1 + cum2 - n2) + n1 + n2 + 1))
+                   AS HUGEINT) AS r1x2,
+                 CAST(sum(n1) AS BIGINT) AS t1,
+                 CAST(sum(n2) AS BIGINT) AS t2,
+                 CAST(sum(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+                   - (n1 + n2)) AS HUGEINT) AS ties
+               FROM cumt),
+         b AS (SELECT t1, t2, ties, t1 + t2 AS n,
+                 CAST(r1x2 - CAST(t1 AS HUGEINT) * (t1 + 1) AS BIGINT)
+                   AS u1x2
+               FROM a),
+         c AS (SELECT t1, t2, u1x2,
+                 CAST(u1x2 - t1 * t2 AS BIGINT) AS adiff,
+                 CAST(CAST(t1 AS HUGEINT) * t2 *
+                   (CAST(n AS HUGEINT) * (n - 1) * (n + 1) - ties)
+                   // (12 * CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+                   AS vfloor
+               FROM b)
+         SELECT t1 AS n_urgent, t2 AS n_other, u1x2,
+                CAST(adiff AS DOUBLE) / (2.0 * sqrt(CAST(vfloor AS DOUBLE)))
+                  AS z
+         FROM c""",
 
     "q_eng_calibration" ->
       s"""WITH $scoredSql,
