@@ -5,7 +5,7 @@ import graft.functions.WideDiv.{mulDivWide, mulDivWideDec, mulDivWideSigned, ppm
 import graft.operators.StableIds
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Round-7 model-eval / feature-prep wave: the classifier-quality and
   * feature-engineering statistics a training-data pipeline runs over its
@@ -167,6 +167,53 @@ object EvalQueries {
           .otherwise(lit("accept_h0")).as("decision"))
   }
 
+  /** Tie-corrected Mann-Whitney U over a row frame: arm A = rows where
+    * `g1`, value = `v`. Average ranks ride one distinct-value
+    * [[StableIds.rankAndCumSums]] scan (2× scaling keeps tied mid-ranks
+    * integer: avgrank·2 = 2·cum_before + t + 1); the variance floor
+    * V = ⌊n_a·n_b·(N(N−1)(N+1) − Σ(t³−t)) / (12N(N−1))⌋ is exact
+    * DECIMAL(38) arithmetic, and z = (2U − n_a·n_b) / 2√V is one IEEE
+    * tree over the exact integers. Returns a single row
+    * (n_a, n_b, u1x2 = 2·U_A, z). Factored so specs can drive synthetic
+    * heavily-tied frames through the exact code path the fixture query
+    * uses (the fixture's cents are near-unique, so the tie-correction
+    * terms are barely exercised there). */
+  private[queries] def mannWhitneyU(rows: DataFrame, v: Column,
+                                    g1: Column): DataFrame = {
+    val sc = rows
+      .select(v.as("v"), when(g1, 1L).otherwise(0L).as("g1"))
+      .groupBy(col("v"))
+      .agg(sum(col("g1")).as("n1"),
+        (count(lit(1)) - sum(col("g1"))).as("n2"))
+    val agg = StableIds.rankAndCumSums(sc, Seq(col("v")),
+        Seq("n1" -> "cum1", "n2" -> "cum2"))
+      .select(
+        (wide(col("n1")) *
+          wide((col("cum1") - col("n1") + col("cum2") - col("n2")) * 2L +
+            col("n1") + col("n2") + 1L)).as("r2term"),
+        col("n1"), col("n2"),
+        (wide(col("n1") + col("n2")) * wide(col("n1") + col("n2")) *
+          wide(col("n1") + col("n2")) -
+          wide(col("n1") + col("n2"))).as("tieterm"))
+      .agg(sum(col("r2term")).as("r1x2"), sum(col("n1")).as("t1"),
+        sum(col("n2")).as("t2"), sum(col("tieterm")).as("ties"))
+    val n = col("t1") + col("t2")
+    agg
+      .withColumn("u1x2",
+        (col("r1x2") - wide(col("t1")) * wide(col("t1") + lit(1L)))
+          .cast("long"))
+      .withColumn("adiff", col("u1x2") - col("t1") * col("t2"))
+      .withColumn("vfloor", mulDivWide(
+        wide(col("t1")) * wide(col("t2")) *
+          (wide(n) * wide(n - lit(1L)) * wide(n + lit(1L)) - col("ties")),
+        lit(1L),
+        wide(lit(12L)) * wide(n) * wide(n - lit(1L))))
+      .select(col("t1").as("n_a"), col("t2").as("n_b"),
+        col("u1x2"),
+        (col("adiff").cast("double") /
+          (lit(2.0) * sqrt(col("vfloor").cast("double")))).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AUC of the cents score predicting the returned label, as the exact
     // Mann-Whitney rank-sum with the standard tie correction: over the
@@ -233,41 +280,11 @@ object EvalQueries {
     // z is one identical IEEE tree over the exact integers (A / 2√V; the
     // sub-integer truncation of V is ~1e-16 relative at fixture scale and
     // bit-identical cross-engine by construction).
-    "q_eng_mann_whitney" -> ((s, d) => {
-      val sc = scored(s, d)
-        .withColumn("g1",
-          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
-        .groupBy(col("cents"))
-        .agg(sum(col("g1")).as("n1"),
-          (count(lit(1)) - sum(col("g1"))).as("n2"))
-      val agg = StableIds.rankAndCumSums(sc, Seq(col("cents")),
-          Seq("n1" -> "cum1", "n2" -> "cum2"))
-        .select(
-          (wide(col("n1")) *
-            wide((col("cum1") - col("n1") + col("cum2") - col("n2")) * 2L +
-              col("n1") + col("n2") + 1L)).as("r2term"),
-          col("n1"), col("n2"),
-          (wide(col("n1") + col("n2")) * wide(col("n1") + col("n2")) *
-            wide(col("n1") + col("n2")) -
-            wide(col("n1") + col("n2"))).as("tieterm"))
-        .agg(sum(col("r2term")).as("r1x2"), sum(col("n1")).as("t1"),
-          sum(col("n2")).as("t2"), sum(col("tieterm")).as("ties"))
-      val n = col("t1") + col("t2")
-      agg
-        .withColumn("u1x2",
-          (col("r1x2") - wide(col("t1")) * wide(col("t1") + lit(1L)))
-            .cast("long"))
-        .withColumn("adiff", col("u1x2") - col("t1") * col("t2"))
-        .withColumn("vfloor", mulDivWide(
-          wide(col("t1")) * wide(col("t2")) *
-            (wide(n) * wide(n - lit(1L)) * wide(n + lit(1L)) - col("ties")),
-          lit(1L),
-          wide(lit(12L)) * wide(n) * wide(n - lit(1L))))
-        .select(col("t1").as("n_urgent"), col("t2").as("n_other"),
-          col("u1x2"),
-          (col("adiff").cast("double") /
-            (lit(2.0) * sqrt(col("vfloor").cast("double")))).as("z"))
-    }),
+    "q_eng_mann_whitney" -> ((s, d) =>
+      mannWhitneyU(scored(s, d), col("cents"),
+          col("o_orderpriority") === "1-URGENT")
+        .withColumnRenamed("n_a", "n_urgent")
+        .withColumnRenamed("n_b", "n_other")),
 
     // calibration / lift table: equidepth deciles of the score (ranked
     // scalably — range-partitioned zipWithIndex, no global window), per-bin
