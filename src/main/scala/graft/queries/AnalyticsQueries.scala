@@ -42,6 +42,45 @@ object AnalyticsQueries {
         .union(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
     }
 
+  /** Friedman χ² (tie-corrected) from a (nk, prio, sv, cv) cell frame —
+    * block key, treatment, value sum (DECIMAL), value count. Midranks via
+    * pairwise cross-multiplied mean comparisons on the bounded cell table
+    * (2× scaling keeps tied midranks integer); incomplete blocks dropped.
+    * Factored so specs can drive synthetic frames with EXACT mean ties —
+    * cross-multiplied equality essentially never fires on fixture money
+    * sums, so the tie branch is pinned synthetically. */
+  private[queries] def friedmanFromCells(cells: DataFrame,
+                                         k: Long): DataFrame = {
+    val complete = cells.groupBy(col("nk"))
+      .agg(count(lit(1)).as("nprio")).where(col("nprio") === k)
+      .select(col("nk").as("nk_ok"))
+    val cc = cells.join(broadcast(complete), col("nk") === col("nk_ok"))
+      .select(col("nk"), col("prio"), col("sv"), col("cv"))
+    val r2 = cc.as("a")
+      .join(cc.as("b"), col("a.nk") === col("b.nk"))
+      .groupBy(col("a.nk").as("nk"), col("a.prio").as("prio"))
+      .agg((sum(when(col("b.sv") * wide(col("a.cv")) <
+            col("a.sv") * wide(col("b.cv")), 2L)
+          .when(col("b.sv") * wide(col("a.cv")) ===
+            col("a.sv") * wide(col("b.cv")), 1L)
+          .otherwise(0L)) + 1L).as("r2"))
+    val perPrio = r2.groupBy(col("prio"))
+      .agg(sum(col("r2")).as("rj2"), sum(col("r2") * col("r2")).as("a2p"))
+    val b = r2.select(col("nk")).distinct().agg(count(lit(1)).as("b"))
+    perPrio
+      .agg(sum(col("rj2") * col("rj2")).as("b2"), sum(col("a2p")).as("a2"))
+      .crossJoin(broadcast(b))
+      .select(col("b").as("n_blocks"),
+        mulDivWide(
+          wide(lit(k - 1)) * (wide(col("b2")) -
+            wide(col("b")) * wide(col("b")) * lit(k * (k + 1) * (k + 1))
+              .cast("decimal(38,0)")),
+          lit(1000000L),
+          wide(col("a2")) - wide(col("b")) *
+            lit(k * (k + 1) * (k + 1)).cast("decimal(38,0)"))
+          .as("chi2_ppm"))
+  }
+
   /** Shared SQL CTE chain for the same graph (mirrors [[copurchaseEdges]]). */
   private val copurchaseSql =
     """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -297,6 +336,77 @@ object AnalyticsQueries {
             lit(1000000L),
             (col("q") * wide(col("n")) - col("termsum")) *
               wide(col("k") - lit(1L))).as("w_ppm"))
+    }),
+
+    // 5%-winsorized mean of order values: both clamp thresholds come from
+    // the SAME bucket-pruned histogram-refinement rank selection the
+    // median/equidepth family uses ([[graft.operators.RankSelect]] — the
+    // driver touches only ≤1025-row histograms per round, never the data),
+    // then one conditional-clamp aggregate. The robust location estimate a
+    // pipeline reports next to the mean when heavy tails are suspected.
+    "q_eng_winsorized" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      // g = ⌊0.05·n⌋ values clamp on each side: lo = value at rank g+1,
+      // hi = value at rank n−g (n ≥ 1 on every fixture)
+      val Some((_, lo)) = graft.operators.RankSelect.exactAtRank(
+        cents, col("cents"), n => n / 20 + 1)
+      val Some((n, hi)) = graft.operators.RankSelect.exactAtRank(
+        cents, col("cents"), n => n - n / 20)
+      cents.select(greatest(least(col("cents"), lit(hi)), lit(lo)).as("w"))
+        .agg(count(lit(1)).as("cnt"), sum(wide(col("w"))).as("sumw"))
+        .select(col("cnt").as("n"), lit(lo).as("lo_cents"),
+          lit(hi).as("hi_cents"),
+          mulDivWide(col("sumw"), lit(1000000L), col("cnt"))
+            .as("wmean_micro"))
+    }),
+
+    // Hodges-Lehmann shift estimator between the urgent and non-urgent
+    // DAILY revenue series: the median of all pairwise differences, the
+    // robust "how much more per day" answer a mean difference overstates
+    // under outliers. The pair table is day-domain² (~2400² — constant in
+    // corpus size, the Theil-Sen discipline: the fact table aggregates to
+    // days FIRST, then the bounded grid cross-joins broadcast); the
+    // median rides the same bucket-pruned medianRank2 (2× trick keeps the
+    // even-n midpoint integer).
+    "q_eng_hodges_lehmann" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        to_date(col("o_orderdate")).as("day"),
+        (col("o_orderpriority") === "1-URGENT").as("g"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val d1 = o.where(col("g")).groupBy(col("day"))
+        .agg(sum(col("cents")).as("rev1"))
+      val d2 = o.where(!col("g")).groupBy(col("day").as("day2"))
+        .agg(sum(col("cents")).as("rev2"))
+      val pairs = d1.crossJoin(broadcast(d2))
+        .select((col("rev1") - col("rev2")).as("dd"))
+      val m = graft.operators.WeightedMedian.medianRank2(pairs,
+          grp = lit(0L), v = col("dd"), ord = col("dd"),
+          bucketWidth = 1000000.0)
+        .select(col("med2").as("hl2"))
+      pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(broadcast(m))
+    }),
+
+    // Friedman test: do the five order priorities rank consistently
+    // across nation blocks on mean order value? Cell means never
+    // materialize as floats — the within-block midranks come from
+    // pairwise CROSS-MULTIPLIED comparisons (mean_a ≤ mean_b ⟺
+    // s_a·c_b ≤ s_b·c_a, exact in DECIMAL(38)), on the bounded
+    // (25 nations × 5 priorities) cell table, with the 2× scaling
+    // keeping tied midranks integer. χ² with the tie-corrected
+    // denominator is one exact rational. Incomplete blocks (a nation
+    // missing a priority) are excluded on both engines.
+    "q_eng_friedman" -> ((s, d) => {
+      val k = 5L
+      val cells = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nk"), col("prio"))
+        .agg(sum(wide(col("cents"))).as("sv"), count(lit(1)).as("cv"))
+      friedmanFromCells(cells, k)
     }),
 
     // minority-class balancing: downsample every language class to the
@@ -1312,6 +1422,76 @@ object AnalyticsQueries {
                 CAST((termsum - s * s) * (n - k) * 1000000
                   // ((q * n - termsum) * (k - 1)) AS BIGINT) AS w_ppm
          FROM terms""",
+
+    "q_eng_winsorized" ->
+      """WITH c AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         r AS (SELECT cents,
+                      row_number() OVER (ORDER BY cents) AS rn,
+                      count(*) OVER () AS n
+               FROM c),
+         th AS (SELECT CAST(max(CASE WHEN rn = n // 20 + 1 THEN cents END)
+                         AS BIGINT) AS lo,
+                       CAST(max(CASE WHEN rn = n - n // 20 THEN cents END)
+                         AS BIGINT) AS hi,
+                       CAST(max(n) AS BIGINT) AS n
+                FROM r)
+         SELECT max(th.n) AS n, max(lo) AS lo_cents, max(hi) AS hi_cents,
+                CAST(CAST(sum(greatest(least(cents, hi), lo)) AS HUGEINT)
+                  * 1000000 // max(th.n) AS BIGINT) AS wmean_micro
+         FROM c CROSS JOIN th""",
+
+    "q_eng_hodges_lehmann" ->
+      """WITH o AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  o_orderpriority = '1-URGENT' AS g,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         d1 AS (SELECT day, CAST(sum(cents) AS BIGINT) AS rev1
+                FROM o WHERE g GROUP BY 1),
+         d2 AS (SELECT day, CAST(sum(cents) AS BIGINT) AS rev2
+                FROM o WHERE NOT g GROUP BY 1),
+         p AS (SELECT rev1 - rev2 AS dd FROM d1 CROSS JOIN d2),
+         r AS (SELECT dd, row_number() OVER (ORDER BY dd) AS rn,
+                      count(*) OVER () AS n
+               FROM p)
+         SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+                CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dd END)
+                   + max(CASE WHEN rn = n // 2 + 1 THEN dd END)
+                 AS BIGINT) AS hl2
+         FROM r""",
+
+    "q_eng_friedman" ->
+      """WITH cells AS (
+           SELECT c_nationkey AS nk, o_orderpriority AS prio,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS sv,
+                  CAST(count(*) AS BIGINT) AS cv
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         complete AS (SELECT nk FROM cells GROUP BY nk
+                      HAVING count(*) = 5),
+         cc AS (SELECT cells.* FROM cells JOIN complete USING (nk)),
+         r2t AS (
+           SELECT a.nk, a.prio,
+                  CAST(sum(CASE WHEN b.sv * a.cv < a.sv * b.cv THEN 2
+                                WHEN b.sv * a.cv = a.sv * b.cv THEN 1
+                                ELSE 0 END) + 1 AS BIGINT) AS r2
+           FROM cc a JOIN cc b ON a.nk = b.nk
+           GROUP BY 1, 2),
+         pp AS (SELECT prio, CAST(sum(r2) AS BIGINT) AS rj2,
+                       CAST(sum(r2 * r2) AS BIGINT) AS a2p
+                FROM r2t GROUP BY 1),
+         bb AS (SELECT CAST(count(DISTINCT nk) AS BIGINT) AS b FROM r2t),
+         agg AS (SELECT CAST(sum(CAST(rj2 AS HUGEINT) * rj2) AS HUGEINT)
+                          AS b2,
+                        CAST(sum(a2p) AS HUGEINT) AS a2
+                 FROM pp)
+         SELECT b AS n_blocks,
+                CAST(4 * (b2 - CAST(b AS HUGEINT) * b * 180) * 1000000
+                  // (a2 - CAST(b AS HUGEINT) * 180) AS BIGINT) AS chi2_ppm
+         FROM agg CROSS JOIN bb""",
 
     "q_sample_balanced" ->
       """WITH k AS (

@@ -286,6 +286,86 @@ object EvalQueries {
         .withColumnRenamed("n_a", "n_urgent")
         .withColumnRenamed("n_b", "n_other")),
 
+    // Cohen's d effect size between the urgent / non-urgent order-value
+    // arms — the standardized-mean-difference companion to the MW-U rank
+    // test: one conditional-moment aggregate (count, Σ, Σ² per arm, the
+    // squares in DECIMAL(38)), then d = (m1−m2)/s_pooled as a single
+    // identical IEEE tree over the exact integer moments (integer-valued
+    // DECIMAL(38,0) → DOUBLE is correctly rounded in both engines — the
+    // decSumToDouble audit).
+    "q_eng_cohens_d" -> ((s, d) => {
+      val o = scored(s, d).select(
+        (col("o_orderpriority") === "1-URGENT").as("g"), col("cents"))
+      val a = o.agg(
+        count(when(col("g"), 1)).as("n1"),
+        count(when(!col("g"), 1)).as("n2"),
+        sum(when(col("g"), wide(col("cents")))).as("s1"),
+        sum(when(!col("g"), wide(col("cents")))).as("s2"),
+        sum(when(col("g"), wide(col("cents")) * wide(col("cents"))))
+          .as("q1"),
+        sum(when(!col("g"), wide(col("cents")) * wide(col("cents"))))
+          .as("q2"))
+      def dbl(c: Column): Column = c.cast("double")
+      val ss1 = dbl(col("q1")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n1"))
+      val ss2 = dbl(col("q2")) - dbl(col("s2")) * dbl(col("s2")) / dbl(col("n2"))
+      a.select(col("n1").as("n_urgent"), col("n2").as("n_other"),
+        ((dbl(col("s1")) / dbl(col("n1")) - dbl(col("s2")) / dbl(col("n2"))) /
+          sqrt((ss1 + ss2) / (dbl(col("n1")) + dbl(col("n2")) - lit(2.0))))
+          .as("cohens_d"))
+    }),
+
+    // Cochran-Armitage trend test: does the returned-order rate trend
+    // monotonically across the ordered priority scale (score = the
+    // priority digit 1..5)? The dose-response audit a pipeline runs on
+    // any ordinal quality band before trusting it as a filter. One
+    // bounded (score → n_i, r_i) aggregate; z² is one exact rational —
+    // numerator N·(N·Σsr − R·Σsn)², denominator
+    // R·(N−R)·(N·Σs²n − (Σsn)²) — floored once to ppm in DECIMAL(38).
+    "q_eng_cochran_armitage" -> ((s, d) => {
+      val g = scored(s, d)
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("sc"),
+          col("label"))
+        .groupBy(col("sc"))
+        .agg(count(lit(1)).as("n_i"), sum(col("label")).as("r_i"))
+      val a = g.agg(sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+        sum(col("sc") * col("n_i")).as("sn"),
+        sum(col("sc") * col("r_i")).as("sr"),
+        sum(col("sc") * col("sc") * col("n_i")).as("s2n"))
+      val t = wide(col("n")) * wide(col("sr")) - wide(col("r")) * wide(col("sn"))
+      a.select(col("n"), col("r"),
+        signum(t).cast("long").as("trend_sign"),
+        mulDivWide(wide(col("n")) * t * t, lit(1000000L),
+          wide(col("r")) * wide(col("n") - col("r")) *
+            (wide(col("n")) * wide(col("s2n")) -
+              wide(col("sn")) * wide(col("sn")))).as("z2_ppm"))
+    }),
+
+    // Cochran's Q: did the same customers' ordering behavior change
+    // across 1995/1996/1997? Blocks = customers, treatments = years,
+    // x_ij = customer i placed ≥1 order in year j. The repeated-measures
+    // binary test kappa/McNemar generalize to k > 2. One distinct
+    // (customer, year) flag table (bounded by 3 rows per customer), then
+    // Q = (k−1)(kΣC_j² − N²)/(kN − ΣR_i²) in exact integers.
+    "q_eng_cochran_q" -> ((s, d) => {
+      val x = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"),
+          year(to_date(col("o_orderdate"))).cast("long").as("yr"))
+        .where(col("yr").between(1995L, 1997L))
+        .distinct()
+      val rows = x.groupBy(col("ck")).agg(count(lit(1)).as("ri"))
+      val colsT = x.groupBy(col("yr")).agg(count(lit(1)).as("cj"))
+      val tot = rows.agg(sum(col("ri")).as("nn"),
+        sum(col("ri") * col("ri")).as("r2"), count(lit(1)).as("b"))
+      val csum = colsT.agg(sum(col("cj") * col("cj")).as("c2"))
+      tot.crossJoin(broadcast(csum))
+        .select(col("b").as("n_blocks"), col("nn").as("n_flags"),
+          mulDivWide(
+            wide(lit(2L)) * (wide(lit(3L)) * wide(col("c2")) -
+              wide(col("nn")) * wide(col("nn"))),
+            lit(1000000L),
+            wide(lit(3L)) * wide(col("nn")) - wide(col("r2"))).as("q_ppm"))
+    }),
+
     // calibration / lift table: equidepth deciles of the score (ranked
     // scalably — range-partitioned zipWithIndex, no global window), per-bin
     // observed positive rate in ppm and lift vs the base rate in ppm.
@@ -642,6 +722,77 @@ object EvalQueries {
                 CAST(adiff AS DOUBLE) / (2.0 * sqrt(CAST(vfloor AS DOUBLE)))
                   AS z
          FROM c""",
+
+    "q_eng_cohens_d" ->
+      s"""WITH $scoredSql,
+         a AS (SELECT
+                 CAST(count(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 1 END) AS BIGINT) AS n1,
+                 CAST(count(CASE WHEN o_orderpriority <> '1-URGENT'
+                   THEN 1 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN CAST(cents AS HUGEINT) END) AS HUGEINT) AS s1,
+                 CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                   THEN CAST(cents AS HUGEINT) END) AS HUGEINT) AS s2,
+                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN CAST(cents AS HUGEINT) * cents END) AS HUGEINT) AS q1,
+                 CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                   THEN CAST(cents AS HUGEINT) * cents END) AS HUGEINT) AS q2
+               FROM scored)
+         SELECT n1 AS n_urgent, n2 AS n_other,
+                (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                          * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                  AS cohens_d
+         FROM a""",
+
+    "q_eng_cochran_armitage" ->
+      s"""WITH $scoredSql,
+         g AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+                      CAST(count(*) AS BIGINT) AS n_i,
+                      CAST(sum(label) AS BIGINT) AS r_i
+               FROM scored GROUP BY 1),
+         a AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                      CAST(sum(r_i) AS BIGINT) AS r,
+                      CAST(sum(sc * n_i) AS BIGINT) AS sn,
+                      CAST(sum(sc * r_i) AS BIGINT) AS sr,
+                      CAST(sum(sc * sc * n_i) AS BIGINT) AS s2n
+               FROM g),
+         t AS (SELECT n, r,
+                      CAST(n AS HUGEINT) * sr - CAST(r AS HUGEINT) * sn AS tt,
+                      sn, s2n
+               FROM a)
+         SELECT n, r,
+                CAST(CASE WHEN tt > 0 THEN 1 WHEN tt < 0 THEN -1 ELSE 0 END
+                  AS BIGINT) AS trend_sign,
+                CAST(CAST(n AS HUGEINT) * tt * tt * 1000000
+                  // (CAST(r AS HUGEINT) * (n - r)
+                      * (CAST(n AS HUGEINT) * s2n
+                         - CAST(sn AS HUGEINT) * sn)) AS BIGINT) AS z2_ppm
+         FROM t""",
+
+    "q_eng_cochran_q" ->
+      """WITH x AS (
+           SELECT DISTINCT o_custkey AS ck,
+                  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr
+           FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1995 AND 1997),
+         r AS (SELECT ck, CAST(count(*) AS BIGINT) AS ri FROM x GROUP BY 1),
+         ct AS (SELECT yr, CAST(count(*) AS BIGINT) AS cj FROM x GROUP BY 1),
+         tot AS (SELECT CAST(sum(ri) AS BIGINT) AS nn,
+                        CAST(sum(ri * ri) AS BIGINT) AS r2,
+                        CAST(count(*) AS BIGINT) AS b
+                 FROM r),
+         cs AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c2 FROM ct)
+         SELECT b AS n_blocks, nn AS n_flags,
+                CAST(2 * (3 * CAST(c2 AS HUGEINT)
+                          - CAST(nn AS HUGEINT) * nn) * 1000000
+                  // (3 * CAST(nn AS HUGEINT) - r2) AS BIGINT) AS q_ppm
+         FROM tot CROSS JOIN cs""",
 
     "q_eng_calibration" ->
       s"""WITH $scoredSql,
