@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.WideDiv.{ppmWide, sqlPpm}
+import graft.functions.WideDiv.{mulDivWide, ppmWide, sqlMulDiv, sqlPpm, wide}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -139,6 +139,97 @@ object DataQualityQueries {
         .groupBy(col("l"))
         .agg(count(lit(1)).as("n_groups"))
         .orderBy(col("l"))
+    }),
+
+    // t-closeness audit — the third leg of the release-gate trio
+    // (k-anonymity bounds class size, l-diversity bounds sensitive-value
+    // count, t-closeness bounds how far a class's sensitive DISTRIBUTION
+    // sits from the global one). Sensitive attribute = the ordinal
+    // priority digit 1..5; distance = ordered EMD, which for an ordinal
+    // domain is the mean absolute prefix-CDF gap:
+    //   EMD_c = (1/(m−1)) Σ_{k<m} |P_c(≤k) − P(≤k)|.
+    // Exact ppm via cross-multiplication — the per-class per-prefix term
+    // is |cum_c(k)·N − cum_g(k)·n_c|, summed and floored ONCE against
+    // n_c·N·(m−1). Everything after the one fact-scale aggregate runs on
+    // the bounded |QI|×5 class-distribution table (dense prefix grid via
+    // a broadcast 4-row join, no windows). Top-10 worst classes, fully
+    // tie-broken.
+    "q_eng_t_closeness" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("sc"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          col("sc"))
+      val cls = oc.groupBy(col("nk"), col("seg"), col("sc"))
+        .agg(count(lit(1)).as("cnt"))
+      val nC = cls.groupBy(col("nk"), col("seg")).agg(sum(col("cnt")).as("n_c"))
+      val glob = cls.groupBy(col("sc")).agg(sum(col("cnt")).as("g"))
+      val nTot = glob.agg(sum(col("g")).as("n_tot"))
+      val grid = s.range(1).select(
+        explode(sequence(lit(1L), lit(4L))).as("k"))
+      val cumg = glob.crossJoin(broadcast(grid)).where(col("sc") <= col("k"))
+        .groupBy(col("k")).agg(sum(col("g")).as("cumg"))
+      val cumc = cls.crossJoin(broadcast(grid)).where(col("sc") <= col("k"))
+        .groupBy(col("nk"), col("seg"), col("k")).agg(sum(col("cnt")).as("cumc"))
+      nC.crossJoin(broadcast(grid))
+        .join(cumc, Seq("nk", "seg", "k"), "left")
+        .join(broadcast(cumg), Seq("k"))
+        .crossJoin(broadcast(nTot))
+        .select(col("nk"), col("seg"), col("n_c"), col("n_tot"),
+          abs(wide(coalesce(col("cumc"), lit(0L))) * wide(col("n_tot")) -
+            wide(col("cumg")) * wide(col("n_c"))).as("gap"))
+        .groupBy(col("nk"), col("seg"))
+        .agg(max(col("n_c")).as("n_class"),
+          mulDivWide(sum(col("gap")), lit(1000000L),
+            max(wide(col("n_c")) * wide(col("n_tot"))) * lit(4L))
+            .as("emd_ppm"))
+        .orderBy(col("emd_ppm").desc, col("nk"), col("seg"))
+        .limit(10)
+    }),
+
+    // Bidirectional referential-integrity audit over every FK edge in the
+    // schema: child rows whose FK has no parent (orphans) AND parent rows
+    // no child references (unreferenced — the coverage side: customers
+    // who never ordered, parts never sold). Scale shape: each edge
+    // aggregates the child side to its DISTINCT FK domain with per-key
+    // row counts BEFORE touching the parent (the anti-join and the
+    // coverage join both move key-domain rows, never fact rows); the five
+    // per-edge 1-row summaries union into the 5-row report. The audit a
+    // pipeline runs on every snapshot before trusting joins downstream.
+    "q_eng_orphan_audit" -> ((s, d) => {
+      def edge(name: String, child: DataFrame, fk: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val dom = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+        val par = parent.select(col(pk).as("p"))
+        val orphans = dom.join(par, col("k") === col("p"), "left_anti")
+          .agg(coalesce(sum(col("c")), lit(0L)).as("orphan_rows"))
+        val unref = par.join(dom, col("p") === col("k"), "left_anti")
+          .agg(count(lit(1)).as("unreferenced_parents"))
+        val nch = child.agg(count(lit(1)).as("n_child"))
+        val npar = par.agg(count(lit(1)).as("n_parent"))
+        nch.crossJoin(broadcast(orphans)).crossJoin(broadcast(npar))
+          .crossJoin(broadcast(unref))
+          .select(lit(name).as("edge"), col("n_child"), col("orphan_rows"),
+            ppmWide(col("orphan_rows"), col("n_child")).as("orphan_ppm"),
+            col("n_parent"), col("unreferenced_parents"),
+            ppmWide(col("unreferenced_parents"), col("n_parent"))
+              .as("unref_ppm"))
+      }
+      val li = Tables.lineitem(s, d)
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionAll(edge("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionAll(edge("customer.c_nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .orderBy(col("edge"))
     })
   )
 
@@ -233,6 +324,90 @@ object DataQualityQueries {
          g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS l
                FROM p GROUP BY 1, 2)
          SELECT l, CAST(count(*) AS BIGINT) AS n_groups
-         FROM g GROUP BY l ORDER BY l"""
+         FROM g GROUP BY l ORDER BY l""",
+
+    "q_eng_t_closeness" ->
+      s"""WITH oc AS (
+           SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cls AS (SELECT nk, seg, sc, CAST(count(*) AS BIGINT) AS cnt
+                 FROM oc GROUP BY 1, 2, 3),
+         nc AS (SELECT nk, seg, CAST(sum(cnt) AS BIGINT) AS n_c
+                FROM cls GROUP BY 1, 2),
+         gdist AS (SELECT sc, CAST(sum(cnt) AS BIGINT) AS g
+                   FROM cls GROUP BY 1),
+         ntot AS (SELECT CAST(sum(g) AS BIGINT) AS n_tot FROM gdist),
+         grid AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 5)),
+         cumg AS (SELECT k, CAST(sum(g) AS BIGINT) AS cumg
+                  FROM gdist, grid WHERE sc <= k GROUP BY 1),
+         cumc AS (SELECT nk, seg, k, CAST(sum(cnt) AS BIGINT) AS cumc
+                  FROM cls, grid WHERE sc <= k GROUP BY 1, 2, 3),
+         gaps AS (SELECT n.nk, n.seg, n.n_c, t.n_tot,
+                    abs(CAST(COALESCE(cc.cumc, 0) AS HUGEINT) * t.n_tot
+                        - CAST(cg.cumg AS HUGEINT) * n.n_c) AS gap
+                  FROM nc n CROSS JOIN grid g
+                  LEFT JOIN cumc cc
+                    ON cc.nk = n.nk AND cc.seg = n.seg AND cc.k = g.k
+                  JOIN cumg cg ON cg.k = g.k
+                  CROSS JOIN ntot t),
+         res AS (SELECT nk, seg, CAST(max(n_c) AS BIGINT) AS n_class,
+                   CAST(sum(gap) AS HUGEINT) AS sgap,
+                   CAST(max(CAST(n_c AS HUGEINT) * n_tot) AS HUGEINT) AS den
+                 FROM gaps GROUP BY 1, 2)
+         SELECT nk, seg, n_class,
+                ${sqlMulDiv("sgap", "1000000", "den * 4")} AS emd_ppm
+         FROM res
+         ORDER BY emd_ppm DESC, nk, seg
+         LIMIT 10""",
+
+    "q_eng_orphan_audit" ->
+      s"""WITH rows_u AS (
+           SELECT 'lineitem.l_orderkey->orders' AS edge,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               AS orphan_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_parent,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+               AS unreferenced_parents
+           UNION ALL
+           SELECT 'lineitem.l_partkey->part',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+             (SELECT CAST(count(*) AS BIGINT) FROM part),
+             (SELECT CAST(count(*) AS BIGINT) FROM part
+              WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+             (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+             (SELECT CAST(count(*) AS BIGINT) FROM supplier
+              WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+           UNION ALL
+           SELECT 'customer.c_nationkey->nation',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+             (SELECT CAST(count(*) AS BIGINT) FROM nation),
+             (SELECT CAST(count(*) AS BIGINT) FROM nation
+              WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)))
+         SELECT edge, n_child, orphan_rows,
+                ${sqlPpm("orphan_rows", "n_child")} AS orphan_ppm,
+                n_parent, unreferenced_parents,
+                ${sqlPpm("unreferenced_parents", "n_parent")} AS unref_ppm
+         FROM rows_u ORDER BY edge"""
   )
 }

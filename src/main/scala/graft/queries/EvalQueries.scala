@@ -31,7 +31,7 @@ object EvalQueries {
   /** (o_orderkey, o_custkey, o_orderpriority, cents, label): one row per
     * order. Lineitem partial-aggregates to per-order labels BEFORE the join
     * shuffle, so the join moves (orderkey, 1-bit) pairs, never line items. */
-  private def scored(s: SparkSession, d: String): DataFrame = {
+  private[queries] def scored(s: SparkSession, d: String): DataFrame = {
     val ret = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("label"))
@@ -44,7 +44,7 @@ object EvalQueries {
   }
 
   /** DuckDB twin of [[scored]]. */
-  private val scoredSql =
+  private[queries] val scoredSql =
     """scored AS (
          SELECT o_orderkey, o_custkey, o_orderpriority,
                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
