@@ -21,11 +21,13 @@ object SparkEntry {
     ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       EngineQueries.queries ++ AnalyticsQueries.queries ++ EvalQueries.queries ++
-      DataQualityQueries.queries ++ StatsQueries.queries
+      DataQualityQueries.queries ++ StatsQueries.queries ++
+      MonitorQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       EngineQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ EvalQueries.oracleSql ++
-      DataQualityQueries.oracleSql ++ StatsQueries.oracleSql
+      DataQualityQueries.oracleSql ++ StatsQueries.oracleSql ++
+      MonitorQueries.oracleSql
 }

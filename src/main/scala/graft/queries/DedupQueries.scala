@@ -356,6 +356,30 @@ object DedupQueries {
       df0.groupBy((length(bin(col("df"))) - 1).cast("long").as("log2_df"))
         .agg(count(lit(1)).as("n_shingles"), max("df").as("max_df"))
         .orderBy("log2_df")
+    }),
+
+    // train/val/test leakage audit: verified near-dup pairs (the shared
+    // MinHash chain) whose endpoints land in DIFFERENT deterministic
+    // md5-bucket splits — the eval-integrity gate a training pipeline
+    // runs after splitting (near-identical documents across train/test
+    // inflate benchmarks exactly like decontamination misses). Reuses the
+    // memoized pair table; the split map is a pure Column, so the audit
+    // costs one bounded 3×3 aggregate on top of the dedup chain.
+    "q_dedup_split_leakage" -> ((s, d) => {
+      def split(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val b = graft.text.TextFunctions.splitBucket(c)
+        when(b < 80L, lit("train")).when(b < 90L, lit("val"))
+          .otherwise(lit("test"))
+      }
+      minhashPairs(s, d)
+        .select(split(col("ida")).as("sa0"), split(col("idb")).as("sb0"))
+        .select(least(col("sa0"), col("sb0")).as("split_a"),
+          greatest(col("sa0"), col("sb0")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaked",
+          when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+        .orderBy(col("split_a"), col("split_b"))
     })
   )
 
@@ -783,6 +807,42 @@ object DedupQueries {
           SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
                  CAST(count(*) AS BIGINT) AS n_shingles,
                  CAST(max(df) AS BIGINT) AS max_df
-          FROM d GROUP BY 1 ORDER BY log2_df"""
+          FROM d GROUP BY 1 ORDER BY log2_df""",
+
+    "q_dedup_split_leakage" ->
+      s"""$shCte,
+          $sigCte,
+          bands AS (
+            SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh
+            FROM sig, range(0, 4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          p AS (
+            SELECT ida, idb
+            FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                    / (CAST(len(x.shingles) AS DOUBLE)
+                       + CAST(len(y.shingles) AS DOUBLE)
+                       - CAST(len(list_intersect(x.shingles, y.shingles))
+                           AS DOUBLE)) >= 0.8),
+          sp AS (
+            SELECT CASE WHEN CAST('0x' || substr(md5(CAST(ida AS VARCHAR)), 1, 4)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(ida AS VARCHAR)), 1, 4)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS sa0,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(idb AS VARCHAR)), 1, 4)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(idb AS VARCHAR)), 1, 4)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS sb0
+            FROM p)
+          SELECT least(sa0, sb0) AS split_a, greatest(sa0, sb0) AS split_b,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(CASE WHEN least(sa0, sb0) <> greatest(sa0, sb0)
+                      THEN 1 ELSE 0 END AS BIGINT) AS leaked
+          FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

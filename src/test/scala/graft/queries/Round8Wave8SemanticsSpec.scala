@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+import java.security.MessageDigest
+
+/** Semantic pins for the round-8 wave-9 pipeline monitors (register-level
+  * HLL sketch, one-sided CUSUM alarm, split-leakage), independent of the
+  * DuckDB gate: each is recomputed driver-side at sf0.001 with a naive
+  * BigInt / sequential brute force. The CUSUM pin is deliberately the
+  * SEQUENTIAL recurrence (max(0, S+dev)) — it proves the distributed
+  * prefix-sum/prefix-min formulation equals the textbook definition, not
+  * just itself.
+  */
+class Round8Wave8SemanticsSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** (day-ordered daily revenue cents) at sf0.001. */
+  private lazy val daily: Seq[Long] = Tables.orders(spark, sf)
+    .groupBy(to_date(col("o_orderdate")).as("day"))
+    .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"))
+    .orderBy("day")
+    .collect().toSeq.map(_.getLong(1))
+
+  test("q_eng_hll_card equals the brute-force register sketch") {
+    def sketch(ids: Seq[Long]): (Long, Long, Long, Option[Long], Long) = {
+      val regs = scala.collection.mutable.Map.empty[Int, Int]
+      for (id <- ids) {
+        val h = md5hex(id.toString)
+        val reg = Integer.parseInt(h.substring(0, 2), 16)
+        val w = java.lang.Long.parseLong(h.substring(2, 14), 16)
+        val rho =
+          if (w == 0L) 49
+          else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(reg) = math.max(regs.getOrElse(reg, 0), rho)
+      }
+      val vZero = 256L - regs.size
+      val s = regs.values.map(mj => 1L << (49 - mj)).sum +
+        vZero * 562949953421312L
+      val raw = math.floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+        562949953421312.0 / s.toDouble * 1000000.0 + 0.5).toLong
+      val lc = if (vZero > 0)
+        Some(math.floor(256.0 * math.log(256.0 / vZero.toDouble) *
+          1000000.0 + 0.5).toLong)
+      else None
+      (vZero, s, raw, lc, ids.distinct.size.toLong)
+    }
+    val custs = Tables.orders(spark, sf).select(col("o_custkey"))
+      .collect().toSeq.map(_.getLong(0))
+    val nats = Tables.customer(spark, sf).select(col("c_nationkey"))
+      .collect().toSeq.map(_.getAs[Number](0).longValue)
+    val got = SparkEntry.queries("q_eng_hll_card")(spark, sf).collect()
+    assert(got.length == 2)
+    for ((row, ids) <- Seq((got(1), custs), (got(0), nats))) {
+      val (vZero, s, raw, lc, exact) = sketch(ids)
+      assert(row.getLong(1) == 256L, "m")
+      assert(row.getLong(2) == vZero, "v_zero")
+      assert(row.getLong(3) == s, "s_scaled")
+      assert(row.getLong(4) == raw, "raw_est_micro")
+      assert((if (row.isNullAt(5)) None else Some(row.getLong(5))) == lc,
+        "lc_est_micro")
+      assert(row.getLong(6) == exact, "exact_distinct")
+    }
+    // the two legs exercise different estimator branches by construction
+    assert(got(0).getString(0) == "c_nationkey" && !got(0).isNullAt(5),
+      "linear-counting leg live")
+    assert(got(1).getString(0) == "o_custkey")
+  }
+
+  test("q_eng_cusum_alarm equals the sequential textbook recurrence") {
+    val n = BigInt(daily.size)
+    val sTot = daily.map(BigInt(_)).sum
+    var s = BigInt(0)
+    val walk = daily.map { x =>
+      s = (s + (BigInt(x) * n - sTot)).max(BigInt(0))
+      s
+    }
+    val days = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day")).agg(count(lit(1)))
+      .orderBy("day").collect().toSeq.map(_.getDate(0).toString)
+    val want = days.zip(walk).zip(daily)
+      .map { case ((d, c), x) => (d, x, c.toLong) }
+      .sortBy { case (d, _, c) => (-c, d) }.take(5)
+    val got = SparkEntry.queries("q_eng_cusum_alarm")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.head._3 > 0, "non-vacuous alarm score")
+  }
+
+  test("q_dedup_split_leakage equals the brute-force split of the " +
+    "verified pair table") {
+    val pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+      .select(col("ida"), col("idb"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    def split(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4),
+        16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .toSeq.sortBy(_._1)
+      .map { case ((a, b), c) => (a, b, c, if (a != b) 1L else 0L) }
+    val got = SparkEntry.queries("q_dedup_split_leakage")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+}
