@@ -64,6 +64,14 @@ object GraftFunctions {
             s"graft_kmv_distinct: k must be an integer literal, got $other")
         }
         KmvDistinctAgg(children.head, k).toAggregateExpression()
+      }),
+    // graft_hll(id): mergeable 256-register HyperLogLog sketch; returns
+    // the exact integer pair struct(v_zero, s_scaled)
+    ("graft_hll",
+      new ExpressionInfo(classOf[HllRegistersAgg].getName, "graft_hll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hll expects (value)")
+        HllRegistersAgg(children.head).toAggregateExpression()
       })
   )
 

@@ -118,6 +118,38 @@ object MonitorQueries {
           (col("p") - col("minp")).cast("long").as("cusum_scaled"))
         .orderBy(col("cusum_scaled").desc, col("day"))
         .limit(5)
+    }),
+
+    // the HLL sketch ON the gate as a real Catalyst aggregate: per-type
+    // distinct-user cardinalities through the SQL-registered
+    // TypedImperativeAggregate (graft_hll) — a FIXED 256-byte register
+    // buffer per group, partial-aggregated map-side and merged as a
+    // bytewise max, so the exchange moves 256 bytes per group regardless
+    // of input size. The oracle recomputes the identical register math
+    // per group, so the aggregate's update/merge/eval path is
+    // hash-compared cross-engine, not just spec-tested (the KMV
+    // discipline, q_eng_kmv_agg).
+    "q_eng_hll_by_type" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("hll_events")
+      s.sql(
+        // every literal CAST AS DOUBLE: Spark SQL parses bare decimal
+        // literals as DECIMAL, whose mixed arithmetic rounds differently
+        // from the pure-double tree the Column API / DuckDB evaluate
+        s"""SELECT event_type, sk.v_zero AS v_zero, sk.s_scaled AS s_scaled,
+                  CAST(floor(CAST(0.7213 AS DOUBLE)
+                       / (CAST(1.0 AS DOUBLE)
+                          + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                       * CAST(65536.0 AS DOUBLE)
+                       * CAST($HllScale AS DOUBLE)
+                       / CAST(sk.s_scaled AS DOUBLE)
+                       * CAST(1000000.0 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS raw_est_micro,
+                  n_exact
+           FROM (SELECT event_type, graft_hll(user_id) AS sk,
+                        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+                 FROM hll_events GROUP BY event_type)
+           ORDER BY event_type""")
     })
   )
 
@@ -173,6 +205,33 @@ object MonitorQueries {
                    AS BIGINT) AS cusum_scaled
                FROM p)
          SELECT CAST(day AS VARCHAR) AS day, x, cusum_scaled FROM c
-         ORDER BY cusum_scaled DESC, day LIMIT 5"""
+         ORDER BY cusum_scaled DESC, day LIMIT 5""",
+
+    "q_eng_hll_by_type" ->
+      s"""WITH b AS (
+           SELECT event_type,
+                  CAST('0x' || substr(h, 1, 2) AS BIGINT) AS reg,
+                  CAST('0x' || substr(h, 3, 12) AS BIGINT) AS w
+           FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+                 FROM events)),
+         r AS (SELECT event_type, reg,
+                 CAST(max(CASE WHEN w = 0 THEN 49
+                   ELSE 49 - length(bin(w)) END) AS BIGINT) AS mj
+               FROM b GROUP BY 1, 2),
+         a AS (SELECT event_type,
+                 CAST(256 - count(*) AS BIGINT) AS v_zero,
+                 CAST(sum(1::BIGINT << CAST(49 - mj AS INTEGER))
+                      + (256 - count(*)) * $HllScale AS BIGINT) AS s_scaled
+               FROM r GROUP BY 1),
+         e AS (SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+               FROM events GROUP BY 1)
+         SELECT a.event_type, v_zero, s_scaled,
+                CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                     * $HllScale.0 / CAST(s_scaled AS DOUBLE)
+                     * 1000000.0 + 0.5) AS BIGINT) AS raw_est_micro,
+                n_exact
+         FROM a JOIN e ON e.event_type = a.event_type
+         ORDER BY a.event_type"""
   )
 }

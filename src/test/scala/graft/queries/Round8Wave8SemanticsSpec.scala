@@ -91,6 +91,53 @@ class Round8Wave8SemanticsSpec extends SparkSpec {
     assert(got.head._3 > 0, "non-vacuous alarm score")
   }
 
+  test("q_eng_hll_by_type (graft_hll TypedImperativeAggregate) equals " +
+    "the brute-force per-group register sketch") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    def sketch(ids: Seq[Long]): (Long, Long) = {
+      val regs = new Array[Int](256)
+      for (id <- ids) {
+        val h = md5hex(id.toString)
+        val reg = Integer.parseInt(h.substring(0, 2), 16)
+        val w = java.lang.Long.parseLong(h.substring(2, 14), 16)
+        val rho =
+          if (w == 0L) 49
+          else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(reg) = math.max(regs(reg), rho)
+      }
+      (regs.count(_ == 0).toLong, regs.map(mj => 1L << (49 - mj)).sum)
+    }
+    val got = SparkEntry.queries("q_eng_hll_by_type")(spark, sf).collect()
+    val byType = ev.groupBy(_._1)
+    assert(got.length == byType.size)
+    for (row <- got) {
+      val t = row.getString(0)
+      val ids = byType(t).map(_._2)
+      val (vZero, s) = sketch(ids)
+      assert(row.getLong(1) == vZero, s"$t v_zero")
+      assert(row.getLong(2) == s, s"$t s_scaled")
+      val raw = math.floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+        562949953421312.0 / s.toDouble * 1000000.0 + 0.5).toLong
+      assert(row.getLong(3) == raw, s"$t raw_est_micro")
+      assert(row.getLong(4) == ids.distinct.size.toLong, s"$t n_exact")
+    }
+    // merge path: the same aggregate over an adversarial 64-partition
+    // round-robin layout must be bitwise identical (update/merge order
+    // independence — the property that makes the sketch mergeable)
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, sf).repartition(64)
+      .createOrReplaceTempView("hll_events_64")
+    val re = spark.sql(
+      """SELECT event_type, graft_hll(user_id) AS sk
+         FROM hll_events_64 GROUP BY event_type ORDER BY event_type""")
+      .select(col("event_type"), col("sk.v_zero"), col("sk.s_scaled"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(re == got.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("q_dedup_split_leakage equals the brute-force split of the " +
     "verified pair table") {
     val pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
