@@ -225,4 +225,37 @@ class QuantBoundarySpec extends SparkSpec {
       assert(d > 1e-7, s"$dir: sqrt(count) within $d of a floor boundary")
     }
   }
+
+  test("HLL estimator values clear the micro boundary (hll_card, hll_by_type)") {
+    // raw_est = alpha·m²·2^49/S is a ~6-op IEEE chain over an exact
+    // integer S (no transcendental) → raw-element class, but the value
+    // reaches ~1.5e4 at sf1 (1.5e10 in micro), so allow the accumulated
+    // few-ulp drift: require > 1e-4 absolute on the micro scale.
+    // lc_est multiplies a libm ln → transcendental class, same bound.
+    val sScaled: Seq[Long] = for {
+      dir <- gateSfs
+      row <- (SparkEntry.queries("q_eng_hll_card")(spark, dir).collect() ++
+        SparkEntry.queries("q_eng_hll_by_type")(spark, dir).collect())
+    } yield row.getLong(row.fieldIndex("s_scaled"))
+    for (s <- sScaled) {
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+        562949953421312.0 / s.toDouble * 1000000.0 + 0.5
+      val fr = raw - math.floor(raw)
+      assert(math.min(fr, 1.0 - fr) > 1e-4,
+        s"raw_est for s_scaled=$s within ${math.min(fr, 1.0 - fr)} of a boundary")
+    }
+    val vZeros: Seq[Long] = for {
+      dir <- gateSfs
+      row <- (SparkEntry.queries("q_eng_hll_card")(spark, dir).collect() ++
+        SparkEntry.queries("q_eng_hll_by_type")(spark, dir).collect())
+      if !row.isNullAt(row.fieldIndex("v_zero")) &&
+        row.getLong(row.fieldIndex("v_zero")) > 0
+    } yield row.getLong(row.fieldIndex("v_zero"))
+    for (v <- vZeros) {
+      val lc = 256.0 * math.log(256.0 / v.toDouble) * 1000000.0 + 0.5
+      val fr = lc - math.floor(lc)
+      assert(math.min(fr, 1.0 - fr) > 1e-4,
+        s"lc_est for v_zero=$v within ${math.min(fr, 1.0 - fr)} of a boundary")
+    }
+  }
 }
