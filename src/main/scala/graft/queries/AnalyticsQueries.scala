@@ -1176,6 +1176,47 @@ object AnalyticsQueries {
         .orderBy("lag")
     }),
 
+    // cross-correlation of daily ORDER COUNT against daily REVENUE at
+    // calendar lags −7..+7 — the lead/lag dependence readout next to
+    // q_eng_acf (positive lags: does volume LEAD revenue?). Same exact
+    // integer centering (cx = n·cnt − Σcnt, cy = n·rev − Σrev, never a
+    // float mean); the normalizer √(Σcx²·Σcy²) is the tau_b discipline —
+    // sqrt is IEEE correctly rounded and the DECIMAL(38,0) operands
+    // convert exactly, so the double is one identical tree in both
+    // engines. Day-domain bounded everywhere after the daily aggregate.
+    "q_eng_ccf" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("rev"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        sum(col("cnt")).as("scnt"), sum(col("rev")).as("srev"))
+      val c = daily.crossJoin(broadcast(tot))
+        .select(col("day"),
+          (wide(col("n")) * col("cnt") - wide(col("scnt"))).as("cx"),
+          (wide(col("n")) * col("rev") - wide(col("srev"))).as("cy"))
+      val den = c.agg(sum(col("cx") * col("cx")).as("cx0"),
+        sum(col("cy") * col("cy")).as("cy0"))
+      val lags = s.range(-7, 8).select(col("id").cast("int").as("lag"))
+      c.crossJoin(broadcast(lags))
+        .join(c.select(col("day").as("day2"), col("cy").as("cy2")),
+          date_add(col("day"), col("lag")) === col("day2"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cx") * col("cy2")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          // micro-quantized: num > 2^53 here, and DuckDB's int128→double
+          // conversion truncates where Spark's DECIMAL path rounds — a
+          // 1-ulp divergence the floor absorbs (margins ≥ 3.8e-3 micro at
+          // both gate SFs, audited in the wave-9 spec)
+          floor(col("num").cast("double") /
+            sqrt(col("cx0").cast("double") * col("cy0").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("ccf_micro"))
+        .orderBy("lag")
+    }),
+
     // Wald–Wolfowitz runs test on the SIGN of day-over-day revenue moves:
     // R = number of maximal up/down runs; z² = (R − E[R])²/Var[R] with
     // E = 2pm/n + 1, Var = 2pm(2pm−n)/(n²(n−1)) — algebraically collapsed
@@ -2112,6 +2153,30 @@ object AnalyticsQueries {
                                // CAST(c0.c0 AS HUGEINT) AS BIGINT)
                 END AS acf_ppm
          FROM p, c0 ORDER BY lag""",
+
+    "q_eng_ccf" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                        CAST(sum(cnt) AS HUGEINT) AS scnt,
+                        CAST(sum(rev) AS HUGEINT) AS srev FROM daily),
+         c AS (SELECT day, n * cnt - scnt AS cx, n * rev - srev AS cy
+               FROM daily, tot),
+         den AS (SELECT sum(cx * cx) AS cx0, sum(cy * cy) AS cy0 FROM c),
+         l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-7, 8)),
+         p AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                      sum(a.cx * b.cy) AS num
+               FROM c a, l, c b WHERE b.day = a.day + lag
+               GROUP BY lag)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+                CAST(floor(CAST(num AS DOUBLE)
+                  / sqrt(CAST(den.cx0 AS DOUBLE) * CAST(den.cy0 AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS ccf_micro
+         FROM p, den ORDER BY lag""",
 
     "q_eng_runs_test" ->
       """WITH daily AS (

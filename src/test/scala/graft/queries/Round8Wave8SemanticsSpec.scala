@@ -138,6 +138,47 @@ class Round8Wave8SemanticsSpec extends SparkSpec {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("q_eng_ccf equals the brute-force centered cross-products") {
+    val rows = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev"))
+      .collect().toSeq
+      .map(r => (r.getDate(0).toLocalDate, BigInt(r.getLong(1)),
+        BigInt(r.getLong(2))))
+    val n = BigInt(rows.size)
+    val scnt = rows.map(_._2).sum
+    val srev = rows.map(_._3).sum
+    val byDay = rows.map { case (d, c, x) =>
+      (d, n * c - scnt, n * x - srev)
+    }
+    val cx0 = byDay.map(t => t._2 * t._2).sum
+    val cy0 = byDay.map(t => t._3 * t._3).sum
+    val cyOf = byDay.map(t => (t._1, t._3)).toMap
+    val got = SparkEntry.queries("q_eng_ccf")(spark, sf).collect()
+    assert(got.length == 15)
+    for (row <- got) {
+      val lag = row.getLong(0)
+      val pairs = byDay.flatMap { case (d, cx, _) =>
+        cyOf.get(d.plusDays(lag)).map(cy2 => (cx, cy2))
+      }
+      assert(row.getLong(1) == pairs.size.toLong, s"lag $lag n_pairs")
+      val num = pairs.map { case (a, b) => a * b }.sum
+      val want = num.toDouble / math.sqrt(cx0.toDouble * cy0.toDouble)
+      val wantMicro = math.floor(want * 1000000.0 + 0.5).toLong
+      assert(row.getLong(2) == wantMicro, s"lag $lag ccf_micro")
+      // boundary-margin audit for the quantized site (the conversion of
+      // the >2^53 cross-product sum truncates in one engine and rounds
+      // in the other — the floor must sit far from its boundary)
+      val v = want * 1000000.0 + 0.5
+      val fr = v - math.floor(v)
+      assert(math.min(fr, 1.0 - fr) > 1e-4, s"lag $lag boundary margin")
+    }
+    // the lag-0 row is the plain correlation and must be strongly
+    // positive on this fixture (more orders => more revenue)
+    assert(got.find(_.getLong(0) == 0L).get.getLong(2) > 500000L)
+  }
+
   test("q_dedup_split_leakage equals the brute-force split of the " +
     "verified pair table") {
     val pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
