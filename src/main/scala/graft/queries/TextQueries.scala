@@ -214,6 +214,39 @@ object TextQueries {
     // langid-vs-label gate → exact-dedup keep (min doc_id per
     // fingerprint) — the composed pipeline a curation run actually
     // executes, verified as one query
+    // budget-constrained corpus selection — the capstone composition of
+    // three subsystems: MinHash near-dup clusters (one representative per
+    // cluster: best quality, doc_id tie-break — per-key window state),
+    // the quality score, and a token budget (60% of the representatives'
+    // total). Global selection order = (quality desc, doc_id) through
+    // StableIds.rankAndCumSums — the running token sum never funnels
+    // through one window partition. The "which docs make the training
+    // cut" decision a curation pipeline executes after dedup + scoring.
+    "q_text_budget_select" -> ((s, d) => {
+      import graft.operators.StableIds
+      val q = docs(s, d).select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      val withCl = q
+        .join(DedupQueries.textClusterTable(s, d), Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cl"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val reps = withCl.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      val ranked = StableIds.rankAndCumSums(reps,
+        Seq(-col("quality"), col("doc_id")),
+        Seq("n_tokens" -> "cum_tokens"))
+      val budget = reps.agg(
+        mulDivWide(sum(col("n_tokens")), lit(3L), lit(5L)).as("budget"))
+      ranked.crossJoin(broadcast(budget))
+        .where(col("cum_tokens") <= col("budget"))
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+          col("budget"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_curate" -> ((s, d) => {
       val base = docs(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
@@ -1448,6 +1481,39 @@ object TextQueries {
                 md5(chunk) AS chunk_md5,
                 CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
          FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_text_budget_select" ->
+      s"""${DedupQueries.clustersCte},
+          qd AS (
+            SELECT doc_id,
+                   0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                 + 0.3 * least(1.0, 4.0 * (CAST(len(list_filter(
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+                       t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+                     / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE), 1.0)))
+                 + 0.3 * (1.0 - least(1.0, 10.0 * (CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}*#@&%/\\\\_-]')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0)))) AS quality,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            FROM documents),
+          wq AS (SELECT q.doc_id, q.quality, q.n_tokens,
+                        COALESCE(cl.cluster_id, q.doc_id) AS c
+                 FROM qd q LEFT JOIN cl ON cl.doc_id = q.doc_id),
+          reps AS (SELECT doc_id, quality, n_tokens FROM (
+                     SELECT *, row_number() OVER (PARTITION BY c
+                       ORDER BY quality DESC, doc_id) AS rn FROM wq)
+                   WHERE rn = 1),
+          bt AS (SELECT CAST(CAST(sum(n_tokens) AS HUGEINT) * 3 // 5
+                   AS BIGINT) AS budget FROM reps),
+          r AS (SELECT doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+                FROM reps)
+          SELECT doc_id, n_tokens, cum_tokens, bt.budget
+          FROM r, bt WHERE cum_tokens <= bt.budget ORDER BY doc_id""",
 
     "q_text_curate" ->
       s"""WITH t AS (

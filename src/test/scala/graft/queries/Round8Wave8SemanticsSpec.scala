@@ -179,6 +179,36 @@ class Round8Wave8SemanticsSpec extends SparkSpec {
     assert(got.find(_.getLong(0) == 0L).get.getLong(2) > 500000L)
   }
 
+  test("q_text_budget_select equals the brute-force greedy selection") {
+    // inputs (quality, tokens, clusters) come from already-gated engine
+    // frames; the pin exercises the SELECTION algebra — representative
+    // choice, global greedy order, budget cut
+    val q = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      graft.text.TextFunctions.qualityScore(col("text")).as("quality"),
+      graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val cl = DedupQueries.textClusterTable(spark, sf)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val reps = q.groupBy { case (id, _, _) => cl.getOrElse(id, id) }
+      .values.map(_.minBy { case (id, qual, _) => (-qual, id) }).toSeq
+    val budget = reps.map(_._3).sum * 3 / 5
+    var cum = 0L
+    val want = reps.sortBy { case (id, qual, _) => (-qual, id) }
+      .flatMap { case (id, _, t) =>
+        cum += t
+        if (cum <= budget) Some((id, t, cum, budget)) else None
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("q_text_budget_select")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // non-vacuity: the budget cut must actually exclude someone
+    assert(got.nonEmpty && got.size < reps.size)
+  }
+
   test("q_dedup_split_leakage equals the brute-force split of the " +
     "verified pair table") {
     val pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
