@@ -1907,6 +1907,57 @@ object EngineQueries {
         .select(col("user_id"), unix_millis(col("start_ts")).as("start_ms"),
           unix_millis(col("end_ts")).as("end_ms"), col("span_ms"))
         .orderBy("user_id", "start_ms")
+    }),
+
+    // DeepWalk corpus generation — the preprocessing that turns a graph
+    // into skip-gram training pairs: one deterministic 4-step random walk
+    // per node over the part↔supplier bipartite graph (next hop =
+    // neighbor at index md5(walk:node:step) % degree — md5-seeded, so
+    // walks are layout/engine independent), then (center, context) pairs
+    // within window 2 along each walk. Scale shape: walks are Θ(V·L)
+    // rows, each step ONE equi-join on (node, neighbor-index) against
+    // the adjacency (never a per-node collect); the pair join is per-walk
+    // bounded (5 positions). Top-50 by support, fully tie-broken.
+    "q_eng_deepwalk_pairs" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = ps.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(ps.select(col("b").as("src"), col("a").as("dst")))
+      val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
+      val adj = edges
+        .withColumn("idx", row_number().over(wAdj).cast("long") - 1L)
+        .select(col("src").as("node"), col("idx"), col("dst"))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val starts = deg.select(col("node").as("walk_id"), lit(0L).as("pos"),
+        col("node"))
+      def advance(w: DataFrame, stepNo: Int): DataFrame = {
+        val pick = pmod(conv(substring(md5(concat_ws(":",
+          col("walk_id").cast("string"), col("node").cast("string"),
+          lit(stepNo.toString))), 1, 4), 16, 10).cast("long"), col("deg"))
+        w.join(deg, Seq("node"))
+          .withColumn("pick", pick)
+          .join(adj, Seq("node"))
+          .where(col("idx") === col("pick"))
+          .select(col("walk_id"), (col("pos") + 1L).as("pos"),
+            col("dst").as("node"))
+      }
+      var acc = starts
+      var cur = starts
+      for (i <- 0 until 4) {
+        cur = advance(cur, i)
+        acc = acc.unionByName(cur)
+      }
+      acc.as("x").join(acc.as("y"),
+          col("x.walk_id") === col("y.walk_id") &&
+            col("x.pos") =!= col("y.pos") &&
+            abs(col("x.pos") - col("y.pos")) <= 2)
+        .groupBy(col("x.node").as("center"), col("y.node").as("context"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("center"), col("context"))
+        .limit(50)
     })
   )
 
@@ -3291,6 +3342,53 @@ object EngineQueries {
                 hit_end - hit_start AS span_ms
          FROM step WHERE hit_end IS NOT NULL
          ORDER BY user_id, start_ms"""
+    },
+
+    "q_eng_deepwalk_pairs" -> {
+      // every chained CTE MATERIALIZED (w4→w3→…→w0 would inline and
+      // re-evaluate), and the neighbor pick computed in its own
+      // materialized CTE so the adjacency join is a clean composite
+      // equi-join on (node, idx) — with the pick expression inside the
+      // join condition DuckDB probed on node alone and spilled 30+ GB of
+      // deg-fanout intermediates at sf1
+      def stepCte(i: Int): String =
+        s"""p$i AS MATERIALIZED (
+             SELECT w.walk_id, w.node,
+                    CAST('0x' || substr(md5(
+                      CAST(w.walk_id AS VARCHAR) || ':' ||
+                      CAST(w.node AS VARCHAR) || ':$i'), 1, 4) AS BIGINT)
+                      % g.deg AS pick
+             FROM w$i w JOIN deg g ON g.node = w.node),
+           w${i + 1} AS MATERIALIZED (
+             SELECT p.walk_id, CAST(${i + 1} AS BIGINT) AS pos,
+                    a.dst AS node
+             FROM p$i p
+             JOIN adj a ON a.node = p.node AND a.idx = p.pick)"""
+      s"""WITH ps AS (SELECT DISTINCT l_partkey * 2 AS a,
+                             l_suppkey * 2 + 1 AS b FROM lineitem),
+         edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM ps
+                   UNION ALL SELECT b, a FROM ps),
+         adj AS MATERIALIZED (SELECT src AS node, dst,
+                   CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                     AS BIGINT) AS idx
+                 FROM edges),
+         deg AS MATERIALIZED (SELECT src AS node,
+                   CAST(count(*) AS BIGINT) AS deg
+                 FROM edges GROUP BY 1),
+         w0 AS MATERIALIZED (SELECT node AS walk_id,
+                   CAST(0 AS BIGINT) AS pos, node
+                FROM deg),
+         ${stepCte(0)}, ${stepCte(1)}, ${stepCte(2)}, ${stepCte(3)},
+         acc AS MATERIALIZED (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+                 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+                 UNION ALL SELECT * FROM w4)
+         SELECT x.node AS center, y.node AS context,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM acc x JOIN acc y
+           ON x.walk_id = y.walk_id AND x.pos <> y.pos
+          AND abs(x.pos - y.pos) <= 2
+         GROUP BY 1, 2
+         ORDER BY cnt DESC, center, context LIMIT 50"""
     }
   )
 }

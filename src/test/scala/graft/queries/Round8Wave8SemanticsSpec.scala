@@ -209,6 +209,41 @@ class Round8Wave8SemanticsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < reps.size)
   }
 
+  test("q_eng_deepwalk_pairs equals the brute-force walk simulation") {
+    val edges = Tables.lineitem(spark, sf)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val adjacency = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pick(walkId: Long, node: Long, step: Int): Long = {
+      val h = java.lang.Long.parseLong(
+        md5hex(s"$walkId:$node:$step").substring(0, 4), 16)
+      adjacency(node)((h % adjacency(node).size).toInt)
+    }
+    // one 4-step walk per node; (pos, node) trajectory
+    val walks = adjacency.keys.toSeq.sorted.map { start =>
+      var cur = start
+      val traj = Seq(cur) ++ (0 until 4).map { i =>
+        cur = pick(start, cur, i); cur
+      }
+      (start, traj)
+    }
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((_, traj) <- walks; i <- traj.indices; j <- traj.indices
+         if i != j && math.abs(i - j) <= 2) {
+      val k = (traj(i), traj(j))
+      counts(k) = counts.getOrElse(k, 0L) + 1L
+    }
+    val want = counts.toSeq
+      .map { case ((c, x), n) => (c, x, n) }
+      .sortBy { case (c, x, n) => (-n, c, x) }.take(50)
+    val got = SparkEntry.queries("q_eng_deepwalk_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.head._3 > 1, "non-vacuous support")
+  }
+
   test("q_dedup_split_leakage equals the brute-force split of the " +
     "verified pair table") {
     val pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
