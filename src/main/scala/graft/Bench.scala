@@ -49,39 +49,77 @@ object Bench {
     var loads = scala.collection.immutable.ListMap.empty[String, Double]
     val loadStart = loadAvg()
     var loadMax = loadStart
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
-      def once(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        // the noop sink evaluates EVERY output column of the exact plan
-        // Verify certifies (a bare .count() lets Catalyst prune the output
-        // projection, so wide-output queries benched on a narrower plan)
-        // without charging disk I/O to the timing
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch { case t: Throwable =>
-          Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(300)}")
-        }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      // the noop sink evaluates EVERY output column of the exact plan
+      // Verify certifies (a bare .count() lets Catalyst prune the output
+      // projection, so wide-output queries benched on a narrower plan)
+      // without charging disk I/O to the timing
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case t: Throwable =>
+        Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(300)}")
       }
-      once() match { // warmup
-        case Left(err) =>
-          errors += (name -> err); None
-        case Right(_) =>
-          val runs = Seq.fill(iters)(once())
-          runs.collectFirst { case Left(err) => err } match {
-            case Some(err) => errors += (name -> err); None
-            case None =>
+    }
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val runs = Seq.fill(iters)(once(name, fn))
+      runs.collectFirst { case Left(err) => err } match {
+        case Some(err) => errors += (name -> err); None
+        case None =>
+          val times = runs.collect { case Right(t) => t }.sorted
+          Some(times(times.size / 2))
+      }
+    }
+    var results = scala.collection.immutable.ListMap.empty[String, Double]
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        once(name, fn) match { // warmup
+          case Left(err) => errors += (name -> err)
+          case Right(_) =>
+            measure(name, fn).foreach { med =>
               val la = loadAvg()
               loads += (name -> la)
               if (la > loadMax) loadMax = la
-              val times = runs.collect { case Right(t) => t }.sorted
-              Some(name -> times(times.size / 2))
-          }
+              results += (name -> med)
+            }
+        }
+      }
+    // ACT on the load labels, don't just record them (r8 verdict: the
+    // committed map shipped 12.35 s for a verified-1.65 s query with only
+    // a footnote). Any row whose 1-min load exceeded ~cpus/2 is
+    // re-measured (up to 2 passes); the smaller median wins — contention
+    // only ever inflates a timing, so the smaller of two medians is the
+    // tighter upper bound on the clean time. When the original median
+    // survives a low-load re-measure, the re-measure's load is recorded:
+    // the number now has clean-run confirmation, so the high label no
+    // longer applies. Rows still above threshold after both passes stay
+    // labeled (the box never went quiet).
+    val loadThreshold = math.max(cpus.toDouble / 2.0, 8.0)
+    var retried = 0
+    for (_ <- 0 until 2) {
+      val suspect = loads.filter { case (n, la) =>
+        la > loadThreshold && results.contains(n) }.keys.toSeq
+      for (name <- suspect; fn <- SparkEntry.queries.get(name)) {
+        retried += 1
+        measure(name, fn).foreach { med2 =>
+          val la2 = loadAvg()
+          if (med2 < results(name)) results += (name -> med2)
+          if (la2 < loads(name)) loads += (name -> la2)
+        }
       }
     }
     val loadEnd = loadAvg()
+    // shared-memo build ledger: memo materialization is timed inside
+    // QueryCaches (forced at first touch, during some query's untimed
+    // warmup), so per-query rows measure post-memo work only and the
+    // build cost is attributed explicitly here instead of to whichever
+    // query ran first (r8: q_eng_bfs_hops 7.9 s standalone vs 2.9 s
+    // in-suite was exactly this artifact).
+    val sharedBuilds = graft.queries.QueryCaches.sharedBuilds
     graft.queries.QueryCaches.clear()
     def f3(v: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -108,14 +146,18 @@ object Bench {
     // all queries need a committed file (SPARK_GRAFT_BENCH_OUT overrides)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     // "load" = 1-min system load average sampled as each query's timed
-    // runs finished; "load_summary" bounds the whole run. Schema note for
-    // bench_full.json: {full_queries, errors, load, load_summary, total,
+    // runs finished (after the load-retry passes, the label of the KEPT
+    // measurement); "load_summary" bounds the whole run; "retried" counts
+    // re-measures triggered by load > threshold; "shared_builds" is the
+    // per-memo-key materialization ledger (seconds) — per-query rows are
+    // post-memo only. Schema note for bench_full.json: {full_queries,
+    // errors, load, load_summary, shared_builds, retried, total,
     // n_queries, failed, sf}.
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax, "retry_threshold" -> loadThreshold))},"shared_builds":${jmap(sharedBuilds.toSeq.sortBy(_._1))},"retried":$retried,"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"retried":$retried,"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
     // a non-zero failed count must be visible even if only the exit status
     // survives log truncation

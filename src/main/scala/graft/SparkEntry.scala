@@ -22,12 +22,12 @@ object SparkEntry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       EngineQueries.queries ++ AnalyticsQueries.queries ++ EvalQueries.queries ++
       DataQualityQueries.queries ++ StatsQueries.queries ++
-      MonitorQueries.queries
+      MonitorQueries.queries ++ StreamTwinQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       EngineQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ EvalQueries.oracleSql ++
       DataQualityQueries.oracleSql ++ StatsQueries.oracleSql ++
-      MonitorQueries.oracleSql
+      MonitorQueries.oracleSql ++ StreamTwinQueries.oracleSql
 }

@@ -1930,13 +1930,18 @@ object EngineQueries {
         val edges = ps.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(ps.select(col("b").as("src"), col("a").as("dst")))
         val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
-        val adj = edges
-          .withColumn("idx", row_number().over(wAdj).cast("long") - 1L)
-          .select(col("src").as("node"), col("idx"), col("dst"))
-          .cache()
-        val deg = edges.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .cache()
+        // adj/deg go through memo (not bare .cache()) so QueryCaches.clear()
+        // releases them too — a bare cache here stayed pinned in executor
+        // storage for the session after clear(), leaking across SF cycles.
+        val adj = QueryCaches.memo(s, d, "deepwalk_adj") {
+          edges
+            .withColumn("idx", row_number().over(wAdj).cast("long") - 1L)
+            .select(col("src").as("node"), col("idx"), col("dst"))
+        }
+        val deg = QueryCaches.memo(s, d, "deepwalk_deg") {
+          edges.groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("deg"))
+        }
         val starts = deg.select(col("node").as("walk_id"), lit(0L).as("pos"),
           col("node"))
         def advance(w: DataFrame, stepNo: Int): DataFrame = {

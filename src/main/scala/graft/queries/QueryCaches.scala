@@ -20,16 +20,37 @@ import scala.collection.concurrent.TrieMap
 object QueryCaches {
 
   private val reg = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val buildSecs = TrieMap.empty[String, Double]
 
   /** Memoized cached DataFrame: builds + caches on first use per
-    * (session, sfDir, key), returns the identical instance afterwards. */
+    * (session, sfDir, key), returns the identical instance afterwards.
+    *
+    * Materialization is forced (and timed) HERE, not left to the first
+    * caller's action: per-query bench rows otherwise charge whichever
+    * query first touches a shared table with its build cost (r8 verdict:
+    * q_eng_bfs_hops 7.9 s standalone vs 2.9 s in-suite — pure attribution
+    * artifact). The cost lands in [[sharedBuilds]], which Bench emits as
+    * its own `shared_builds` ledger; per-query rows then measure post-memo
+    * work only. */
   def memo(s: SparkSession, sfDir: String, key: String)
           (build: => DataFrame): DataFrame =
-    reg.getOrElseUpdate((s, sfDir, key), build.cache())
+    reg.getOrElseUpdate((s, sfDir, key), {
+      val df = build.cache()
+      val t0 = System.nanoTime()
+      df.count() // populates the InMemoryRelation (all columns)
+      val dt = (System.nanoTime() - t0) / 1e9
+      buildSecs += (key -> (buildSecs.getOrElse(key, 0.0) + dt))
+      df
+    })
+
+  /** Seconds spent materializing each memo key since the last [[clear]]
+    * — the shared-build ledger Bench commits alongside per-query rows. */
+  def sharedBuilds: Map[String, Double] = buildSecs.toMap
 
   /** Unpersist and forget every registered cache (non-blocking). */
   def clear(): Unit = {
     reg.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     reg.clear()
+    buildSecs.clear()
   }
 }

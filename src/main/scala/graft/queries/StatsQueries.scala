@@ -104,13 +104,18 @@ object StatsQueries {
       val sumSq23 = (1 to 5).map(i =>
         wide(col(s"ng_$i")) * wide(col(s"ng_$i")) *
           wide(col(s"ng_$i") * 2L + 3L)).reduce(_ + _)
+      // v18 ≈ 2N³ stays DECIMAL(38,0) end-to-end (≈6.75e18 at sf1 — int64
+      // would overflow at ~sf2 and Spark's non-ANSI decimal→long cast
+      // nulls silently while DuckDB raises). DECIMAL(38,0) → DOUBLE is
+      // correctly rounded in both engines; the output columns u2/e2 ≈ N²/2
+      // stay BIGINT (exact to N ≈ 4.3e9 rows — the documented envelope).
       a.withColumn("u2", col("u2w").cast("long"))
         .withColumn("e2",
           mulDivWide(wide(col("n")) * wide(col("n")) - sumSq, lit(1L),
             lit(2L)))
         .withColumn("v18",
-          (wide(col("n")) * wide(col("n")) * wide(col("n") * 2L + 3L) -
-            sumSq23).cast("long"))
+          wide(col("n")) * wide(col("n")) * wide(col("n") * 2L + 3L) -
+            sumSq23)
         .select(col("n"), col("u2"), col("e2"),
           ((dbl(col("u2")) - dbl(col("e2"))) /
             sqrt(dbl(col("v18")) / lit(18.0))).as("z"))
@@ -150,11 +155,13 @@ object StatsQueries {
         .agg(sum(col("w2term")).as("w2p"), sum(col("t")).as("n"),
           sum(col("tieterm")).as("ties"))
       def dbl(c: Column): Column = c.cast("double")
+      // v2x12 ≈ 4n³ stays DECIMAL(38,0) (same discipline as jonckheere's
+      // v18): no long cast, direct correctly-rounded decimal→double below.
       a.withColumn("w_plus_x2", col("w2p").cast("long"))
         .withColumn("e2", expr("n * (n + 1) DIV 2"))
         .withColumn("v2x12",
-          (wide(col("n")) * wide(col("n") + 1L) * wide(col("n") * 2L + 1L) *
-            lit(2).cast("decimal(38,0)") - col("ties")).cast("long"))
+          wide(col("n")) * wide(col("n") + 1L) * wide(col("n") * 2L + 1L) *
+            lit(2).cast("decimal(38,0)") - col("ties"))
         .select(col("n").as("n_pairs"), col("w_plus_x2"),
           ((dbl(col("w_plus_x2")) - dbl(col("e2"))) /
             sqrt(dbl(col("v2x12")) / lit(12.0))).as("z"))
@@ -374,7 +381,7 @@ object StatsQueries {
                          + CAST(ng_3 AS HUGEINT) * ng_3 * (2 * ng_3 + 3)
                          + CAST(ng_4 AS HUGEINT) * ng_4 * (2 * ng_4 + 3)
                          + CAST(ng_5 AS HUGEINT) * ng_5 * (2 * ng_5 + 3))
-                      AS BIGINT) AS v18
+                      AS DECIMAL(38,0)) AS v18
                FROM a)
          SELECT n, u2, e2,
                 (CAST(u2 AS DOUBLE) - CAST(e2 AS DOUBLE))
@@ -415,7 +422,7 @@ object StatsQueries {
          b AS (SELECT n, CAST(w2p AS BIGINT) AS w_plus_x2,
                  CAST(n * (n + 1) // 2 AS BIGINT) AS e2,
                  CAST(CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 2 - ties
-                   AS BIGINT) AS v2x12
+                   AS DECIMAL(38,0)) AS v2x12
                FROM a)
          SELECT n AS n_pairs, w_plus_x2,
                 (CAST(w_plus_x2 AS DOUBLE) - CAST(e2 AS DOUBLE))

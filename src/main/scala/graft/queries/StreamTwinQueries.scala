@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming operator family, each DuckDB-gated.
+  *
+  * The streaming operators (flatMapGroupsWithState sessionization,
+  * watermarked interval joins, the foreachBatch keep-latest upsert sink)
+  * are spec-verified incrementally — including randomized batch↔stream
+  * parity in `BatchStreamParitySpec` — but specs alone left them the only
+  * operator surface without an oracle row (r8 verdict "What's missing #3").
+  * `q_eng_funnel_sequence` proved the recipe: gate the BATCH twin that
+  * shares the operator's exact semantics (and, where the code allows, its
+  * exact implementation), and let the existing parity specs anchor the
+  * streaming path to the gated batch path.
+  *
+  *   - q_stream_sessionize    → `operators.Sessions.sessionize` (the batch
+  *     twin `streaming.Sessionize` is parity-tested against)
+  *   - q_stream_interval_join → `streaming.StreamJoin.leftOuterIntervalJoin`
+  *     (the SAME function — on batch inputs it is a plain range-predicated
+  *     left join, which is exactly its streaming plan minus state eviction)
+  *   - q_stream_upsert_latest → `streaming.Upsert.keepLatest` (the SAME
+  *     reduction `mergeLatest` applies per micro-batch)
+  *
+  * All three run over the `events` fixture and aggregate to bounded,
+  * fully-ordered outputs (≤ |users| rows) so the gate compare stays
+  * corpus-fraction-sized at any SF.
+  */
+object StreamTwinQueries {
+
+  // 6 h session gap in exact integer microseconds (the events fixture's
+  // per-user inter-arrival is ~hours, so this yields real multi-event
+  // sessions AND real breaks at every SF).
+  private val GapUs = 6L * 3600L * 1000000L
+  // 30 min attribution window (view → click), exact micros.
+  private val LagUs = 1800L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gap-based session assembly: the batch twin of the
+    // flatMapGroupsWithState sessionizer. Plan shape: ONE hash exchange on
+    // user_id feeds both window frames (lag gap-flag + running sum) and the
+    // final per-session aggregate — lag/sum share the (partition, order)
+    // spec so Catalyst plans a single Exchange + Sort + WindowExec; the
+    // groupBy re-uses the same hash partitioning. Scale: parallelism =
+    // distinct users (millions at 100 TB), state never materializes —
+    // unlike the stream, which holds one open-session record per active
+    // user and evicts on watermark.
+    "q_stream_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val sess = graft.operators.Sessions.sessionize(
+        ev, col("user_id"), col("ts"), col("event_id"), GapUs)
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Interval-join attribution (view → click within 30 min, same user),
+    // via the streaming operator's own leftOuterIntervalJoin — on batch
+    // inputs the identical range-predicated left equi-join Spark executes
+    // per micro-batch, minus the watermark state eviction the range
+    // condition exists to enable. Aggregated per user so the output is
+    // |users|-bounded while the JOIN itself still runs at event scale.
+    // Scale: equi-join on user_id (one shuffle each side); the time-range
+    // predicate evaluates post-probe — never a cross product.
+    "q_stream_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val j = graft.streaming.StreamJoin.leftOuterIntervalJoin(
+        views, clicks, "user_id", "v_ts", "c_ts", maxLagMs = LagUs / 1000L)
+      j.groupBy(col("user_id"))
+        .agg(countDistinct(col("v_id")).as("n_views"),
+          countDistinct(when(col("c_id").isNotNull, col("v_id")))
+            .as("n_attributed"),
+          sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Last-writer-wins upsert readout: Upsert.keepLatest — the EXACT
+    // reduction the streaming foreachBatch sink applies when merging each
+    // micro-batch into the keyed table (idempotent under batch replay by
+    // construction: re-merging the same rows re-picks the same winner).
+    // value quantized to exact integer cents at the leaf (gate discipline).
+    // Scale: one hash exchange on the key, per-key top-1 via row_number —
+    // no global sort, state lives in the table.
+    "q_stream_upsert_latest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      graft.streaming.Upsert.keepLatest(ev, "user_id", "ts", "event_id")
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("last_us"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")
+            .as("last_value_cents"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_stream_sessionize" ->
+      s"""WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         lagd AS (
+           SELECT user_id, us, event_id,
+                  CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > $GapUs
+                       THEN 1 ELSE 0 END AS nw
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (
+           SELECT user_id, us,
+                  CAST(sum(nw) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+           FROM lagd)
+         SELECT user_id, session_idx,
+                CAST(min(us) AS BIGINT) AS start_us,
+                CAST(max(us) AS BIGINT) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM sess GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
+    "q_stream_interval_join" ->
+      s"""WITH v AS (
+           SELECT user_id, epoch_us(ts) AS vus, event_id AS v_id
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT user_id AS c_uid, epoch_us(ts) AS cus, event_id AS c_id
+           FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT v.user_id, v.v_id, c.c_id
+           FROM v LEFT JOIN c
+             ON c.c_uid = v.user_id
+            AND c.cus >= v.vus AND c.cus <= v.vus + $LagUs)
+         SELECT user_id,
+                CAST(count(DISTINCT v_id) AS BIGINT) AS n_views,
+                CAST(count(DISTINCT CASE WHEN c_id IS NOT NULL
+                                         THEN v_id END) AS BIGINT)
+                  AS n_attributed,
+                CAST(sum(CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pairs
+         FROM j GROUP BY user_id ORDER BY user_id""",
+
+    "q_stream_upsert_latest" ->
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) AS last_us, event_id, event_type,
+                  value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, CAST(last_us AS BIGINT) AS last_us,
+                CAST(event_id AS BIGINT) AS last_event_id,
+                event_type AS last_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_value_cents
+         FROM r WHERE rn = 1 ORDER BY user_id"""
+  )
+}

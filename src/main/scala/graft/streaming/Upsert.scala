@@ -29,6 +29,20 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   */
 object Upsert {
 
+  /** Last-writer-wins reduction: one row per `key`, the one with the
+    * greatest (ts, tieBreak) — the pure merge step [[mergeLatest]] applies
+    * per micro-batch, exposed so the batch twin (and its DuckDB gate row,
+    * q_stream_upsert_latest) anchors the EXACT logic the streaming sink
+    * runs. One hash exchange on the key; per-key top-1 via row_number, no
+    * global sort. */
+  def keepLatest(df: DataFrame, key: String, ts: String,
+                 tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Merge `updates` into the parquet table at `path`, keeping per key the
     * row with max (ts, tieBreak). Exposed for direct batch use + tests. */
   def mergeLatest(updates: DataFrame, path: String,
@@ -42,11 +56,7 @@ object Upsert {
     val existing =
       if (fs.exists(cur)) spark.read.parquet(path).select(updates.columns.map(col): _*)
       else updates.limit(0)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).desc, col(tieBreak).desc)
-    val merged = existing.unionByName(updates)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val merged = keepLatest(existing.unionByName(updates), key, ts, tieBreak)
 
     val tmp = new Path(path + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)

@@ -244,10 +244,12 @@ class QuantBoundarySpec extends SparkSpec {
       assert(math.min(fr, 1.0 - fr) > 1e-4,
         s"raw_est for s_scaled=$s within ${math.min(fr, 1.0 - fr)} of a boundary")
     }
+    // Only q_eng_hll_card emits lc_est_micro — by_type rows never surface
+    // a linear-counting estimate, so auditing their v_zero would guard a
+    // value that is not part of any output (and could fail spuriously).
     val vZeros: Seq[Long] = for {
       dir <- gateSfs
-      row <- (SparkEntry.queries("q_eng_hll_card")(spark, dir).collect() ++
-        SparkEntry.queries("q_eng_hll_by_type")(spark, dir).collect())
+      row <- SparkEntry.queries("q_eng_hll_card")(spark, dir).collect()
       if !row.isNullAt(row.fieldIndex("v_zero")) &&
         row.getLong(row.fieldIndex("v_zero")) > 0
     } yield row.getLong(row.fieldIndex("v_zero"))
