@@ -22,12 +22,14 @@ object SparkEntry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       EngineQueries.queries ++ AnalyticsQueries.queries ++ EvalQueries.queries ++
       DataQualityQueries.queries ++ StatsQueries.queries ++
-      MonitorQueries.queries ++ StreamTwinQueries.queries
+      MonitorQueries.queries ++ StreamTwinQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       EngineQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ EvalQueries.oracleSql ++
       DataQualityQueries.oracleSql ++ StatsQueries.oracleSql ++
-      MonitorQueries.oracleSql ++ StreamTwinQueries.oracleSql
+      MonitorQueries.oracleSql ++ StreamTwinQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

@@ -92,6 +92,17 @@ object DedupQueries {
       Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
     }
 
+  /** Memoized radius-2 multiprobe sign-LSH verified pair table — the
+    * widened-recall candidate stage the ANN-dedup losslessness gate runs
+    * (q_dedup_semdedup_ann; bound derivation at that query). */
+  private def annPairsR2(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "sign_lsh_pairs_r2") {
+      Similarity.signLshPairs(Tables.embeddings(s, d),
+        SimilarityQueries.LshSeed, SimilarityQueries.LshBands,
+        SimilarityQueries.LshWidth, SimilarityQueries.LshMaxBucket,
+        probeRadius = 2)
+    }
+
   /** Memoized connected components over the cosine near-dup graph —
     * q_dedup_embed_clusters and q_dedup_semdedup_keep run the identical
     * min-label propagation, so they share one materialization. */
@@ -232,6 +243,78 @@ object DedupQueries {
       graft.operators.StarComponents.components(
           minhashPairs(s, d), col("ida"), col("idb"))
         .orderBy("doc_id")),
+
+    // ANN-backed semantic dedup, gated like q_dedup_prefix_filter: the
+    // engine runs the scalable chain (radius-2 sign-LSH candidates →
+    // exact-cosine verify ≥ 0.45 → star components → keep most-central)
+    // while the ORACLE computes the deliberately-UNFILTERED quadratic
+    // join — gate equality is a cross-engine proof the ANN candidate
+    // stage lost no qualifying pair at fixture scale.
+    //
+    // Candidate-recall bound (the reason radius 2 + τ = 0.45): per-band
+    // hit probability with multiprobe radius 2 is Σ_{k≤2} C(8,k)·p^{8−k}
+    // q^k with p = 1 − acos(τ)/π (= 0.649 at τ = 0.45, q = 1−p), giving
+    // per-pair miss probability (1 − 0.424)^16 ≈ 1.5e-4 AT the threshold
+    // (pairs above it are exponentially safer). Measured: radius-2
+    // candidates cover every exact pair down to cos ≥ 0.42 at BOTH gate
+    // SFs (sf0.01: 34/34, sf0.1: 441/441); at τ = 0.45 the expected miss
+    // count is ≈ 0.02 across the sf0.1 fixture's 144 qualifying pairs.
+    // Radius 1 at the production cos ≥ 0.4 point misses 59/920 at sf0.1
+    // — quantified per cosine band by q_dedup_ann_recall below. sf1+:
+    // oracle is quadratic by design → documented SKIP (prefix_filter
+    // precedent).
+    "q_dedup_semdedup_ann" -> ((s, d) => {
+      val pairs = annPairsR2(s, d).where(col("cos") >= 0.45)
+      val clusters = graft.operators.StarComponents
+        .components(pairs, col("va"), col("vb"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val directed = pairs.select(col("va").as("vec_id"), col("cos"))
+        .unionByName(pairs.select(col("vb").as("vec_id"), col("cos")))
+        .withColumn("cm", floor(col("cos") * 1000000.0 + 0.5).cast("long"))
+      val strength = directed.groupBy("vec_id")
+        .agg(sum("cm").as("centrality_micro"))
+      clusters.join(strength, "vec_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("centrality_micro"), col("vec_id"))).as("mx"))
+        .select(col("cluster_id"), col("n_members"),
+          col("mx.vec_id").as("keep_id"),
+          col("mx.centrality_micro").as("keep_centrality_micro"))
+        .orderBy("cluster_id")
+    }),
+
+    // ANN candidate-recall audit at the PRODUCTION operating point
+    // (radius 1, the pair table every embedding query shares): exact
+    // bounded all-pairs join vs the LSH candidate set, per 0.05 cosine
+    // band — the committed, cross-engine-verified measurement of what
+    // the approximation trades (at sf0.1: 59/920 pairs missed at
+    // cos ≥ 0.4, zero above 0.55). The exact side is quadratic BY DESIGN
+    // (this is the recall-proof query class): fine at gate SFs, SKIP at
+    // sf1 like prefix_filter's unfiltered oracle. At 100 TB recall is
+    // instead estimated on a sampled stratum — same query, sampled left
+    // side.
+    "q_dedup_ann_recall" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.l2norm(col("v")))
+      val exact = v.select(col("vec_id").as("va"), col("v").as("xa"),
+          col("nrm").as("na"))
+        .join(v.select(col("vec_id").as("vb"), col("v").as("xb"),
+          col("nrm").as("nb")), col("va") < col("vb"))
+        .withColumn("cos",
+          Similarity.dot(col("xa"), col("xb")) / (col("na") * col("nb")))
+        .where(col("cos") >= 0.4)
+        .select("va", "vb", "cos")
+      val cand = SimilarityQueries.lshPairTable(s, d)
+        .select(col("va"), col("vb")).withColumn("found", lit(1L))
+      exact.join(cand, Seq("va", "vb"), "left")
+        .groupBy(floor(col("cos") * 20).cast("long").as("band_x20"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("found"), lit(0L))).as("n_found"),
+          (count(lit(1)) - sum(coalesce(col("found"), lit(0L))))
+            .as("n_missed"))
+        .orderBy("band_x20")
+    }),
 
     // SemDeDup keep rule: within each embedding cluster keep the most
     // CENTRAL member — argmax of summed (micro-quantized) cosine to the
@@ -710,6 +793,63 @@ object DedupQueries {
           SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
                  doc_id AS keep_id, n_chars AS keep_chars
           FROM rk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // deliberately UNFILTERED quadratic cosine join (NO LSH chain): every
+    // pair with cos >= 0.45, then the identical components/centrality/keep
+    // replay — equality with the engine's radius-2-LSH-candidate result
+    // is the losslessness proof (bound derivation at the engine query)
+    "q_dedup_semdedup_ann" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         exact AS MATERIALIZED (
+           SELECT x.vec_id AS va, y.vec_id AS vb,
+             list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
+           FROM e x JOIN e y ON x.vec_id < y.vec_id),
+         p AS MATERIALIZED (SELECT va, vb, cos FROM exact WHERE cos >= 0.45),
+         edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM p
+                   UNION ALL SELECT vb, va FROM p),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS r FROM edges
+           UNION
+           SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id),
+         cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         directed AS (SELECT va AS vec_id, cos FROM p
+                      UNION ALL SELECT vb, cos FROM p),
+         st AS (SELECT vec_id,
+                       CAST(sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                         AS centrality_micro
+                FROM directed GROUP BY 1),
+         m AS (SELECT cl.cluster_id, cl.vec_id, st.centrality_micro
+               FROM cl JOIN st USING (vec_id)),
+         rk AS (SELECT cluster_id, vec_id, centrality_micro,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY centrality_micro DESC, vec_id DESC) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS nm
+                FROM m)
+         SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+                vec_id AS keep_id, centrality_micro AS keep_centrality_micro
+         FROM rk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // exact quadratic join vs the radius-1 candidate chain, per cosine band
+    "q_dedup_ann_recall" ->
+      s"""WITH ${SimilarityQueries.lshCandCte},
+         exact AS MATERIALIZED (
+           SELECT x.vec_id AS va, y.vec_id AS vb,
+             list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
+           FROM e x JOIN e y ON x.vec_id < y.vec_id),
+         ex AS (SELECT va, vb, cos FROM exact WHERE cos >= 0.4),
+         j AS (SELECT ex.cos,
+                      CASE WHEN c.va IS NULL THEN 0 ELSE 1 END AS found
+               FROM ex LEFT JOIN cand c ON c.va = ex.va AND c.vb = ex.vb)
+         SELECT CAST(floor(cos * 20) AS BIGINT) AS band_x20,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(sum(found) AS BIGINT) AS n_found,
+                CAST(count(*) - sum(found) AS BIGINT) AS n_missed
+         FROM j GROUP BY 1 ORDER BY band_x20""",
 
     "q_dedup_semdedup_keep" ->
       s"""WITH RECURSIVE ${SimilarityQueries.lshCandCte},

@@ -297,7 +297,7 @@ object Similarity {
     * — not axis-aligned leading-dim signs, which degenerate to 2^width
     * fixed buckets of the first dims). Two vectors are candidates iff, in
     * at least one band, their width-bit sign patterns differ by at most one
-    * bit (multiprobe radius 1 when `probe1`, exact bucket match otherwise).
+    * bit (multiprobe radius `probeRadius` ∈ {0 = exact bucket, 1, 2}).
     *
     * Scale knobs, and how to set them at corpus size n:
     *   - `width`: pattern space must grow with n — width ≥ log2(n / target
@@ -318,8 +318,10 @@ object Similarity {
     * fixture's loose cos≥0.4 "near" threshold over 500–2000 vectors); the
     * 100 TB defaults are bands=8/width=16+. */
   def signLshPairs(vectors: DataFrame, seed: Long, bands: Int, width: Int,
-                   maxBucket: Int, probe1: Boolean = true,
+                   maxBucket: Int, probeRadius: Int = 1,
                    dims: Int = 64): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2,
+      s"probeRadius must be 0, 1, or 2, got $probeRadius")
     // per-vector norm computed once on the (small) vector side, not once
     // per candidate pair — cos values are bitwise unchanged (same sqrt(dot))
     val v = vectors.select(col("vec_id").as("id"),
@@ -336,12 +338,23 @@ object Similarity {
       e.groupBy(col("band"), col("pat")).agg(count(lit(1)).as("c"))
         .where(col("c") <= maxBucket).select("band", "pat"),
       Seq("band", "pat"))
+    // multiprobe: probe every bucket within Hamming radius `probeRadius`
+    // of the own pattern. Radius 1 (the default) is the production
+    // recall/cost point; radius 2 trades a (1 + w + C(w,2))× probe-table
+    // blow-up for per-band hit probability Σ_{k≤2} C(w,k)p^{w−k}(1−p)^k —
+    // the knob the lossless-at-fixture-scale dedup gate (q_dedup_
+    // semdedup_ann) turns instead of lowering its cosine threshold.
+    val flips1 = (0 until width).map(j => col("pat").bitwiseXOR(lit(1L << j)))
+    val flips2 = for {
+      j <- 0 until width; k <- (j + 1) until width
+    } yield col("pat").bitwiseXOR(lit((1L << j) | (1L << k)))
+    val probeCols = Seq(col("pat")) ++
+      (if (probeRadius >= 1) flips1 else Nil) ++
+      (if (probeRadius >= 2) flips2 else Nil)
     val probes =
-      if (probe1)
-        kept.select(col("id"), col("band"), explode(array(
-          (0 until width).map(j => col("pat").bitwiseXOR(lit(1L << j))) :+
-            col("pat"): _*)).as("probe"))
-      else kept.select(col("id"), col("band"), col("pat").as("probe"))
+      if (probeRadius == 0) kept.select(col("id"), col("band"), col("pat").as("probe"))
+      else kept.select(col("id"), col("band"),
+        explode(array(probeCols: _*)).as("probe"))
     val cand = kept.as("a").join(probes.as("b"),
         col("a.band") === col("b.band") && col("a.pat") === col("b.probe") &&
           col("a.id") < col("b.id"))
