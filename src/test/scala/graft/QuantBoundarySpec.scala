@@ -45,8 +45,11 @@ class QuantBoundarySpec extends SparkSpec {
 
   test("LSH pair cosines clear the micro-quantization boundary (SemDeDup keep)") {
     for (dir <- gateSfs) {
+      // radius 2: superset of the radius-1 production pair set, so this
+      // audits both q_dedup_semdedup_keep's and q_dedup_semdedup_ann's
+      // centrality quantization sites in one pass
       val pairs = graft.similarity.Similarity.signLshPairs(
-        Tables.embeddings(spark, dir), 42L, 16, 8, 1024)
+        Tables.embeddings(spark, dir), 42L, 16, 8, 1024, probeRadius = 2)
       val d = minBoundaryDist(pairs, col("cos"))
       assert(d > 1e-7, s"$dir: pair cosine within $d of a floor boundary")
     }
