@@ -172,17 +172,28 @@ object Layout {
       spark.read.parquet(keep: _*).where(pred)
   }
 
+  /** Spread the low 32 bits of `c` to the even bit positions of a long
+    * (bit i → bit 2i) via the O(log w) mask-doubling network — ~12 flat
+    * integer ops, all inside whole-stage codegen. The previous
+    * `aggregate(sequence(0, 31), …)` form allocated a 32-element array and
+    * ran a 32-step lambda fold PER ROW; on a fact-table write key that
+    * interpretation cost dominated the query (r8 verdict flagged the
+    * regression; the rewrite is value-identical, only cheaper). */
+  private def spreadBits(c: Column): Column = {
+    def shl(v: Column, n: Int): Column = call_function("shiftleft", v, lit(n))
+    val m = Seq(
+      16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4  -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1  -> 0x5555555555555555L)
+    m.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (v, (s, mask)) =>
+      v.bitwiseOR(shl(v, s)).bitwiseAND(lit(mask))
+    }
+  }
+
   /** 64-bit Morton (Z-order) value of two non-negative dimensions that fit
     * in 32 bits: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
     * Deterministic integer algebra — bitwise identical cross-engine. */
-  def zorder2(x: Column, y: Column): Column = {
-    val xL = x.cast("long")
-    val yL = y.cast("long")
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
-      acc +
-        call_function("shiftleft",
-          call_function("shiftright", xL, i).bitwiseAND(lit(1L)), i * 2) +
-        call_function("shiftleft",
-          call_function("shiftright", yL, i).bitwiseAND(lit(1L)), i * 2 + 1))
-  }
+  def zorder2(x: Column, y: Column): Column =
+    spreadBits(x.cast("long")).bitwiseOR(
+      call_function("shiftleft", spreadBits(y.cast("long")), lit(1)))
 }

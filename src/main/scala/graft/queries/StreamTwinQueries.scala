@@ -86,6 +86,43 @@ object StreamTwinQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Token-bucket rate limiting (ingestion quotas): the batch twin runs
+    // the IDENTICAL per-key fold the flatMapGroupsWithState operator runs
+    // (one shared foldBucket — capacity 2, refill 1 token/day, event-time
+    // refill so replay is deterministic), via the funnel/detectBatch
+    // recipe: one hash exchange on the key, MapGroups, per-group state =
+    // one bucket record. Aggregated per user; admitted_id_sum pins WHICH
+    // events were admitted, not just how many. All arithmetic is
+    // fixed-order IEEE doubles (no libm) so the oracle's recursive-CTE
+    // replay is bitwise.
+    "q_stream_rate_limit" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          col("event_id").as("payload"))
+        .as[graft.streaming.RateEvent]
+      graft.streaming.RateLimit
+        .admitBatch(ev, capacity = 2.0, ratePerSec = 1.0 / 86400.0)
+        .toDF()
+        .groupBy(col("key").cast("long").as("user_id"))
+        .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(!col("admitted"), 1L).otherwise(0L)).as("n_rejected"),
+          sum(when(col("admitted"), col("payload"))).as("admitted_id_sum"))
+        .orderBy("user_id")
+    }),
+
+    // Watermarked tumbling-window counts — the SAME function the stream
+    // runs (withWatermark is a no-op on batch input), 6 h windows aligned
+    // to the epoch. One partial-aggregated hash exchange on
+    // (window, event_type); the streaming run holds one count per open
+    // window per type, watermark-evicted.
+    "q_stream_windowed_counts" -> ((s, d) =>
+      graft.streaming.Incremental.windowedEventCounts(
+          Tables.events(s, d), windowLen = "6 hours", watermarkDelay = "1 hour")
+        .select(unix_micros(col("window_start")).as("wstart_us"),
+          col("event_type"), col("n_events"))
+        .orderBy("wstart_us", "event_type")),
+
     // Last-writer-wins upsert readout: Upsert.keepLatest — the EXACT
     // reduction the streaming foreachBatch sink applies when merging each
     // micro-batch into the keyed table (idempotent under batch replay by
@@ -154,6 +191,54 @@ object StreamTwinQueries {
                 CAST(sum(CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_pairs
          FROM j GROUP BY user_id ORDER BY user_id""",
+
+    // recursive-CTE replay of RateLimit.foldBucket: one recursion step per
+    // (user, event index); tokens carried as DOUBLE through the identical
+    // fixed-order IEEE tree (every literal CAST AS DOUBLE — bare decimal
+    // literals are DECIMAL in both engines' SQL and would round
+    // differently from the Scala double tree)
+    "q_stream_rate_limit" -> {
+      val cap = "CAST(2.0 AS DOUBLE)"
+      val rate = "(CAST(1.0 AS DOUBLE) / CAST(86400.0 AS DOUBLE))"
+      val refilled = s"CASE WHEN s.last_ms IS NULL THEN $cap " +
+        s"ELSE least($cap, s.tokens + " +
+        s"(CAST(greatest(e.t - s.last_ms, 0) AS DOUBLE) / CAST(1000.0 AS DOUBLE)) * $rate) END"
+      s"""WITH RECURSIVE ev AS (
+           SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts) AS t,
+                  event_id AS payload,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS i
+           FROM events),
+         n AS (SELECT key FROM ev GROUP BY 1),
+         step AS (
+           SELECT key, CAST(1 AS BIGINT) AS i, $cap AS tokens,
+                  CAST(NULL AS BIGINT) AS last_ms,
+                  CAST(NULL AS BIGINT) AS payload,
+                  CAST(NULL AS INTEGER) AS admitted
+           FROM n
+           UNION ALL
+           SELECT s.key, s.i + 1,
+                  CASE WHEN ($refilled) >= CAST(1.0 AS DOUBLE)
+                       THEN ($refilled) - CAST(1.0 AS DOUBLE)
+                       ELSE ($refilled) END,
+                  greatest(e.t, coalesce(s.last_ms, e.t)),
+                  e.payload,
+                  CASE WHEN ($refilled) >= CAST(1.0 AS DOUBLE)
+                       THEN 1 ELSE 0 END
+           FROM step s JOIN ev e ON e.key = s.key AND e.i = s.i)
+         SELECT CAST(key AS BIGINT) AS user_id,
+                CAST(sum(admitted) AS BIGINT) AS n_admitted,
+                CAST(count(payload) - sum(admitted) AS BIGINT) AS n_rejected,
+                CAST(sum(CASE WHEN admitted = 1 THEN payload END) AS BIGINT)
+                  AS admitted_id_sum
+         FROM step WHERE payload IS NOT NULL
+         GROUP BY 1 ORDER BY user_id"""
+    },
+
+    "q_stream_windowed_counts" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS wstart_us,
+                event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY wstart_us, event_type""",
 
     "q_stream_upsert_latest" ->
       """WITH r AS (

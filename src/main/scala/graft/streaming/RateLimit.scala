@@ -31,6 +31,30 @@ final case class RateVerdict(key: String, ts: java.sql.Timestamp,
   */
 object RateLimit {
 
+  /** The per-key event-time token-bucket fold — ONE implementation shared
+    * by the streaming operator and [[admitBatch]], so the batch twin (and
+    * its DuckDB gate row, q_stream_rate_limit) anchors the streaming
+    * semantics verbatim. Sorts by (event-time ms, payload) — the payload
+    * tie-break makes same-millisecond arrivals deterministic under any
+    * partition layout. Pure fixed-order IEEE double arithmetic (no libm),
+    * so the verdict sequence is bit-reproducible cross-engine. */
+  private[streaming] def foldBucket(events: Seq[RateEvent], st0: BucketState,
+      capacity: Double, ratePerSec: Double): (Seq[RateVerdict], BucketState) = {
+    var st = st0
+    val out = events.sortBy(e => (e.ts.getTime, e.payload)).map { e =>
+      val t = e.ts.getTime
+      val refilled =
+        if (st.last_ms == Long.MinValue) capacity
+        else math.min(capacity,
+          st.tokens + (t - st.last_ms).max(0L) / 1000.0 * ratePerSec)
+      val admitted = refilled >= 1.0
+      st = BucketState(if (admitted) refilled - 1.0 else refilled,
+        math.max(t, st.last_ms))
+      RateVerdict(e.key, e.ts, e.payload, admitted)
+    }
+    (out, st)
+  }
+
   def admit(events: Dataset[RateEvent], capacity: Double, ratePerSec: Double,
             idleEvictMs: Long = 3600 * 1000L): Dataset[RateVerdict] = {
     require(capacity >= 1.0, s"capacity must be >= 1, got $capacity")
@@ -48,23 +72,29 @@ object RateLimit {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(BucketState(capacity, Long.MinValue))
-            val out = batch.toSeq.sortBy(_.ts.getTime).map { e =>
-              val t = e.ts.getTime
-              val refilled =
-                if (st.last_ms == Long.MinValue) capacity
-                else math.min(capacity,
-                  st.tokens + (t - st.last_ms).max(0L) / 1000.0 * ratePerSec)
-              val admitted = refilled >= 1.0
-              st = BucketState(if (admitted) refilled - 1.0 else refilled,
-                math.max(t, st.last_ms))
-              RateVerdict(e.key, e.ts, e.payload, admitted)
-            }
+            val st0 = state.getOption.getOrElse(BucketState(capacity, Long.MinValue))
+            val (out, st) = foldBucket(batch.toSeq, st0, capacity, ratePerSec)
             state.update(st)
             val floor = state.getCurrentWatermarkMs() + 1
             state.setTimeoutTimestamp(math.max(st.last_ms + idleEvictMs, floor))
             out.iterator
           }
       }
+  }
+
+  /** Batch twin — the identical fold over each key's full history, as a
+    * shuffle-once `flatMapGroups` (the funnel/detectBatch recipe): one
+    * hash exchange on the key, per-group state is one bucket record, group
+    * work is the key's own arrivals sorted in memory. */
+  def admitBatch(events: Dataset[RateEvent], capacity: Double,
+                 ratePerSec: Double): Dataset[RateVerdict] = {
+    require(capacity >= 1.0, s"capacity must be >= 1, got $capacity")
+    require(ratePerSec > 0, s"ratePerSec must be positive, got $ratePerSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key).flatMapGroups { (_, it) =>
+      foldBucket(it.toSeq, BucketState(capacity, Long.MinValue),
+        capacity, ratePerSec)._1.iterator
+    }
   }
 }
