@@ -138,7 +138,14 @@ object AnalyticsQueries {
       val edges = copurchaseEdges(s, d)
       val seed = edges.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("hop"))
-      graft.operators.Graph.bfsHops(edges, seed, maxHops = 3)
+      // checkpointEvery=1: without it the hop-h frontier plan references
+      // the hop-(h−1) chain multiple times (next-join + visited anti-join)
+      // and Spark re-executes the shared subplans — measured 7.8 s for a
+      // 3-hop BFS whose per-hop work is sub-second on the cached edges.
+      // Cutting lineage each hop is the iterative-graph discipline every
+      // other bounded-round operator here already follows.
+      graft.operators.Graph.bfsHops(edges, seed, maxHops = 3,
+          checkpointEvery = 1)
         .orderBy("node")
     }),
 

@@ -92,15 +92,20 @@ object DedupQueries {
       Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
     }
 
-  /** Memoized radius-2 multiprobe sign-LSH verified pair table — the
-    * widened-recall candidate stage the ANN-dedup losslessness gate runs
-    * (q_dedup_semdedup_ann; bound derivation at that query). */
+  /** Memoized radius-2 multiprobe sign-LSH pair table, verified at the
+    * ANN-dedup gate threshold (cos ≥ 0.45) BEFORE caching — radius-2
+    * candidate volume is ~4× radius-1 and caching it pre-filter OOM'd an
+    * 8 GB driver at sf1 (found live: the memo materialized millions of
+    * below-threshold pairs nothing consumes). Cache the verified survivors
+    * only: the cluster rule — persist post-filter, not pre-filter.
+    * (q_dedup_semdedup_ann; recall-bound derivation at that query.) */
   private def annPairsR2(s: SparkSession, d: String): DataFrame =
     QueryCaches.memo(s, d, "sign_lsh_pairs_r2") {
       Similarity.signLshPairs(Tables.embeddings(s, d),
         SimilarityQueries.LshSeed, SimilarityQueries.LshBands,
         SimilarityQueries.LshWidth, SimilarityQueries.LshMaxBucket,
         probeRadius = 2)
+        .where(col("cos") >= 0.45)
     }
 
   /** Memoized connected components over the cosine near-dup graph —
@@ -264,7 +269,7 @@ object DedupQueries {
     // oracle is quadratic by design → documented SKIP (prefix_filter
     // precedent).
     "q_dedup_semdedup_ann" -> ((s, d) => {
-      val pairs = annPairsR2(s, d).where(col("cos") >= 0.45)
+      val pairs = annPairsR2(s, d) // already verified at cos >= 0.45
       val clusters = graft.operators.StarComponents
         .components(pairs, col("va"), col("vb"))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))

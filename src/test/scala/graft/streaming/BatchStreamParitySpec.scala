@@ -63,4 +63,44 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(streamed == batch,
       s"batch-only: ${batch -- streamed}; stream-only: ${streamed -- batch}")
   }
+
+  test("streaming rate-limit verdicts == batch verdicts on the same event set") {
+    // anchors q_stream_rate_limit's batch twin to the live operator: both
+    // run RateLimit.foldBucket, and this proves the micro-batched streaming
+    // delivery (state carried across triggers) replays to the identical
+    // verdict sequence. capacity 2, 1 token per 10 min over 0–90 min gaps
+    // → a real mix of admits and rejects.
+    val cap = 2.0
+    val rate = 1.0 / 600.0
+    val rateEvents = events.zipWithIndex.map { case ((u, ts), i) =>
+      RateEvent(u.toString, ts, i.toLong)
+    }
+    val mem = MemoryStream[RateEvent](spark)
+    val q = RateLimit.admit(
+        mem.toDS().withWatermark("ts", "0 seconds").as[RateEvent], cap, rate)
+      .writeStream.format("memory").queryName("parity_rate")
+      .outputMode("append").start()
+    // two waves: state must carry across micro-batches (per key, events
+    // stay time-ordered across the split — delivery order within a key is
+    // what the state contract guarantees under event-time processing)
+    val (w1, w2) = rateEvents.sortBy(e => (e.ts.getTime, e.payload))
+      .splitAt(rateEvents.size / 2)
+    mem.addData(w1: _*)
+    q.processAllAvailable()
+    mem.addData(w2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("parity_rate")
+      .select(col("key"), col("payload"), col("admitted"))
+      .as[(String, Long, Boolean)].collect().toSet
+    q.stop()
+
+    val batch = RateLimit.admitBatch(rateEvents.toDS(), cap, rate)
+      .select(col("key"), col("payload"), col("admitted"))
+      .as[(String, Long, Boolean)].collect().toSet
+
+    assert(batch.count(_._3) > 0 && batch.count(!_._3) > 0,
+      "fixture must yield both admits and rejects")
+    assert(streamed == batch,
+      s"batch-only: ${batch -- streamed}; stream-only: ${streamed -- batch}")
+  }
 }
