@@ -327,7 +327,13 @@ object Similarity {
     val v = vectors.select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val e = v.select(col("id"),
+    // Fanout.pin BEFORE the bands/probes explode (same reason as
+    // lshCandidates): the embeddings scan is a handful of splits, and the
+    // bands× (× probes×, up to 37 at radius 2) expansion plus the
+    // candidate SMJ would otherwise run in those few tasks — found live
+    // at sf1, where the radius-2 probe sort OOM'd two giant tasks that a
+    // pinned layout spreads across the full shuffle width.
+    val e = graft.operators.Fanout.pin(v).select(col("id"),
         posexplode(graft.functions.VectorExpressions.signBandPatterns(
           col("v"), seed, bands, width, dims)))
       .select(col("id"), col("pos").as("band"), col("col").as("pat"))
