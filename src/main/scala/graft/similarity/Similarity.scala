@@ -344,25 +344,33 @@ object Similarity {
       e.groupBy(col("band"), col("pat")).agg(count(lit(1)).as("c"))
         .where(col("c") <= maxBucket).select("band", "pat"),
       Seq("band", "pat"))
-    // multiprobe: probe every bucket within Hamming radius `probeRadius`
-    // of the own pattern. Radius 1 (the default) is the production
-    // recall/cost point; radius 2 trades a (1 + w + C(w,2))× probe-table
-    // blow-up for per-band hit probability Σ_{k≤2} C(w,k)p^{w−k}(1−p)^k —
-    // the knob the lossless-at-fixture-scale dedup gate (q_dedup_
-    // semdedup_ann) turns instead of lowering its cosine threshold.
+    // multiprobe: candidate pairs are patterns within Hamming distance
+    // `probeRadius` in some band (per-band hit probability
+    // Σ_{k≤r} C(w,k)p^{w−k}(1−p)^k). Radius 1 (the default) is the
+    // production recall/cost point — exact patterns joined against the
+    // (1 + w)× radius-1 probe expansion. Radius 2 uses the SYMMETRIC
+    // split d(x,y) ≤ 2 ⟺ ∃z: d(x,z) ≤ 1 ∧ d(z,y) ≤ 1 (z = flip one of
+    // the ≤ 2 differing bits), so BOTH sides expand only (1 + w)× and
+    // join on the shared midpoint — the IDENTICAL pair set as probing
+    // radius-2 buckets asymmetrically, but the join sorts 2·(1+w)·n rows
+    // instead of (1 + w + C(w,2))·n ≈ 37n on one side, and per-bucket
+    // join output falls ~4× (found live: the asymmetric form OOM-spilled
+    // the radius-2 gate build under 32 concurrent tasks at sf1). This is
+    // the knob the lossless-at-fixture-scale dedup gate
+    // (q_dedup_semdedup_ann) turns instead of lowering its threshold.
     val flips1 = (0 until width).map(j => col("pat").bitwiseXOR(lit(1L << j)))
-    val flips2 = for {
-      j <- 0 until width; k <- (j + 1) until width
-    } yield col("pat").bitwiseXOR(lit((1L << j) | (1L << k)))
-    val probeCols = Seq(col("pat")) ++
-      (if (probeRadius >= 1) flips1 else Nil) ++
-      (if (probeRadius >= 2) flips2 else Nil)
-    val probes =
-      if (probeRadius == 0) kept.select(col("id"), col("band"), col("pat").as("probe"))
-      else kept.select(col("id"), col("band"),
-        explode(array(probeCols: _*)).as("probe"))
-    val cand = kept.as("a").join(probes.as("b"),
-        col("a.band") === col("b.band") && col("a.pat") === col("b.probe") &&
+    def probes1(df: DataFrame): DataFrame =
+      df.select(col("id"), col("band"),
+        explode(array(Seq(col("pat")) ++ flips1: _*)).as("probe"))
+    def exact(df: DataFrame): DataFrame =
+      df.select(col("id"), col("band"), col("pat").as("probe"))
+    val (left, right) = probeRadius match {
+      case 0 => (exact(kept), exact(kept))
+      case 1 => (exact(kept), probes1(kept))
+      case _ => (probes1(kept), probes1(kept))
+    }
+    val cand = left.as("a").join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.probe") === col("b.probe") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("va"), col("b.id").as("vb"))
       .distinct()
