@@ -62,12 +62,18 @@ object Bench {
         Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(300)}")
       }
     }
+    // recordErrors=false for load-triggered RE-measures: the query already
+    // has a committed timing in `results`, so a transient retry failure must
+    // not add it to `errors` (ADVICE r9: the same name otherwise appears in
+    // both full_queries and errors and the FAILED banner fires for a query
+    // that has a valid number — the original row simply stands).
     def measure(name: String,
-                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                recordErrors: Boolean = true)
         : Option[Double] = {
       val runs = Seq.fill(iters)(once(name, fn))
       runs.collectFirst { case Left(err) => err } match {
-        case Some(err) => errors += (name -> err); None
+        case Some(err) => if (recordErrors) errors += (name -> err); None
         case None =>
           val times = runs.collect { case Right(t) => t }.sorted
           Some(times(times.size / 2))
@@ -93,22 +99,29 @@ object Bench {
     // a footnote). Any row whose 1-min load exceeded ~cpus/2 is
     // re-measured (up to 2 passes); the smaller median wins — contention
     // only ever inflates a timing, so the smaller of two medians is the
-    // tighter upper bound on the clean time. When the original median
-    // survives a low-load re-measure, the re-measure's load is recorded:
-    // the number now has clean-run confirmation, so the high label no
-    // longer applies. Rows still above threshold after both passes stay
-    // labeled (the box never went quiet).
+    // tighter upper bound on the clean time. Rows still above threshold
+    // after both passes stay labeled (the box never went quiet).
+    // The recorded load label must describe the pass that PRODUCED the kept
+    // median (ADVICE r9: relabeling with a rejected retry's lower load made
+    // the label describe a different run than the number). So the label is
+    // only replaced when the retry's median is the one kept; `retriedKept`
+    // records per query which rows carry a retry-pass number at all, so a
+    // reader can tell first-pass timings from re-measured ones.
     val loadThreshold = math.max(cpus.toDouble / 2.0, 8.0)
     var retried = 0
+    var retriedKept = Set.empty[String]
     for (_ <- 0 until 2) {
       val suspect = loads.filter { case (n, la) =>
         la > loadThreshold && results.contains(n) }.keys.toSeq
       for (name <- suspect; fn <- SparkEntry.queries.get(name)) {
         retried += 1
-        measure(name, fn).foreach { med2 =>
+        measure(name, fn, recordErrors = false).foreach { med2 =>
           val la2 = loadAvg()
-          if (med2 < results(name)) results += (name -> med2)
-          if (la2 < loads(name)) loads += (name -> la2)
+          if (med2 < results(name)) {
+            results += (name -> med2)
+            loads += (name -> la2)
+            retriedKept += name
+          }
         }
       }
     }
@@ -148,13 +161,17 @@ object Bench {
     // "load" = 1-min system load average sampled as each query's timed
     // runs finished (after the load-retry passes, the label of the KEPT
     // measurement); "load_summary" bounds the whole run; "retried" counts
-    // re-measures triggered by load > threshold; "shared_builds" is the
-    // per-memo-key materialization ledger (seconds) — per-query rows are
-    // post-memo only. Schema note for bench_full.json: {full_queries,
-    // errors, load, load_summary, shared_builds, retried, total,
+    // re-measures triggered by load > threshold; "retried_kept" lists the
+    // queries whose committed number came from a retry pass (their load
+    // label describes that retry); "shared_builds" is the per-memo-key
+    // materialization ledger (seconds) — per-query rows are post-memo
+    // only. Schema note for bench_full.json: {full_queries, errors, load,
+    // load_summary, shared_builds, retried, retried_kept, total,
     // n_queries, failed, sf}.
+    val retriedKeptJson =
+      retriedKept.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax, "retry_threshold" -> loadThreshold))},"shared_builds":${jmap(sharedBuilds.toSeq.sortBy(_._1))},"retried":$retried,"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax, "retry_threshold" -> loadThreshold))},"shared_builds":${jmap(sharedBuilds.toSeq.sortBy(_._1))},"retried":$retried,"retried_kept":$retriedKeptJson,"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"retried":$retried,"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")

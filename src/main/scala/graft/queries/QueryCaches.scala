@@ -20,7 +20,10 @@ import scala.collection.concurrent.TrieMap
 object QueryCaches {
 
   private val reg = TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private val buildSecs = TrieMap.empty[String, Double]
+  // ledger key = (sfDir, key) to match reg's scope (ADVICE r9: keying by
+  // memo key alone merged build times across SF dirs when one session
+  // iterates gateSfs, as the multi-SF specs do)
+  private val buildSecs = TrieMap.empty[(String, String), Double]
 
   /** Memoized cached DataFrame: builds + caches on first use per
     * (session, sfDir, key), returns the identical instance afterwards.
@@ -31,21 +34,40 @@ object QueryCaches {
     * q_eng_bfs_hops 7.9 s standalone vs 2.9 s in-suite — pure attribution
     * artifact). The cost lands in [[sharedBuilds]], which Bench emits as
     * its own `shared_builds` ledger; per-query rows then measure post-memo
-    * work only. */
+    * work only.
+    *
+    * Concurrency: build-then-putIfAbsent instead of TrieMap
+    * .getOrElseUpdate — two racing threads may both build, but the loser's
+    * cached DataFrame is unpersisted immediately (ADVICE r9: the orphaned
+    * loser was cached+counted and never released by [[clear]]) and only
+    * the winner's build time lands in the ledger. */
   def memo(s: SparkSession, sfDir: String, key: String)
           (build: => DataFrame): DataFrame =
-    reg.getOrElseUpdate((s, sfDir, key), {
+    reg.get((s, sfDir, key)).getOrElse {
       val df = build.cache()
       val t0 = System.nanoTime()
       df.count() // populates the InMemoryRelation (all columns)
       val dt = (System.nanoTime() - t0) / 1e9
-      buildSecs += (key -> (buildSecs.getOrElse(key, 0.0) + dt))
-      df
-    })
+      reg.putIfAbsent((s, sfDir, key), df) match {
+        case Some(winner) =>
+          try df.unpersist(false) catch { case _: Throwable => () }
+          winner
+        case None =>
+          buildSecs += ((sfDir, key) ->
+            (buildSecs.getOrElse((sfDir, key), 0.0) + dt))
+          df
+      }
+    }
 
   /** Seconds spent materializing each memo key since the last [[clear]]
-    * — the shared-build ledger Bench commits alongside per-query rows. */
-  def sharedBuilds: Map[String, Double] = buildSecs.toMap
+    * — the shared-build ledger Bench commits alongside per-query rows.
+    * Keys rendered as "key" when one SF dir is in play (the Bench case)
+    * would collide across SFs, so the label is "key@sfLeaf". */
+  def sharedBuilds: Map[String, Double] =
+    buildSecs.toMap.map { case ((sfDir, key), v) =>
+      val leaf = sfDir.reverse.takeWhile(_ != '/').reverse
+      s"$key@$leaf" -> v
+    }
 
   /** Unpersist and forget every registered cache (non-blocking). */
   def clear(): Unit = {
