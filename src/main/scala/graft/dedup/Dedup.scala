@@ -300,8 +300,24 @@ object Dedup {
     * does not replay rounds 1..N-1. Deterministic for any input
     * partitioning (min is order-insensitive).
     *
+    * `maxSteps` (even, default unbounded) caps the propagation at a FIXED
+    * synchronous round budget: the result is then "min label within
+    * maxSteps hops", which equals the true components whenever every
+    * component's min-id eccentricity is within budget — and, crucially,
+    * is a well-defined query even when it is not, so a bounded-round
+    * DuckDB twin replays it exactly on fixtures where the unbounded
+    * reachability oracle is quadratic-infeasible (r9 verdict #4: the
+    * sf1mut pHash domain saturates into one giant component). Convergence
+    * inside the budget is empirically pinned per call site (pHash: the
+    * saturated 16-bit value graph at Hamming ≤ 3 has eccentricity ≤ 7,
+    * but SPARSE fixtures form chains — measured worst case 13 rounds at
+    * sf0.01, hence the call site's budget of 14).
+    *
     * Returns (doc_id, cluster_id), one row per distinct doc in `pairs`. */
-  def duplicateClusters(pairs: DataFrame, idaCol: Column, idbCol: Column): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, idaCol: Column, idbCol: Column,
+                        maxSteps: Int = Int.MaxValue - 1): DataFrame = {
+    require(maxSteps >= 2 && maxSteps % 2 == 0,
+      s"maxSteps must be even and >= 2 (double-stepped loop), got $maxSteps")
     val edges = pairs.select(idaCol.as("src"), idbCol.as("dst"))
       .unionByName(pairs.select(idbCol.as("src"), idaCol.as("dst")))
       .distinct()
@@ -318,12 +334,14 @@ object Dedup {
       .withColumn("label", col("id"))
       .localCheckpoint()
     var changed = 1L
-    while (changed > 0) {
+    var steps = 0
+    while (changed > 0 && steps < maxSteps) {
       val next = step(step(labels)).localCheckpoint()
       changed = labels.select(col("id"), col("label").as("__old"))
         .join(next, "id")
         .where(col("__old") =!= col("label")).count()
       labels = next
+      steps += 2
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

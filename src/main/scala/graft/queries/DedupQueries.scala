@@ -321,6 +321,66 @@ object DedupQueries {
         .orderBy("band_x20")
     }),
 
+    // Scale-safe recall audit — the 100 TB shape of q_dedup_ann_recall
+    // (implementing the sampled-stratum estimate that row's comment
+    // promised): the exact side samples the QUERY side by content hash
+    // (md5("recall:" || vec_id), keep 1/8 — layout- and partitioning-
+    // independent, mirrored bitwise by the oracle) and exact-joins ONLY
+    // the sample against the corpus, so exact work is (n/8)·n instead of
+    // n²/2, and the rate is the knob that holds the left side fixed-size
+    // as the corpus grows (rate ≈ k/n at 100 TB; the broadcast side stays
+    // k vectors). Per 0.05 cosine band: directed (query, neighbor) pair
+    // counts, hits against the SAME shared radius-1 candidate table every
+    // embedding query uses, recall in ppm, and a 95% Wilson score
+    // interval on per-band recall — the binomial CI that turns the
+    // sampled estimate into a bounded claim. The Wilson tree is written
+    // as the identical fixed-order IEEE expression in both engines (sqrt
+    // is correctly rounded), so the micro-quantized bounds are bitwise.
+    // Unlike q_dedup_ann_recall (quadratic BY DESIGN → documented SKIP at
+    // sf1+), this row gates at EVERY SF.
+    "q_dedup_ann_recall_sampled" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.l2norm(col("v")))
+      val q = v.where(
+        conv(substring(md5(concat(lit("recall:"), col("vec_id"))), 1, 4), 16, 10)
+          .cast("long") % 8 === 0)
+        .select(col("vec_id").as("qa"), col("v").as("xa"), col("nrm").as("na"))
+      val exact = broadcast(q)
+        .join(v.select(col("vec_id").as("vb"), col("v").as("xb"),
+          col("nrm").as("nb")), col("qa") =!= col("vb"))
+        .withColumn("cos",
+          Similarity.dot(col("xa"), col("xb")) / (col("na") * col("nb")))
+        .where(col("cos") >= 0.4)
+        .select(col("qa"), col("vb"), col("cos"))
+      val cand = SimilarityQueries.lshPairTable(s, d)
+        .select(col("va").as("ca"), col("vb").as("cb"))
+        .withColumn("found", lit(1L))
+      // 95% Wilson score interval, micro-quantized; identical op order in
+      // the oracle (z and every literal CAST AS DOUBLE there)
+      val z = lit(1.96)
+      val zz = z * z
+      val nD = col("n_exact").cast("double")
+      val p = col("n_found").cast("double") / nD
+      val den = lit(1.0) + zz / nD
+      val ctr = (p + zz / (lit(2.0) * nD)) / den
+      val half = (z * sqrt((p * (lit(1.0) - p) / nD) +
+        zz / (lit(4.0) * (nD * nD)))) / den
+      exact
+        .withColumn("ca", least(col("qa"), col("vb")))
+        .withColumn("cb", greatest(col("qa"), col("vb")))
+        .join(cand, Seq("ca", "cb"), "left")
+        .groupBy(floor(col("cos") * 20).cast("long").as("band_x20"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("found"), lit(0L))).as("n_found"))
+        .withColumn("recall_ppm", expr("n_found * 1000000 DIV n_exact"))
+        .withColumn("wilson_lo_micro",
+          floor((ctr - half) * 1000000.0 + 0.5).cast("long"))
+        .withColumn("wilson_hi_micro",
+          floor((ctr + half) * 1000000.0 + 0.5).cast("long"))
+        .orderBy("band_x20")
+    }),
+
     // SemDeDup keep rule: within each embedding cluster keep the most
     // CENTRAL member — argmax of summed (micro-quantized) cosine to the
     // member's in-cluster neighbors, which for mean-centroid clusters is
@@ -855,6 +915,50 @@ object DedupQueries {
                 CAST(sum(found) AS BIGINT) AS n_found,
                 CAST(count(*) - sum(found) AS BIGINT) AS n_missed
          FROM j GROUP BY 1 ORDER BY band_x20""",
+
+    // sampled-left-side recall estimate: same md5 1/8 query sample, exact
+    // join only sample × corpus, Wilson CI with every literal CAST AS
+    // DOUBLE so the IEEE tree matches the Column API's double tree
+    "q_dedup_ann_recall_sampled" ->
+      s"""WITH ${SimilarityQueries.lshCandCte},
+         q AS (SELECT vec_id, v FROM e
+               WHERE CAST('0x' || substr(md5('recall:' || vec_id), 1, 4) AS BIGINT) % 8 = 0),
+         ex AS (SELECT q.vec_id AS qa, y.vec_id AS vb,
+                  list_dot_product(q.v, y.v)
+                  / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(y.v, y.v))) AS cos
+                FROM q JOIN e y ON q.vec_id <> y.vec_id),
+         exf AS (SELECT qa, vb, cos FROM ex WHERE cos >= 0.4),
+         j AS (SELECT exf.cos,
+                      CASE WHEN c.va IS NULL THEN 0 ELSE 1 END AS found
+               FROM exf LEFT JOIN cand c
+                 ON c.va = least(exf.qa, exf.vb)
+                AND c.vb = greatest(exf.qa, exf.vb)),
+         g AS (SELECT CAST(floor(cos * 20) AS BIGINT) AS band_x20,
+                      CAST(count(*) AS BIGINT) AS n_exact,
+                      CAST(sum(found) AS BIGINT) AS n_found
+               FROM j GROUP BY 1),
+         w AS (SELECT band_x20, n_exact, n_found,
+                      CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS p,
+                      CAST(n_exact AS DOUBLE) AS nd,
+                      CAST(1.96 AS DOUBLE) AS z,
+                      CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS zz
+               FROM g),
+         w2 AS (SELECT *,
+                       CAST(1.0 AS DOUBLE) + zz / nd AS den,
+                       (p + zz / (CAST(2.0 AS DOUBLE) * nd))
+                         / (CAST(1.0 AS DOUBLE) + zz / nd) AS ctr,
+                       (z * sqrt((p * (CAST(1.0 AS DOUBLE) - p) / nd)
+                          + zz / (CAST(4.0 AS DOUBLE) * (nd * nd))))
+                         / (CAST(1.0 AS DOUBLE) + zz / nd) AS half
+                FROM w)
+         SELECT band_x20, n_exact, n_found,
+                CAST(n_found * 1000000 // n_exact AS BIGINT) AS recall_ppm,
+                CAST(floor((ctr - half) * 1000000.0 + 0.5) AS BIGINT)
+                  AS wilson_lo_micro,
+                CAST(floor((ctr + half) * 1000000.0 + 0.5) AS BIGINT)
+                  AS wilson_hi_micro
+         FROM w2 ORDER BY band_x20""",
 
     "q_dedup_semdedup_keep" ->
       s"""WITH RECURSIVE ${SimilarityQueries.lshCandCte},

@@ -18,12 +18,29 @@ object MultimodalQueries {
 
   /** Memoized image near-dup components (min-label over the verified
     * phash pair graph) — q_mm_phash_clusters and the cross-modal
-    * consistency join read the identical table. */
+    * consistency join read the identical table.
+    *
+    * Bounded at [[ClusterSteps]] synchronous min-label rounds (r9 verdict
+    * #4): the oracle replays the IDENTICAL round budget at the distinct-
+    * phash-value level (provably the same labels per round — images
+    * sharing a hash have identical neighborhoods after round 1), so the
+    * gate is well-defined even on the sf1mut fixture whose saturated
+    * 16-bit domain collapses into one giant component where the old
+    * reachability oracle was quadratic. 14 steps cover convergence with
+    * margin: the SATURATED value graph at Hamming ≤ 3 has min-id
+    * eccentricity ≤ ⌈16/3⌉ + 1 = 7, while SPARSE fixtures form chain
+    * components — measured convergence round per fixture: sf0.01 = 13,
+    * sf0.1 = 5, sf1 = 5, sf1mut = 6 (DuckDB lR = lR+1 sweep, round 10).
+    * If a future fixture exceeded the budget, the gate would still be
+    * well-defined (both engines run the identical capped recursion) —
+    * only the "labels = true components" reading would need a bigger
+    * budget. */
+  private[queries] val ClusterSteps = 14
   private def phashClusterTable(s: SparkSession, d: String): DataFrame =
     QueryCaches.memo(s, d, "phash_cluster_table") {
       graft.dedup.Dedup.duplicateClusters(
         Multimodal.phashPairs(Multimodal.phash(media(s, d)), 3),
-        col("ida"), col("idb"))
+        col("ida"), col("idb"), maxSteps = ClusterSteps)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,7 +121,8 @@ object MultimodalQueries {
 
     // near-dup image clusters: connected components over the verified
     // phash pair graph — "keep one per cluster" for the image modality,
-    // reusing the text-dedup min-label propagation (oracle = recursive CTE)
+    // reusing the text-dedup min-label propagation, bounded at
+    // ClusterSteps rounds (oracle = the identical bounded-round chain)
     "q_mm_phash_clusters" -> ((s, d) =>
       phashClusterTable(s, d)
         .select(col("doc_id").as("media_id"), col("cluster_id"))
@@ -238,6 +256,48 @@ object MultimodalQueries {
                 CAST(16 + (doc_id % 8) * 8 AS BIGINT) AS height_px,
                 CAST(n_chars * 40 AS BIGINT) AS duration_ms
          FROM documents)"""
+
+  /** Bounded-round min-label CTE chain over distinct pHash VALUES — the
+    * oracle twin of [[phashClusterTable]]'s capped propagation. Expects a
+    * `${p}vals(v, cnt, minid)` CTE upstream; emits `${p}l0..l$rounds`
+    * where `${p}lR` is the label table after R synchronous rounds.
+    *
+    * Two scale moves vs the retired reachability oracle (which was
+    * quadratic in component size — 10^8+ reach rows under sf1mut's
+    * saturated domain): (1) neighbor edges are generated CONSTRUCTIVELY
+    * (v XOR m for the 696 popcount ≤ 3 masks, equi-joined against
+    * present values — the computed key hoisted into its own MATERIALIZED
+    * CTE per the DuckDB join-probe rule) instead of an all-pairs
+    * bit_count filter; (2) state per round is one label row per value,
+    * so total work is rounds·|edges|, never |component|². Round
+    * semantics match the engine exactly: label_{r+1}(v) = min(label_r(v),
+    * min over Hamming ≤ 3 neighbors) with cluster seeds = per-value min
+    * media_id, and eligibility = values with a neighbor or ≥ 2 images
+    * (the engine's "appears in some pair" rule). */
+  private def minLabelCtes(p: String, rounds: Int): String = {
+    val base = s"""${p}masks AS (SELECT m FROM range(1, 65536) tm(m)
+                   WHERE bit_count(m) <= 3),
+          ${p}probe AS MATERIALIZED (
+            SELECT a.v AS x, xor(a.v, CAST(m AS BIGINT)) AS y
+            FROM ${p}vals a, ${p}masks),
+          ${p}nb AS MATERIALIZED (
+            SELECT pr.x, pr.y FROM ${p}probe pr JOIN ${p}vals b ON b.v = pr.y),
+          ${p}deg AS (SELECT x AS v, count(*) AS dg FROM ${p}nb GROUP BY 1),
+          ${p}l0 AS MATERIALIZED (
+            SELECT v.v AS id, v.minid AS label
+            FROM ${p}vals v LEFT JOIN ${p}deg d ON d.v = v.v
+            WHERE v.cnt >= 2 OR d.dg IS NOT NULL)"""
+    val rs = (1 to rounds).map { r =>
+      s"""${p}l$r AS MATERIALIZED (
+            SELECT id, min(lbl) AS label FROM (
+              SELECT id, label AS lbl FROM ${p}l${r - 1}
+              UNION ALL
+              SELECT nb.x AS id, l.label AS lbl
+              FROM ${p}nb nb JOIN ${p}l${r - 1} l ON l.id = nb.y
+            ) u GROUP BY id)"""
+    }
+    (base +: rs).mkString(",\n          ")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_mm_decode_features" ->
@@ -424,15 +484,17 @@ object MultimodalQueries {
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
           ORDER BY ida, idb""",
 
-    // The closure runs over DISTINCT PHASH VALUES, not images: images with
-    // equal hashes are one node (Hamming 0), a value with ≥2 images
-    // self-edges so its clique participates, and the component's cluster
-    // id = min media_id over its values' minids — provably identical to
-    // the image-level reach, but bounded by the 16-bit hash space instead
-    // of Σcomponent² image pairs (which explodes to 10^8+ reach rows under
-    // the sf1 fixture's 10x verbatim payload replication).
+    // The propagation runs over DISTINCT PHASH VALUES, not images: images
+    // with equal hashes are one node (Hamming 0) whose label seed is the
+    // min media_id — provably the same per-round labels as the engine's
+    // image-level propagation (after round 1 every image of a value
+    // carries min(minid over N(v) ∪ {v}); induction in [[minLabelCtes]]'
+    // Scaladoc anchor at phashClusterTable). Bounded at the engine's
+    // ClusterSteps round budget, replacing the retired recursive reach
+    // (quadratic in component size — infeasible on sf1mut's saturated
+    // one-component domain, r9 verdict #4).
     "q_mm_phash_clusters" ->
-      s"""${bytesCte.replaceFirst("WITH", "WITH RECURSIVE")},
+      s"""$bytesCte,
           b AS (
             SELECT media_id,
                    list_transform(range(0, 16),
@@ -452,21 +514,9 @@ object MultimodalQueries {
           vals AS (SELECT phash AS v, CAST(count(*) AS BIGINT) AS cnt,
                           min(media_id) AS minid
                    FROM ph GROUP BY 1),
-          vedges AS (
-            SELECT a.v AS x, b.v AS y FROM vals a JOIN vals b
-              ON a.v <> b.v AND bit_count(xor(a.v, b.v)) <= 3
-            UNION ALL
-            SELECT v, v FROM vals WHERE cnt >= 2),
-          vreach AS (
-            SELECT DISTINCT x AS id, x AS r FROM vedges
-            UNION
-            SELECT e.x AS id, vreach.r FROM vedges e
-            JOIN vreach ON e.y = vreach.id),
-          vcl AS (SELECT vr.id AS v, min(w.minid) AS cluster_id
-                  FROM vreach vr JOIN vals w ON w.v = vr.r
-                  GROUP BY 1)
-          SELECT ph.media_id, vcl.cluster_id
-          FROM ph JOIN vcl ON vcl.v = ph.phash
+          ${minLabelCtes("", ClusterSteps)}
+          SELECT ph.media_id, l$ClusterSteps.label AS cluster_id
+          FROM ph JOIN l$ClusterSteps ON l$ClusterSteps.id = ph.phash
           ORDER BY 1""",
 
     "q_mm_scene_changes" ->
@@ -591,9 +641,8 @@ object MultimodalQueries {
 
     // composed oracle: DedupQueries' text-cluster recursive chain
     // (`cl(doc_id, cluster_id)`) + an i-prefixed replay of the
-    // image-cluster chain (renamed to dodge the shared p/edges/reach CTE
-    // names), joined exactly like the Spark side. Two recursive CTEs in
-    // one WITH RECURSIVE clause is legal DuckDB.
+    // bounded-round image-cluster chain (prefixed to dodge the text
+    // chain's CTE names), joined exactly like the Spark side.
     "q_mm_crossmodal_clusters" ->
       s"""${DedupQueries.clustersCte},
           mm AS (
@@ -619,21 +668,10 @@ object MultimodalQueries {
           ivals AS (SELECT phash AS v, CAST(count(*) AS BIGINT) AS cnt,
                            min(media_id) AS minid
                     FROM iph GROUP BY 1),
-          ivedges AS (
-            SELECT a.v AS x, b.v AS y FROM ivals a JOIN ivals b
-              ON a.v <> b.v AND bit_count(xor(a.v, b.v)) <= 3
-            UNION ALL
-            SELECT v, v FROM ivals WHERE cnt >= 2),
-          ivreach AS (
-            SELECT DISTINCT x AS id, x AS r FROM ivedges
-            UNION
-            SELECT e.x AS id, ivreach.r FROM ivedges e
-            JOIN ivreach ON e.y = ivreach.id),
-          ivcl AS (SELECT vr.id AS v, min(w.minid) AS cluster_id
-                   FROM ivreach vr JOIN ivals w ON w.v = vr.r
-                   GROUP BY 1),
-          icl AS (SELECT iph.media_id, ivcl.cluster_id
-                  FROM iph JOIN ivcl ON ivcl.v = iph.phash),
+          ${minLabelCtes("i", ClusterSteps)},
+          icl AS (SELECT iph.media_id, il$ClusterSteps.label AS cluster_id
+                  FROM iph JOIN il$ClusterSteps
+                    ON il$ClusterSteps.id = iph.phash),
           members AS (
             SELECT cl.cluster_id AS text_cluster, cl.doc_id,
                    icl.cluster_id AS img_cluster

@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("duplicateClusters: maxSteps caps at a fixed synchronous round budget") {
+    // path 20..26: after exactly R synchronous min-label rounds, each
+    // node's label is the min id within R hops — the well-defined
+    // bounded-round semantics the DuckDB twin replays when the true
+    // components are reach-infeasible (sf1mut pHash oracle). R = 2 on a
+    // 6-hop path is deliberately NOT converged.
+    val pairs = (20L until 26L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val out = Dedup.duplicateClusters(pairs, col("ida"), col("idb"), maxSteps = 2)
+      .as[(Long, Long)].collect().toMap
+    val expected = (20L to 26L).map(i => i -> math.max(20L, i - 2)).toMap
+    assert(out == expected)
+    // an ample budget converges to the same fixpoint as the unbounded loop
+    val full = Dedup.duplicateClusters(pairs, col("ida"), col("idb"), maxSteps = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(full == (20L to 26L).map(_ -> 20L).toMap)
+  }
+
   test("simhash: deterministic and insensitive to feature order") {
     val a = Seq((1L, Seq("aa", "bb", "cc"))).toDF("doc_id", "f")
     val b = Seq((1L, Seq("cc", "aa", "bb"))).toDF("doc_id", "f")
