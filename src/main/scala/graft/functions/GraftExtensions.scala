@@ -72,6 +72,22 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_hll expects (value)")
         HllRegistersAgg(children.head).toAggregateExpression()
+      }),
+    // graft_quantile_sketch(uid, value, k): mergeable bounded priority
+    // sample with quantile reads; k must be a foldable integer literal
+    ("graft_quantile_sketch",
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName,
+        "graft_quantile_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_quantile_sketch expects (uid, value, k)")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_quantile_sketch: k must be an integer literal, got $other")
+        }
+        QuantileSketchAgg(children.head, children(1), k).toAggregateExpression()
       })
   )
 

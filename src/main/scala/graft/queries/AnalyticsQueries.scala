@@ -529,6 +529,29 @@ object AnalyticsQueries {
            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // the quantile-sketch aggregate ON the gate: per-language n_chars
+    // quantiles through the SQL-registered TypedImperativeAggregate
+    // (graft_quantile_sketch) — a bounded deterministic priority sample
+    // (k = 256 triples per group) that partial-aggregates map-side and
+    // merges as a bottom-k union, replacing the full per-group sort exact
+    // quantiles need (q_text_len_quantiles is the exact histogram twin).
+    // The oracle replays the identical bottom-k-by-md5-priority sample
+    // and rank reads, so update/merge/eval are hash-compared cross-engine
+    // (the graft_hll / graft_kmv_distinct discipline). Sample rank error
+    // is the standard O(1/√k); groups with ≤ k rows are EXACT.
+    "q_eng_sketch_quantiles" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("qsk_docs")
+      s.sql(
+        """SELECT lang, qs.n_sample AS n_sample,
+                  qs.q10 AS q10, qs.q25 AS q25, qs.q50 AS q50,
+                  qs.q75 AS q75, qs.q90 AS q90, qs.q99 AS q99
+           FROM (SELECT lang,
+                        graft_quantile_sketch(doc_id, n_chars, 256) AS qs
+                 FROM qsk_docs GROUP BY lang)
+           ORDER BY lang""")
+    }),
+
     // the RewriteTopKWindow optimizer rule ON the gate: this query is
     // written in the stock rank-filter-drop idiom, the injected rule
     // replans it as the sort-free TopKPerGroup node (PlanRewriteSpec
@@ -1640,6 +1663,39 @@ object AnalyticsQueries {
                      ELSE 127 * 4503599627370496 // hk END AS BIGINT)
                   AS distinct_cust_est
          FROM sk ORDER BY o_orderpriority""",
+
+    // identical bottom-k-by-md5-priority sample per group, then the
+    // aggregate's all-integer rank reads idx = (m-1)*p // 100 (0-based)
+    "q_eng_sketch_quantiles" ->
+      """WITH pr AS (
+           SELECT lang, doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) AS p
+           FROM documents),
+         s AS (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY p, doc_id) AS rk
+               FROM pr),
+         kk AS (SELECT lang, n_chars FROM s WHERE rk <= 256),
+         r AS (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_chars) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS m
+               FROM kk)
+         SELECT lang, CAST(max(m) AS BIGINT) AS n_sample,
+                CAST(max(CASE WHEN rn = (m-1)*10//100 + 1 THEN n_chars END)
+                  AS BIGINT) AS q10,
+                CAST(max(CASE WHEN rn = (m-1)*25//100 + 1 THEN n_chars END)
+                  AS BIGINT) AS q25,
+                CAST(max(CASE WHEN rn = (m-1)*50//100 + 1 THEN n_chars END)
+                  AS BIGINT) AS q50,
+                CAST(max(CASE WHEN rn = (m-1)*75//100 + 1 THEN n_chars END)
+                  AS BIGINT) AS q75,
+                CAST(max(CASE WHEN rn = (m-1)*90//100 + 1 THEN n_chars END)
+                  AS BIGINT) AS q90,
+                CAST(max(CASE WHEN rn = (m-1)*99//100 + 1 THEN n_chars END)
+                  AS BIGINT) AS q99
+         FROM r GROUP BY lang ORDER BY lang""",
 
     "q_eng_topk_rewritten" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
