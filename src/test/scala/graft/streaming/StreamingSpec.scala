@@ -48,6 +48,57 @@ class StreamingSpec extends SparkSpec {
     assert(df.schema("Year").dataType.typeName == "long")
   }
 
+  test("AvailableNow + maxFilesPerTrigger=1: a multi-micro-batch drain is " +
+      "exactly-once per file, and an idle re-run appends nothing") {
+    // the reference's .done-marker contract (converter.py:146-155), fully:
+    // (1) one drain splits into one micro-batch per file under the batch
+    // cap and still processes each file exactly once; (2) re-running with
+    // nothing new is a no-op (marker-skip); (3) a third run after a new
+    // file lands picks up ONLY that file. The checkpoint WAL is the
+    // transactional replacement for the marker files.
+    val base = JFiles.createTempDirectory("graft_an").toString
+    JFiles.createDirectories(Paths.get(base, "in"))
+    def tsv(name: String, ids: Seq[Long]): Unit = {
+      val lines = ids.map { id =>
+        Gdelt.columns.map {
+          case "GlobalEventID" => id.toString
+          case "Day" => "20130401"
+          case "MonthYear" => "201304"
+          case "Year" => "2013"
+          case _ => "x"
+        }.mkString("\t")
+      }
+      JFiles.write(Paths.get(base, "in", name), lines.mkString("\n").getBytes)
+    }
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def drain(): Unit = Incremental
+      .incrementalConvert(spark, s"$base/in", out, ckpt, maxFilesPerTrigger = 1)
+      .start().awaitTermination()
+    def committedBatches: Long =
+      JFiles.list(Paths.get(ckpt, "commits")).filter(p =>
+        p.getFileName.toString.forall(_.isDigit)).count()
+    tsv("a.export.CSV", Seq(1, 2)); tsv("b.export.CSV", Seq(3))
+    tsv("c.export.CSV", Seq(4, 5, 6))
+    drain()
+    val ids = spark.read.parquet(out).select("GlobalEventID").as[Double].collect()
+    assert(ids.sorted.toSeq == Seq(1d, 2d, 3d, 4d, 5d, 6d),
+      "every row exactly once across the split micro-batches")
+    val batches1 = committedBatches
+    assert(batches1 >= 3, s"maxFilesPerTrigger=1 over 3 files must commit " +
+      s">= 3 micro-batches, saw $batches1")
+    // idle re-run: no new files => no new rows (and every id still unique)
+    drain()
+    val again = spark.read.parquet(out).select("GlobalEventID").as[Double].collect()
+    assert(again.sorted.toSeq == Seq(1d, 2d, 3d, 4d, 5d, 6d),
+      "re-running over processed files must not duplicate rows")
+    // incremental run: only the new file's rows append
+    tsv("d.export.CSV", Seq(7))
+    drain()
+    val all = spark.read.parquet(out).select("GlobalEventID").as[Double].collect()
+    assert(all.sorted.toSeq == (1L to 7L).map(_.toDouble),
+      "third drain must process exactly the one new file")
+  }
+
   test("windowed counts with watermark (update mode)") {
     val mem = MemoryStream[(Timestamp, String)](spark)
     val counts = Incremental.windowedEventCounts(
