@@ -55,6 +55,30 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("Wilson CI bounds clear the micro-quantization boundary (sampled recall)") {
+    // q_dedup_ann_recall_sampled quantizes the 95% Wilson interval ends:
+    // raw IEEE ops plus one correctly-rounded sqrt (no libm), so the
+    // 1e-7 raw-site threshold applies. Inputs are the per-band integer
+    // (n_exact, n_found) pairs — replicate the query's exact tree over
+    // its own output and audit both ends.
+    for (dir <- gateSfs) {
+      val g = SparkEntry.queries("q_dedup_ann_recall_sampled")(spark, dir)
+        .select(col("n_exact"), col("n_found"))
+      val z = lit(1.96)
+      val zz = z * z
+      val nD = col("n_exact").cast("double")
+      val p = col("n_found").cast("double") / nD
+      val den = lit(1.0) + zz / nD
+      val ctr = (p + zz / (lit(2.0) * nD)) / den
+      val half = (z * sqrt((p * (lit(1.0) - p) / nD) +
+        zz / (lit(4.0) * (nD * nD)))) / den
+      val dLo = minBoundaryDist(g, ctr - half)
+      val dHi = minBoundaryDist(g, ctr + half)
+      assert(dLo > 1e-7 && dHi > 1e-7,
+        s"$dir: Wilson bound within ($dLo, $dHi) of a floor boundary")
+    }
+  }
+
   test("BM25 idf values clear the micro-quantization boundary") {
     for (dir <- gateSfs) {
       val docs = Tables.documents(spark, dir)

@@ -23,7 +23,8 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-path smoke: no throw
     assert(GraftFunctions.all.map(_._1) ==
-      Seq("graft_dot", "graft_sign_bands", "graft_kmv_distinct", "graft_hll"))
+      Seq("graft_dot", "graft_sign_bands", "graft_kmv_distinct", "graft_hll",
+        "graft_quantile_sketch"))
   }
 
   test("graft_sign_bands usable from SQL; geometry must be literal") {
