@@ -44,6 +44,11 @@ object DedupQueries {
   private def docCount(s: SparkSession, d: String): Long =
     countCache.getOrElseUpdate((System.identityHashCode(s), d),
       docs(s, d).count())
+  // same metadata-cheap count for the embeddings corpus (sampled recall's
+  // modulus derivation); "#emb" suffix keeps the cache key disjoint
+  private def vecCount(s: SparkSession, d: String): Long =
+    countCache.getOrElseUpdate((System.identityHashCode(s), d + "#emb"),
+      Tables.embeddings(s, d).count())
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -324,14 +329,19 @@ object DedupQueries {
     // Scale-safe recall audit — the 100 TB shape of q_dedup_ann_recall
     // (implementing the sampled-stratum estimate that row's comment
     // promised): the exact side samples the QUERY side by content hash
-    // (md5("recall:" || vec_id), keep 1/8 — layout- and partitioning-
+    // (md5("recall:" || vec_id) mod m — layout- and partitioning-
     // independent, mirrored bitwise by the oracle) and exact-joins ONLY
-    // the sample against the corpus, so exact work is (n/8)·n instead of
-    // n²/2, and the rate is the knob that holds the left side fixed-size
-    // as the corpus grows (rate ≈ k/n at 100 TB; the broadcast side stays
-    // k vectors). Per 0.05 cosine band: directed (query, neighbor) pair
-    // counts, hits against the SAME shared radius-1 candidate table every
-    // embedding query uses, recall in ppm, and a 95% Wilson score
+    // the sample against the corpus. m is NOT a fixed rate: it is the
+    // largest power of 2 ≤ n/250 (n = corpus count, the maxDf pattern —
+    // a metadata-cheap eager count inlined as a literal; the oracle
+    // derives the identical m from count(*) via length(bin(x))−1, the
+    // integer log2 both engines share). A corpus-derived modulus keeps
+    // the SAMPLE roughly fixed at 250–500 queries at every corpus size,
+    // so exact work is Θ(k·n) — genuinely linear, the fixed-size-left
+    // shape a 100 TB recall audit runs — instead of the Θ(n²/m) a fixed
+    // rate degrades to. Per 0.05 cosine band: directed (query, neighbor)
+    // pair counts, hits against the SAME shared radius-1 candidate table
+    // every embedding query uses, recall in ppm, and a 95% Wilson score
     // interval on per-band recall — the binomial CI that turns the
     // sampled estimate into a bounded claim. The Wilson tree is written
     // as the identical fixed-order IEEE expression in both engines (sqrt
@@ -339,12 +349,13 @@ object DedupQueries {
     // Unlike q_dedup_ann_recall (quadratic BY DESIGN → documented SKIP at
     // sf1+), this row gates at EVERY SF.
     "q_dedup_ann_recall_sampled" -> ((s, d) => {
+      val m = math.max(1L, java.lang.Long.highestOneBit(vecCount(s, d) / 250L))
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.l2norm(col("v")))
       val q = v.where(
         conv(substring(md5(concat(lit("recall:"), col("vec_id"))), 1, 4), 16, 10)
-          .cast("long") % 8 === 0)
+          .cast("long") % m === 0)
         .select(col("vec_id").as("qa"), col("v").as("xa"), col("nrm").as("na"))
       val exact = broadcast(q)
         .join(v.select(col("vec_id").as("vb"), col("v").as("xb"),
@@ -916,13 +927,20 @@ object DedupQueries {
                 CAST(count(*) - sum(found) AS BIGINT) AS n_missed
          FROM j GROUP BY 1 ORDER BY band_x20""",
 
-    // sampled-left-side recall estimate: same md5 1/8 query sample, exact
-    // join only sample × corpus, Wilson CI with every literal CAST AS
-    // DOUBLE so the IEEE tree matches the Column API's double tree
+    // sampled-left-side recall estimate: the md5-mod-m query sample with
+    // m = largest power of 2 <= count(*)/250 (length(bin(x))-1 is the
+    // shared integer log2 — the engine inlines the same value computed
+    // from its eager count), exact join only sample × corpus, Wilson CI
+    // with every literal CAST AS DOUBLE so the IEEE tree matches the
+    // Column API's double tree
     "q_dedup_ann_recall_sampled" ->
       s"""WITH ${SimilarityQueries.lshCandCte},
-         q AS (SELECT vec_id, v FROM e
-               WHERE CAST('0x' || substr(md5('recall:' || vec_id), 1, 4) AS BIGINT) % 8 = 0),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         mm AS (SELECT CASE WHEN n // 250 = 0 THEN CAST(1 AS BIGINT)
+                            ELSE (1::BIGINT << (length(bin(n // 250)) - 1))
+                       END AS m FROM nn),
+         q AS (SELECT vec_id, v FROM e, mm
+               WHERE CAST('0x' || substr(md5('recall:' || vec_id), 1, 4) AS BIGINT) % mm.m = 0),
          ex AS (SELECT q.vec_id AS qa, y.vec_id AS vb,
                   list_dot_product(q.v, y.v)
                   / (sqrt(list_dot_product(q.v, q.v))

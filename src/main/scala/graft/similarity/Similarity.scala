@@ -316,7 +316,16 @@ object Similarity {
     *
     * The fixture queries run bands=16/width=8 (calibrated for recall at the
     * fixture's loose cos≥0.4 "near" threshold over 500–2000 vectors); the
-    * 100 TB defaults are bands=8/width=16+. */
+    * 100 TB defaults are bands=8/width=16+.
+    *
+    * MEASURED (SCALING_sf1.md "Round-10", 20k vectors at sf1mut, radius 2,
+    * τ = 0.45): widening 8→12 bits cuts candidate volume 6× in raw join
+    * rows (2.17B → 362M; engine 237 s → 42 s) at 0.62% threshold-pair
+    * recall cost, and doubling bands at width 12 restores recall to
+    * 99.92% while staying 11× below the width-8 volume — candidates
+    * scale ~quadratically in bucket occupancy but only ~linearly in
+    * bands, which is why width tracks corpus size and bands track the
+    * recall target. */
   def signLshPairs(vectors: DataFrame, seed: Long, bands: Int, width: Int,
                    maxBucket: Int, probeRadius: Int = 1,
                    dims: Int = 64): DataFrame = {
