@@ -552,6 +552,38 @@ object AnalyticsQueries {
            ORDER BY lang""")
     }),
 
+    // the sketch's measured error, ON the gate: per-language, the
+    // quantile-sketch q50/q90 scored against the full group — rank of
+    // the sketch's answer in the exact distribution, in ppm, and its
+    // absolute deviation from the target rank. All-integer (count ≤ v,
+    // ×1e6, truncating DIV), so the audit row is bitwise cross-engine.
+    // This is the committed-measurement discipline (q_dedup_ann_recall):
+    // the approximation ships WITH the query that quantifies what it
+    // trades — ±1/√k rank error at k = 256 once groups exceed k, exact
+    // below. One extra scan + broadcast join; the sketch side reuses the
+    // same one-pass aggregate.
+    "q_eng_sketch_error" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("qse_docs")
+      s.sql(
+        """WITH sk AS (SELECT lang,
+                              graft_quantile_sketch(doc_id, n_chars, 256) AS qs
+                       FROM qse_docs GROUP BY lang)
+           SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+                  max(sk.qs.q50) AS q50_sketch,
+                  max(sk.qs.q90) AS q90_sketch,
+                  sum(CASE WHEN d.n_chars <= sk.qs.q50 THEN 1 ELSE 0 END)
+                    * 1000000L DIV count(*) AS rank50_ppm,
+                  abs(sum(CASE WHEN d.n_chars <= sk.qs.q50 THEN 1 ELSE 0 END)
+                    * 1000000L DIV count(*) - 500000L) AS err50_ppm,
+                  sum(CASE WHEN d.n_chars <= sk.qs.q90 THEN 1 ELSE 0 END)
+                    * 1000000L DIV count(*) AS rank90_ppm,
+                  abs(sum(CASE WHEN d.n_chars <= sk.qs.q90 THEN 1 ELSE 0 END)
+                    * 1000000L DIV count(*) - 900000L) AS err90_ppm
+           FROM qse_docs d JOIN sk ON sk.lang = d.lang
+           GROUP BY d.lang ORDER BY d.lang""")
+    }),
+
     // the RewriteTopKWindow optimizer rule ON the gate: this query is
     // written in the stock rank-filter-drop idiom, the injected rule
     // replans it as the sort-free TopKPerGroup node (PlanRewriteSpec
@@ -1696,6 +1728,44 @@ object AnalyticsQueries {
                 CAST(max(CASE WHEN rn = (m-1)*99//100 + 1 THEN n_chars END)
                   AS BIGINT) AS q99
          FROM r GROUP BY lang ORDER BY lang""",
+
+    // identical sample + rank reads as q_eng_sketch_quantiles, then the
+    // exact-rank scoring join (count <= v, x1e6, truncating //)
+    "q_eng_sketch_error" ->
+      """WITH pr AS (
+           SELECT lang, doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) AS p
+           FROM documents),
+         s AS (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY p, doc_id) AS rk
+               FROM pr),
+         kk AS (SELECT lang, n_chars FROM s WHERE rk <= 256),
+         r AS (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_chars) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS m
+               FROM kk),
+         sk AS (SELECT lang,
+                       max(CASE WHEN rn = (m-1)*50//100 + 1 THEN n_chars END)
+                         AS q50,
+                       max(CASE WHEN rn = (m-1)*90//100 + 1 THEN n_chars END)
+                         AS q90
+                FROM r GROUP BY lang)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(max(sk.q50) AS BIGINT) AS q50_sketch,
+                CAST(max(sk.q90) AS BIGINT) AS q90_sketch,
+                CAST(sum(CASE WHEN d.n_chars <= sk.q50 THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) AS BIGINT) AS rank50_ppm,
+                CAST(abs(sum(CASE WHEN d.n_chars <= sk.q50 THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) - 500000) AS BIGINT) AS err50_ppm,
+                CAST(sum(CASE WHEN d.n_chars <= sk.q90 THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) AS BIGINT) AS rank90_ppm,
+                CAST(abs(sum(CASE WHEN d.n_chars <= sk.q90 THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) - 900000) AS BIGINT) AS err90_ppm
+         FROM documents d JOIN sk ON sk.lang = d.lang
+         GROUP BY d.lang ORDER BY d.lang""",
 
     "q_eng_topk_rewritten" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
