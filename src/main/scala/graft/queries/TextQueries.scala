@@ -66,6 +66,59 @@ object TextQueries {
         posexplode(tokens(lower(col("text")))).as(Seq("pos", "tok")))
     }
 
+  /** Memoized DSIR per-doc importance weights (target = the `en` stratum,
+    * 4096 hashed unigram+bigram buckets) — the select and shift rows read
+    * the same scoring pass (lifecycle in [[QueryCaches]]). */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "dsir_weights") {
+      graft.text.Dsir.weights(docs(s, d), col("doc_id"), col("text"),
+        col("lang") === "en", buckets = 4096)
+    }
+
+  /** Shared DSIR oracle CTE body (through `w`, the per-doc weight table):
+    * bitwise mirror of [[graft.text.Dsir.weights]] — same tokenizer, same
+    * md5 buckets, same Laplace-(+1) ln-difference quantized to micro-nats
+    * per bucket BEFORE the per-doc sum. */
+  private val dsirCte: String =
+    """WITH t AS (
+         SELECT doc_id, lang = 'en' AS is_tgt,
+                CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(lower(text)), '\s+') END
+                  AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id, is_tgt, unnest(toks) AS g FROM t
+         UNION ALL
+         SELECT doc_id, is_tgt, toks[i + 1] || ' ' || toks[i + 2] AS g
+         FROM t, lateral unnest(range(0, greatest(len(toks) - 1, 0))) u(i)),
+       f AS (
+         SELECT doc_id, is_tgt,
+                CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096
+                  AS bucket,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM g GROUP BY 1, 2, 3),
+       raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr
+               FROM f GROUP BY 1),
+       tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct
+               FROM f WHERE is_tgt GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tr,
+                      CAST(sum(CASE WHEN is_tgt THEN cnt ELSE 0 END)
+                        AS BIGINT) AS tt
+               FROM f),
+       lr AS (
+         SELECT raw.bucket,
+                CAST(floor(
+                  (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                      / CAST(tt + 4096 AS DOUBLE))
+                   - ln(CAST(cr + 1 AS DOUBLE)
+                        / CAST(tr + 4096 AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+         FROM raw LEFT JOIN tgt USING (bucket), tot),
+       w AS (
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+                CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro
+         FROM f JOIN lr USING (bucket) GROUP BY 1)""".stripMargin
+
   /** Shared BM25 oracle CTE body (through `lexr`, the per-query rank
     * table): bitwise mirror of [[graft.text.Bm25.topK]] with k1=2.2,
     * b=0.75 as exact integer rationals and the audited idf ln site —
@@ -754,6 +807,63 @@ object TextQueries {
         .orderBy("qid", "rank")
     }),
 
+    // retrieval-quality eval: graded nDCG@10 + MRR over the BM25 ranking
+    // (the metric pair every retrieval stack reports). Ground truth is
+    // deterministic metadata relevance — same source+lang = 3, same
+    // source = 2, same lang = 1 — and IDCG is the LOCAL ideal (the
+    // retrieved list reordered by grade), the standard library behavior
+    // when corpus-wide truth is unknown. The 10 discount values
+    // 1/log2(rank+1) quantize to micro at the leaf (rank ≤ 10 — a
+    // 10-value domain), so DCG/IDCG are exact integer sums and nDCG is
+    // one ppm integer division. MRR counts source-grade hits (grade ≥ 2)
+    "q_text_retrieval_eval" -> ((s, d) => {
+      val all = docs(s, d)
+      val n = all.agg(count(lit(1)).as("n"))
+      val docTok = postings(s, d).select(col("doc_id"), col("tok")).distinct()
+      val nonstop = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .where(col("df") * 1000 <= col("n") * 300).select("tok")
+      val qids = docTok.join(broadcast(nonstop), "tok")
+        .select("doc_id").distinct().orderBy("doc_id").limit(10)
+      val ranked = graft.text.Bm25.topK(all, col("doc_id"), col("text"),
+        all.join(broadcast(qids), "doc_id"), col("doc_id"), col("text"),
+        k = 10, maxDfPermille = 300)
+      val meta = all.select(col("doc_id"), col("source"), col("lang"))
+      def disc(r: org.apache.spark.sql.Column) =
+        floor(log(lit(2.0)) / log((r + lit(1L)).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long")
+      val iw = Window.partitionBy(col("qid"))
+        .orderBy(col("gain").desc, col("nid"))
+      ranked
+        .join(meta.select(col("doc_id").as("qid"), col("source").as("qsrc"),
+          col("lang").as("qlang")), "qid")
+        .join(meta.select(col("doc_id").as("nid"), col("source").as("nsrc"),
+          col("lang").as("nlang")), "nid")
+        .withColumn("grade",
+          when(col("qsrc") === col("nsrc") && col("qlang") === col("nlang"),
+            3L).when(col("qsrc") === col("nsrc"), 2L)
+            .when(col("qlang") === col("nlang"), 1L).otherwise(0L))
+        .withColumn("gain",
+          when(col("grade") === 3L, 7L).when(col("grade") === 2L, 3L)
+            .when(col("grade") === 1L, 1L).otherwise(0L))
+        .withColumn("irank", row_number().over(iw).cast("long"))
+        .withColumn("dcg_term", col("gain") * disc(col("rank")))
+        .withColumn("idcg_term", col("gain") * disc(col("irank")))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_ranked"),
+          sum("dcg_term").as("dcg_micro"),
+          sum("idcg_term").as("idcg_micro"),
+          coalesce(min(when(col("grade") >= 2L, col("rank"))), lit(0L))
+            .as("first_rel_rank"))
+        .withColumn("ndcg_ppm",
+          when(col("idcg_micro") > 0L,
+            expr("dcg_micro * 1000000 DIV idcg_micro")).otherwise(0L))
+        .withColumn("rr_ppm",
+          when(col("first_rel_rank") > 0L,
+            expr("1000000 DIV first_rel_rank")).otherwise(0L))
+        .orderBy("qid")
+    }),
+
     // bigram next-token statistics: top-3 continuations per context token
     // — the corpus-level conditional distribution a tokenizer/LM data
     // audit inspects (and the n-gram LM building block)
@@ -846,6 +956,56 @@ object TextQueries {
           expr("sum(surprisal_micro) DIV sum(n_tokens)")
             .as("avg_surprisal_micro"))
         .orderBy("source")),
+
+    // DSIR data selection (Xie et al. 2023): importance-resample the raw
+    // corpus toward a target distribution (here the `en` stratum stands
+    // in for the trusted corpus) via hashed-ngram log-likelihood-ratio
+    // weights — top-k selection with deterministic (weight, doc_id)
+    // tiebreaks. The lr table is 4096 broadcast rows at ANY corpus size;
+    // scoring is one map-side join + per-doc integer sum (graft.text.Dsir)
+    "q_text_dsir_select" -> ((s, d) => {
+      val w = dsirWeights(s, d)
+      w.join(docs(s, d).select("doc_id", "source", "lang"), "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_feats"), col("weight_micro"))
+        .orderBy(col("weight_micro").desc, col("doc_id"))
+        .limit(100)
+    }),
+
+    // DSIR distribution shift: what the selector thinks of each source —
+    // per-source feature mass and summed importance weight (negative =
+    // the source reads unlike the target). Sum + count, no division, so
+    // the row is exact-integer; zero-token docs join as 0-weight
+    "q_text_dsir_shift" -> ((s, d) =>
+      docs(s, d).select("doc_id", "source")
+        .join(dsirWeights(s, d), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_feats"), lit(0L))).as("feat_count"),
+          sum(coalesce(col("weight_micro"), lit(0L))).as("weight_sum_micro"))
+        .orderBy("source")),
+
+    // DSIR resampling step — Gumbel-top-k: sampling k docs WITHOUT
+    // replacement with probability ∝ w(x) is exactly "top-k by
+    // log w(x) + Gumbel noise" (the Gumbel-max trick the DSIR paper
+    // uses), which distributes as one TakeOrdered — no sequential draws,
+    // no rejection loop. Noise is md5-derived (u=(h+1)/(2^52+1), key =
+    // weight_micro + floor(−ln(−ln u)·1e6 + 0.5)) so the "random" sample
+    // is bitwise reproducible cross-engine and across reruns/layouts
+    "q_text_dsir_gumbel" -> ((s, d) => {
+      val h = conv(substring(md5(concat(lit("gumbel:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      val u = (h + 1L).cast("double") / lit(4503599627370497.0) // 2^52+1
+      dsirWeights(s, d)
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .withColumn("gumbel_micro",
+          floor(-log(-log(u)) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("key_micro", col("weight_micro") + col("gumbel_micro"))
+        .select("doc_id", "source", "weight_micro", "gumbel_micro",
+          "key_micro")
+        .orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(50)
+    }),
 
     // fuzzy vocabulary linking: edit-distance ≤ 2 word pairs via FastSS
     // deletion-neighborhood blocking + exact levenshtein verify. The
@@ -2085,6 +2245,53 @@ object TextQueries {
          SELECT qid, nid, rank, score_micro FROM lexr WHERE rank <= 5
          ORDER BY qid, rank""",
 
+    "q_text_retrieval_eval" ->
+      s"""WITH ${bm25RankCte(qBag =
+        """doc_id IN (
+             SELECT nid FROM (
+               SELECT DISTINCT p.nid FROM p JOIN dfi USING (tok)
+               WHERE dfi.df * 1000 <= dfi.n * 300)
+             ORDER BY nid LIMIT 10)""")},
+         topk AS (SELECT qid, nid, rank FROM lexr WHERE rank <= 10),
+         g AS (
+           SELECT t.qid, t.nid, t.rank,
+                  CASE WHEN dq.source = dn.source AND dq.lang = dn.lang
+                         THEN 3
+                       WHEN dq.source = dn.source THEN 2
+                       WHEN dq.lang = dn.lang THEN 1 ELSE 0 END AS grade
+           FROM topk t
+           JOIN documents dq ON dq.doc_id = t.qid
+           JOIN documents dn ON dn.doc_id = t.nid),
+         g2 AS (
+           SELECT qid, nid, rank, grade,
+                  CASE grade WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1
+                    ELSE 0 END AS gain,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY (CASE grade WHEN 3 THEN 7 WHEN 2 THEN 3
+                                WHEN 1 THEN 1 ELSE 0 END) DESC, nid)
+                    AS BIGINT) AS irank
+           FROM g),
+         a AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_ranked,
+                  CAST(sum(gain * CAST(floor(ln(2.0)
+                      / ln(CAST(rank + 1 AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_micro,
+                  CAST(sum(gain * CAST(floor(ln(2.0)
+                      / ln(CAST(irank + 1 AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS idcg_micro,
+                  CAST(coalesce(min(CASE WHEN grade >= 2 THEN rank END), 0)
+                    AS BIGINT) AS first_rel_rank
+           FROM g2 GROUP BY 1)
+         SELECT qid, n_ranked, dcg_micro, idcg_micro, first_rel_rank,
+                CAST(CASE WHEN idcg_micro > 0
+                       THEN dcg_micro * 1000000 // idcg_micro
+                       ELSE 0 END AS BIGINT) AS ndcg_ppm,
+                CAST(CASE WHEN first_rel_rank > 0
+                       THEN 1000000 // first_rel_rank
+                       ELSE 0 END AS BIGINT) AS rr_ppm
+         FROM a ORDER BY qid""",
+
     "q_text_ngram_lm" ->
       """WITH t AS (
            SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -2198,6 +2405,37 @@ object TextQueries {
                   AS BIGINT) AS avg_surprisal_micro
          FROM ds JOIN documents d USING (doc_id)
          GROUP BY 1 ORDER BY source""",
+
+    "q_text_dsir_select" -> (dsirCte +
+      """
+         SELECT w.doc_id, d.source, d.lang, n_feats, weight_micro
+         FROM w JOIN documents d USING (doc_id)
+         ORDER BY weight_micro DESC, doc_id LIMIT 100"""),
+
+    "q_text_dsir_shift" -> (dsirCte +
+      """
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(coalesce(n_feats, 0)) AS BIGINT) AS feat_count,
+                CAST(sum(coalesce(weight_micro, 0)) AS BIGINT)
+                  AS weight_sum_micro
+         FROM documents d LEFT JOIN w USING (doc_id)
+         GROUP BY 1 ORDER BY source"""),
+
+    "q_text_dsir_gumbel" -> (dsirCte +
+      """
+         SELECT w.doc_id, d.source, weight_micro,
+                CAST(floor(-ln(-ln(
+                    CAST(CAST('0x' || substr(md5('gumbel:' ||
+                           CAST(w.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                         + 1 AS DOUBLE) / 4503599627370497.0))
+                  * 1000000.0 + 0.5) AS BIGINT) AS gumbel_micro,
+                weight_micro + CAST(floor(-ln(-ln(
+                    CAST(CAST('0x' || substr(md5('gumbel:' ||
+                           CAST(w.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                         + 1 AS DOUBLE) / 4503599627370497.0))
+                  * 1000000.0 + 0.5) AS BIGINT) AS key_micro
+         FROM w JOIN documents d USING (doc_id)
+         ORDER BY key_micro DESC, doc_id LIMIT 50"""),
 
     "q_text_fuzzy_join" ->
       """WITH v AS (

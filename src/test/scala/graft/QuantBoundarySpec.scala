@@ -166,6 +166,65 @@ class QuantBoundarySpec extends SparkSpec {
     }
   }
 
+  test("DSIR log-ratio values clear the micro boundary") {
+    // replicate q_text_dsir_*'s lr site over its own per-bucket inputs
+    // (≤ 4096 rows): ln((ct+1)/(tt+B)) − ln((cr+1)/(tr+B)). Domain is
+    // bucket-sized, so the 1e-4 transcendental threshold applies.
+    for (dir <- gateSfs) {
+      val docs = Tables.documents(spark, dir)
+      val feat = graft.text.Dsir.features(docs, col("doc_id"), col("text"),
+        buckets = 4096)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("is_tgt")), "doc_id")
+      val raw = feat.groupBy("bucket").agg(sum("cnt").as("cr"))
+      val tgt = feat.where(col("is_tgt"))
+        .groupBy("bucket").agg(sum("cnt").as("ct"))
+      val tot = feat.agg(sum(col("cnt")).as("tr"),
+        sum(when(col("is_tgt"), col("cnt")).otherwise(0L)).as("tt"))
+      val x = log((col("ct") + 1L).cast("double") /
+                  (col("tt") + 4096L).cast("double")) -
+              log((col("cr") + 1L).cast("double") /
+                  (col("tr") + 4096L).cast("double"))
+      val lrIn = raw.join(tgt, Seq("bucket"), "left").na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tot))
+      val d = minBoundaryDist(lrIn, x)
+      assert(d > 1e-4, s"$dir: DSIR log-ratio within $d of a floor boundary")
+    }
+  }
+
+  test("DSIR Gumbel keys clear the micro boundary") {
+    // q_text_dsir_gumbel's −ln(−ln u) site over the fixture doc_ids
+    // (u = (md5-13-hex + 1)/(2^52+1)). Unlike the other transcendental
+    // sites this domain is DOC-sized, not vocabulary-sized, so the
+    // expected min boundary distance scales as 0.5/n (≈1e-3 at the
+    // 500-doc gate SFs, measured 2.1e-5 — md5 uniforms, not a grid) and
+    // the 1e-4 bar is statistically unreachable at larger n. The drift
+    // this audit guards against is two nested libm lns on a |x| ≤ ~36
+    // value: ≤ ~4e-8 at 1e6 scale even at the u→1 extreme, so 1e-6
+    // keeps a ≥ 25× margin while staying ~10× below the expected min
+    // at the 50k-doc scale fixtures (which the sf1/sf1mut gates cover
+    // empirically).
+    for (dir <- gateSfs) {
+      val u = (conv(substring(md5(concat(lit("gumbel:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") + 1L)
+        .cast("double") / lit(4503599627370497.0)
+      val d = minBoundaryDist(Tables.documents(spark, dir)
+        .select(col("doc_id")), -log(-log(u)))
+      assert(d > 1e-6, s"$dir: Gumbel key within $d of a floor boundary")
+    }
+  }
+
+  test("nDCG discount values clear the micro boundary") {
+    // q_text_retrieval_eval's ln2/ln(rank+1) site: a FIXED 10-value
+    // domain (rank ≤ 10) independent of fixture scale. Ranks 1 and 3
+    // are exact halves (x·1e6 + 0.5 lands mid-interval, distance 0.5);
+    // the rest must clear the transcendental threshold.
+    val rs = spark.range(1, 11).toDF("r")
+      .select((log(lit(2.0)) / log((col("r") + 1L).cast("double"))).as("x"))
+    val d = minBoundaryDist(rs, col("x"))
+    assert(d > 1e-4, s"nDCG discount within $d of a floor boundary")
+  }
+
   test("image-entropy ln(16/c) values clear the micro boundary") {
     // fixed 16-value input set, independent of fixture scale
     val cs = spark.range(1, 17).toDF("c")

@@ -65,7 +65,14 @@ class PlanShapeSpec extends SparkSpec {
     ("q_eng_hits", 0, Nil),
     ("q_eng_triangles", 5, Nil),
     ("q_dedup_clusters_star", 2, Seq("lang", "source")),
-    ("q_dedup_semdedup_ann", 4, Seq("label"))
+    ("q_dedup_semdedup_ann", 4, Seq("label")),
+    // DSIR select reads the memoized weight table (InMemoryTableScan) +
+    // one documents join; the corpus-sized text column must not reach the
+    // returned plan's scan (the scoring pass that DOES read it ran inside
+    // the memo build)
+    // (0: the weight side is the memoized cache, the documents join
+    // broadcasts, and top-k is TakeOrderedAndProject — no exchange at all)
+    ("q_text_dsir_select", 0, Seq("text", "n_chars"))
   )
 
   for ((name, budget, pruned) <- pins) {
