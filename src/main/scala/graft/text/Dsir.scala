@@ -41,23 +41,29 @@ object Dsir {
   /** Hashed n-gram features: `(doc_id, bucket, cnt)` — unigrams + bigrams
     * of the whitespace-lowercased token stream, md5-hashed into
     * `buckets` buckets (hashing trick: the fixed-size feature space that
-    * makes the model two broadcastable aggregates at any corpus size). */
-  def features(docs: DataFrame, id: Column, text: Column,
-               buckets: Int): DataFrame = {
+    * makes the model two broadcastable aggregates at any corpus size).
+    *
+    * One pass: the unigram and bigram streams concat BEFORE the single
+    * explode, so the corpus is tokenized once, and `carry` columns (e.g.
+    * the target flag, functionally dependent on the doc) ride the
+    * aggregation key instead of forcing a data-sized join back. */
+  def features(docs: DataFrame, id: Column, text: Column, buckets: Int,
+               carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(buckets > 0, s"need buckets > 0; got $buckets")
-    val t = docs.select(id.as("doc_id"),
-      TextFunctions.tokens(lower(text)).as("toks"))
-    val uni = t.select(col("doc_id"), explode(col("toks")).as("g"))
-    val bi = t.select(col("doc_id"), explode(
-        when(size(col("toks")) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
-            i => concat(element_at(col("toks"), i + 1), lit(" "),
-              element_at(col("toks"), i + 2))))).as("g"))
-    uni.union(bi)
+    val t = docs.select(id.as("doc_id") +: carry.map { case (n, c) => c.as(n) }
+      :+ TextFunctions.tokens(lower(text)).as("toks"): _*)
+    val bi = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2))))
+    t.select(col("doc_id") +: carry.map(c => col(c._1))
+        :+ explode(concat(col("toks"), bi)).as("g"): _*)
       .withColumn("bucket",
         pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id") +: carry.map(c => col(c._1))
+        :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Per-document importance weights: `(doc_id, n_feats, weight_micro)`
@@ -72,16 +78,16 @@ object Dsir {
     * and coalesce to 0). */
   def weights(docs: DataFrame, id: Column, text: Column, isTarget: Column,
               buckets: Int): DataFrame = {
-    val base = docs.select(id.as("doc_id"), text.as("__text"),
-      isTarget.cast("boolean").as("is_tgt"))
-    val feat = features(base, col("doc_id"), col("__text"), buckets)
-    // is_tgt is per-doc; the flag join is on the feature stream's key so
-    // the two model aggregates read one shuffled input
-    val fl = feat.join(base.select("doc_id", "is_tgt"), "doc_id")
-    val raw = fl.groupBy("bucket").agg(sum("cnt").as("cr"))
-    val tgt = fl.where(col("is_tgt"))
+    // the target flag rides the feature aggregation key (functionally
+    // dependent on doc_id — zero extra groups), so the model aggregates
+    // read the feature table directly instead of re-joining a data-sized
+    // flag table: ONE corpus-sized shuffle builds everything
+    val feat = features(docs, id, text, buckets,
+      carry = Seq("is_tgt" -> isTarget.cast("boolean")))
+    val raw = feat.groupBy("bucket").agg(sum("cnt").as("cr"))
+    val tgt = feat.where(col("is_tgt"))
       .groupBy("bucket").agg(sum("cnt").as("ct"))
-    val tot = fl.agg(sum(col("cnt")).as("tr"),
+    val tot = feat.agg(sum(col("cnt")).as("tr"),
       sum(when(col("is_tgt"), col("cnt")).otherwise(0L)).as("tt"))
     val b = lit(buckets.toLong)
     // leaf quantization: one ln-difference per bucket (≤ `buckets` rows),
