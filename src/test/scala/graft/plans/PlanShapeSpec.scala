@@ -72,7 +72,14 @@ class PlanShapeSpec extends SparkSpec {
     // the memo build)
     // (0: the weight side is the memoized cache, the documents join
     // broadcasts, and top-k is TakeOrderedAndProject — no exchange at all)
-    ("q_text_dsir_select", 0, Seq("text", "n_chars"))
+    ("q_text_dsir_select", 0, Seq("text", "n_chars")),
+    // retrieval eval rides the BM25 plan (postings/df/score exchanges) +
+    // broadcast metadata joins + the ≤10-rows-per-query ideal-rank
+    // window; no scan may read the unused n_chars column
+    // (11: postings/df/qbag derivation + BM25's own postings/df/score
+    // exchanges + the qid windows/aggregate — each shuffles a bounded or
+    // postings-sized table, none the raw corpus twice in one stage)
+    ("q_text_retrieval_eval", 11, Seq("n_chars"))
   )
 
   for ((name, budget, pruned) <- pins) {
