@@ -43,6 +43,13 @@ object Dsir {
     * `buckets` buckets (hashing trick: the fixed-size feature space that
     * makes the model two broadcastable aggregates at any corpus size).
     *
+    * `buckets` is the FIDELITY knob, not a speed knob (runtime is flat in
+    * it — the feature shuffle dominates): size B ≳ 2–4× the distinct-gram
+    * count for a selection stable against collisions (measured table in
+    * SCALING_sf1.md "the DSIR bucket knob"); past the ~2^24 broadcast
+    * ceiling the scoring join degrades gracefully to one shuffle on
+    * `bucket` and stays linear.
+    *
     * One pass: the unigram and bigram streams concat BEFORE the single
     * explode, so the corpus is tokenized once, and `carry` columns (e.g.
     * the target flag, functionally dependent on the doc) ride the
