@@ -387,6 +387,56 @@ object EvalQueries {
         .orderBy(col("bin"))
     }),
 
+    // Brier score + Murphy decomposition (reliability − resolution +
+    // uncertainty) of the decile-binned rank forecaster: forecast =
+    // the bin's mean score percentile (p_ppm = (n−rk)·1e6 DIV (n−1)),
+    // outcome = the returned-order label. Everything in exact ppm²
+    // integers: per bin, SSE = (S − pos·1e6)²/n_bin + pos·(n−pos)·1e12
+    // /n_bin (the rel + within-bin-variance split, both numerators
+    // non-negative squares/products), resolution = (pos·N − POS·n)²·1e12
+    // / (n·N²). The emitted identity gap brier − (rel − res + unc) is
+    // the summed per-bin DIV rounding only (|gap| ≤ ~bins, bitwise equal
+    // cross-engine). DECIMAL(38) envelope: the res numerator
+    // (pos·N)²·1e12 ≤ 1e38 holds to N ≈ 2e6 orders per evaluated slice
+    // (sf ≈ 1.5); larger slices evaluate per-partition and sum the
+    // integer bin tables (they are mergeable: n/pos/S add).
+    "q_eng_brier" -> ((s, d) => {
+      val sc = scored(s, d)
+      val tot = sc.agg(count(lit(1)).as("n_tot"),
+        sum(col("label")).as("pos_tot"))
+      val bins = StableIds.withRank(sc,
+          Seq(col("cents").desc, col("o_orderkey")), "rk")
+        .crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("(n_tot - rk) * 1000000 DIV (n_tot - 1)"))
+        .withColumn("bin", expr("(rk - 1) * 10 DIV n_tot"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"),
+          sum(col("p_ppm")).as("sp"),
+          max(col("n_tot")).as("nt"), max(col("pos_tot")).as("pt"))
+      val diff = wide(col("sp") - col("pos") * 1000000L)
+      val rdif = wide(col("pos") * col("nt") - col("pt") * col("n"))
+      val terms = bins.select(col("n"), col("pos"), col("nt"), col("pt"),
+        mulDivWide(diff * diff + wide(col("pos")) * wide(col("n") - col("pos"))
+          * wide(lit(1000000000000L)), lit(1L), wide(col("n"))).as("sse"),
+        mulDivWide(diff * diff, lit(1L), wide(col("n"))).as("rel"),
+        mulDivWide(rdif * rdif, lit(1000000000000L),
+          wide(col("n")) * wide(col("nt")) * wide(col("nt"))).as("res"))
+      terms.groupBy()
+        .agg(max(col("nt")).as("n_tot"), max(col("pt")).as("pos_tot"),
+          sum(col("sse")).as("sse"), sum(col("rel")).as("relsum"),
+          sum(col("res")).as("ressum"))
+        .select(col("n_tot"), col("pos_tot"),
+          mulDivWide(col("sse"), lit(1L), col("n_tot")).as("brier_ppm2"),
+          mulDivWide(col("relsum"), lit(1L), col("n_tot")).as("rel_ppm2"),
+          mulDivWide(col("ressum"), lit(1L), col("n_tot")).as("res_ppm2"),
+          mulDivWide(wide(col("pos_tot")) * wide(col("n_tot") - col("pos_tot")),
+            lit(1000000000000L),
+            wide(col("n_tot")) * wide(col("n_tot"))).as("unc_ppm2"))
+        .withColumn("identity_gap_ppm2",
+          col("brier_ppm2") - (col("rel_ppm2") - col("res_ppm2")
+            + col("unc_ppm2")))
+    }),
+
     // leave-one-out target encoding of customer nation against the returned
     // label: enc(nation, label) = (pos(nation) - label) / (n(nation) - 1) in
     // exact ppm. LOO is constant given (nation, label), so the output is the
@@ -812,6 +862,60 @@ object EvalQueries {
                 ${sqlMulDiv("sum(label) * CAST(max(n_tot) AS HUGEINT)",
         "1000000", "count(*) * CAST(max(pos_tot) AS HUGEINT)")} AS lift_ppm
          FROM b GROUP BY bin ORDER BY bin""",
+
+    "q_eng_brier" ->
+      s"""WITH $scoredSql,
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                      CAST(sum(label) AS BIGINT) AS pt FROM scored),
+         rk AS (SELECT label,
+                       CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey)
+                         AS BIGINT) AS rk
+                FROM scored),
+         r2 AS (SELECT label, (t.nt - rk) * 1000000 // (t.nt - 1) AS p_ppm,
+                       (rk - 1) * 10 // t.nt AS bin, t.nt, t.pt
+                FROM rk, t),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(label) AS BIGINT) AS pos,
+                      CAST(sum(p_ppm) AS BIGINT) AS sp,
+                      max(nt) AS nt, max(pt) AS pt
+               FROM r2 GROUP BY 1),
+         terms AS (SELECT n, pos, nt, pt,
+           CAST((CAST(sp - pos * 1000000 AS HUGEINT)
+                   * CAST(sp - pos * 1000000 AS HUGEINT)
+                 + CAST(pos AS HUGEINT) * CAST(n - pos AS HUGEINT)
+                   * 1000000000000)
+                // CAST(n AS HUGEINT) AS BIGINT) AS sse,
+           CAST((CAST(sp - pos * 1000000 AS HUGEINT)
+                   * CAST(sp - pos * 1000000 AS HUGEINT))
+                // CAST(n AS HUGEINT) AS BIGINT) AS rel,
+           CAST((CAST(pos * nt - pt * n AS HUGEINT)
+                   * CAST(pos * nt - pt * n AS HUGEINT) * 1000000000000)
+                // (CAST(n AS HUGEINT) * CAST(nt AS HUGEINT)
+                   * CAST(nt AS HUGEINT)) AS BIGINT) AS res
+           FROM b),
+         agg AS (SELECT max(nt) AS n_tot, max(pt) AS pos_tot,
+                        CAST(sum(sse) AS BIGINT) AS sse,
+                        CAST(sum(rel) AS BIGINT) AS relsum,
+                        CAST(sum(res) AS BIGINT) AS ressum
+                 FROM terms),
+         fin AS (SELECT n_tot, pos_tot,
+                        CAST(CAST(sse AS HUGEINT) // CAST(n_tot AS HUGEINT)
+                          AS BIGINT) AS brier_ppm2,
+                        CAST(CAST(relsum AS HUGEINT) // CAST(n_tot AS HUGEINT)
+                          AS BIGINT) AS rel_ppm2,
+                        CAST(CAST(ressum AS HUGEINT) // CAST(n_tot AS HUGEINT)
+                          AS BIGINT) AS res_ppm2,
+                        CAST(CAST(pos_tot AS HUGEINT)
+                               * CAST(n_tot - pos_tot AS HUGEINT)
+                               * 1000000000000
+                             // (CAST(n_tot AS HUGEINT)
+                                * CAST(n_tot AS HUGEINT)) AS BIGINT)
+                          AS unc_ppm2
+                 FROM agg)
+         SELECT n_tot, pos_tot, brier_ppm2, rel_ppm2, res_ppm2, unc_ppm2,
+                brier_ppm2 - (rel_ppm2 - res_ppm2 + unc_ppm2)
+                  AS identity_gap_ppm2
+         FROM fin""",
 
     "q_eng_target_encode" ->
       s"""WITH $scoredSql,
