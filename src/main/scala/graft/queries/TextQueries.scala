@@ -117,7 +117,7 @@ object TextQueries {
        w AS (
          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
                 CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro
-         FROM f JOIN lr USING (bucket) GROUP BY 1)""".stripMargin
+         FROM f JOIN lr USING (bucket) GROUP BY 1)"""
 
   /** Shared BM25 oracle CTE body (through `lexr`, the per-query rank
     * table): bitwise mirror of [[graft.text.Bm25.topK]] with k1=2.2,

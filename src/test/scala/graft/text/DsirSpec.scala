@@ -56,6 +56,32 @@ class DsirSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(7)))
   }
 
+  test("weights: broadcast and shuffle scoring branches agree bit-for-bit") {
+    // drive the web-scale degradation path (Dsir.weights' broadcastCeiling)
+    // on the same input: ceiling above B broadcasts the lr table, ceiling
+    // below B falls back to a shuffle join on bucket — values must match
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    def run(ceiling: Int) =
+      Dsir.weights(docs, col("doc_id"), col("text"), col("lang") === "en",
+          buckets = 512, broadcastCeiling = ceiling)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = run(1 << 24)
+    val viaShuffle = run(256) // 512 buckets > 256 ceiling → shuffle branch
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast.nonEmpty)
+    // and the plans really differ on the SCORING join (the lr-internal
+    // model joins are bucket-domain-sized and may broadcast either way):
+    // past the ceiling it must be a ShuffledHashJoin on bucket, never a
+    // driver-sized broadcast; under it, no shuffle-hash join exists
+    def planOf(ceiling: Int) =
+      Dsir.weights(docs, col("doc_id"), col("text"), col("lang") === "en",
+        buckets = 512, broadcastCeiling = ceiling)
+        .queryExecution.executedPlan.toString
+    assert(!planOf(1 << 24).contains("ShuffledHashJoin"))
+    assert(planOf(256).contains("ShuffledHashJoin [bucket"),
+      "past the ceiling the scoring join must degrade to a shuffle join")
+  }
+
   test("fixture direction: en docs average above non-en docs") {
     val docs = graft.Tables.documents(spark, sf)
     val w = Dsir.weights(docs, col("doc_id"), col("text"),
