@@ -54,6 +54,74 @@ object EvalQueries {
                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS label
            FROM lineitem GROUP BY 1) r ON o.o_orderkey = r.l_orderkey)"""
 
+  /** Decile bin tables for the Brier/Murphy readout, built MERGEABLY:
+    * rank the scored rows once (range-partitioned, no global window),
+    * aggregate per (slice, bin) — slice = pmod(o_orderkey, `slices`), a
+    * deterministic stand-in for "per partition / per day at 100 TB" —
+    * then merge by summing the three additive integer columns (n = row
+    * count, pos = Σlabel, sp = Σp_ppm). Addition is exact and
+    * order-free, so the merged table is bitwise the direct groupBy(bin)
+    * table regardless of slicing; per-slice partials are what an
+    * arbitrarily large corpus ships to the final 10-row reduce. */
+  private[queries] def brierBins(sc: DataFrame, slices: Int): DataFrame = {
+    val tot = sc.agg(count(lit(1)).as("n_tot"), sum(col("label")).as("pos_tot"))
+    val partials = StableIds.withRank(sc,
+        Seq(col("cents").desc, col("o_orderkey")), "rk")
+      .crossJoin(broadcast(tot))
+      // greatest(…,1): a one-row slice forecasts p=0 instead of
+      // NULL-dividing (Spark DIV) vs erroring (DuckDB //) — the guard is
+      // mirrored in the oracle so the degenerate case is defined equally
+      .withColumn("p_ppm",
+        expr("(n_tot - rk) * 1000000 DIV greatest(n_tot - 1, 1)"))
+      .withColumn("bin", expr("(rk - 1) * 10 DIV n_tot"))
+      .groupBy(pmod(col("o_orderkey"), lit(slices.toLong)).as("slice"),
+        col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"),
+        sum(col("p_ppm")).as("sp"))
+    partials.groupBy("bin")
+      .agg(sum("n").as("n"), sum("pos").as("pos"), sum("sp").as("sp"))
+  }
+
+  /** Murphy decomposition from a merged (bin, n, pos, sp) integer bin
+    * table: per bin, SSE = ((S − pos·1e6)² + pos·(n−pos)·1e12)/n (the
+    * rel + within-bin-variance split, both numerators non-negative),
+    * resolution = (pos·N − POS·n)²·1e12/(n·N²), with N/POS re-derived by
+    * summing the merged bins (so the helper needs nothing but the
+    * additive table). The emitted identity gap brier − (rel − res + unc)
+    * is the summed per-bin DIV rounding only (|gap| ≤ ~bins, bitwise
+    * equal cross-engine). DECIMAL(38) envelope: the res numerator
+    * (pos·N)²·1e12 ≤ 1e38 holds to N ≈ 3e6 rows per evaluated table;
+    * larger corpora renormalize per evaluation slice — the bin MERGE
+    * itself (pure long addition) never overflows before ~9e18 rows. */
+  private[queries] def brierDecomposition(sc: DataFrame,
+                                          slices: Int = 8): DataFrame = {
+    val merged = brierBins(sc, slices)
+    val tot = merged.agg(sum("n").as("nt"), sum("pos").as("pt"))
+    val bins = merged.crossJoin(broadcast(tot))
+    val diff = wide(col("sp") - col("pos") * 1000000L)
+    val rdif = wide(col("pos") * col("nt") - col("pt") * col("n"))
+    val terms = bins.select(col("n"), col("pos"), col("nt"), col("pt"),
+      mulDivWide(diff * diff + wide(col("pos")) * wide(col("n") - col("pos"))
+        * wide(lit(1000000000000L)), lit(1L), wide(col("n"))).as("sse"),
+      mulDivWide(diff * diff, lit(1L), wide(col("n"))).as("rel"),
+      mulDivWide(rdif * rdif, lit(1000000000000L),
+        wide(col("n")) * wide(col("nt")) * wide(col("nt"))).as("res"))
+    terms.groupBy()
+      .agg(max(col("nt")).as("n_tot"), max(col("pt")).as("pos_tot"),
+        sum(col("sse")).as("sse"), sum(col("rel")).as("relsum"),
+        sum(col("res")).as("ressum"))
+      .select(col("n_tot"), col("pos_tot"),
+        mulDivWide(col("sse"), lit(1L), col("n_tot")).as("brier_ppm2"),
+        mulDivWide(col("relsum"), lit(1L), col("n_tot")).as("rel_ppm2"),
+        mulDivWide(col("ressum"), lit(1L), col("n_tot")).as("res_ppm2"),
+        mulDivWide(wide(col("pos_tot")) * wide(col("n_tot") - col("pos_tot")),
+          lit(1000000000000L),
+          wide(col("n_tot")) * wide(col("n_tot"))).as("unc_ppm2"))
+      .withColumn("identity_gap_ppm2",
+        col("brier_ppm2") - (col("rel_ppm2") - col("res_ppm2")
+          + col("unc_ppm2")))
+  }
+
   /** Benjamini–Hochberg step-up over a (name, p_ub_ppm) frame: rank by
     * (p asc, name asc), reject ranks ≤ max{i : p_(i)·m ≤ i·α·1e6}. Factored
     * out so the property spec can drive synthetic p-value frames with
@@ -391,51 +459,13 @@ object EvalQueries {
     // uncertainty) of the decile-binned rank forecaster: forecast =
     // the bin's mean score percentile (p_ppm = (n−rk)·1e6 DIV (n−1)),
     // outcome = the returned-order label. Everything in exact ppm²
-    // integers: per bin, SSE = (S − pos·1e6)²/n_bin + pos·(n−pos)·1e12
-    // /n_bin (the rel + within-bin-variance split, both numerators
-    // non-negative squares/products), resolution = (pos·N − POS·n)²·1e12
-    // / (n·N²). The emitted identity gap brier − (rel − res + unc) is
-    // the summed per-bin DIV rounding only (|gap| ≤ ~bins, bitwise equal
-    // cross-engine). DECIMAL(38) envelope: the res numerator
-    // (pos·N)²·1e12 ≤ 1e38 holds to N ≈ 2e6 orders per evaluated slice
-    // (sf ≈ 1.5); larger slices evaluate per-partition and sum the
-    // integer bin tables (they are mergeable: n/pos/S add).
-    "q_eng_brier" -> ((s, d) => {
-      val sc = scored(s, d)
-      val tot = sc.agg(count(lit(1)).as("n_tot"),
-        sum(col("label")).as("pos_tot"))
-      val bins = StableIds.withRank(sc,
-          Seq(col("cents").desc, col("o_orderkey")), "rk")
-        .crossJoin(broadcast(tot))
-        .withColumn("p_ppm", expr("(n_tot - rk) * 1000000 DIV (n_tot - 1)"))
-        .withColumn("bin", expr("(rk - 1) * 10 DIV n_tot"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"),
-          sum(col("p_ppm")).as("sp"),
-          max(col("n_tot")).as("nt"), max(col("pos_tot")).as("pt"))
-      val diff = wide(col("sp") - col("pos") * 1000000L)
-      val rdif = wide(col("pos") * col("nt") - col("pt") * col("n"))
-      val terms = bins.select(col("n"), col("pos"), col("nt"), col("pt"),
-        mulDivWide(diff * diff + wide(col("pos")) * wide(col("n") - col("pos"))
-          * wide(lit(1000000000000L)), lit(1L), wide(col("n"))).as("sse"),
-        mulDivWide(diff * diff, lit(1L), wide(col("n"))).as("rel"),
-        mulDivWide(rdif * rdif, lit(1000000000000L),
-          wide(col("n")) * wide(col("nt")) * wide(col("nt"))).as("res"))
-      terms.groupBy()
-        .agg(max(col("nt")).as("n_tot"), max(col("pt")).as("pos_tot"),
-          sum(col("sse")).as("sse"), sum(col("rel")).as("relsum"),
-          sum(col("res")).as("ressum"))
-        .select(col("n_tot"), col("pos_tot"),
-          mulDivWide(col("sse"), lit(1L), col("n_tot")).as("brier_ppm2"),
-          mulDivWide(col("relsum"), lit(1L), col("n_tot")).as("rel_ppm2"),
-          mulDivWide(col("ressum"), lit(1L), col("n_tot")).as("res_ppm2"),
-          mulDivWide(wide(col("pos_tot")) * wide(col("n_tot") - col("pos_tot")),
-            lit(1000000000000L),
-            wide(col("n_tot")) * wide(col("n_tot"))).as("unc_ppm2"))
-        .withColumn("identity_gap_ppm2",
-          col("brier_ppm2") - (col("rel_ppm2") - col("res_ppm2")
-            + col("unc_ppm2")))
-    }),
+    // integers — see [[brierDecomposition]], which runs the MERGEABLE
+    // path: per-slice integer bin tables (n/pos/S — pure sums) merged by
+    // addition before any division, the shape a 100 TB evaluation runs
+    // (each slice stays inside the DECIMAL(38) envelope; the merge is
+    // exact). Gated here; envelope-spec'd at ~3e6 synthetic rows against
+    // a BigInt driver reference in BrierMergeSpec.
+    "q_eng_brier" -> ((s, d) => brierDecomposition(scored(s, d))),
 
     // leave-one-out target encoding of customer nation against the returned
     // label: enc(nation, label) = (pos(nation) - label) / (n(nation) - 1) in
@@ -871,7 +901,8 @@ object EvalQueries {
                        CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey)
                          AS BIGINT) AS rk
                 FROM scored),
-         r2 AS (SELECT label, (t.nt - rk) * 1000000 // (t.nt - 1) AS p_ppm,
+         r2 AS (SELECT label,
+                       (t.nt - rk) * 1000000 // greatest(t.nt - 1, 1) AS p_ppm,
                        (rk - 1) * 10 // t.nt AS bin, t.nt, t.pt
                 FROM rk, t),
          b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
