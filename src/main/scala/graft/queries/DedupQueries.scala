@@ -113,6 +113,46 @@ object DedupQueries {
         .where(col("cos") >= 0.45)
     }
 
+  /** The PRODUCTION ANN geometry (SCALING_sf1.md round-10 A/B): width 12
+    * sized to corpus occupancy (`width ≥ log2(n / target_bucket)` → 12 at
+    * the 20k-vector scale fixture), bands doubled to 32 to buy the recall
+    * back (measured 99.92% of threshold pairs at 11.4× less candidate
+    * volume than the fixture's w8 b16). Memoized verified-survivors-only,
+    * same post-filter cache rule as [[annPairsR2]]. */
+  private[queries] val ProdLshBands = 32
+  private[queries] val ProdLshWidth = 12
+  private def annPairsProd(s: SparkSession, d: String): DataFrame =
+    QueryCaches.memo(s, d, "sign_lsh_pairs_prod") {
+      Similarity.signLshPairs(Tables.embeddings(s, d),
+        SimilarityQueries.LshSeed, ProdLshBands, ProdLshWidth,
+        SimilarityQueries.LshMaxBucket, probeRadius = 2)
+        .where(col("cos") >= 0.45)
+    }
+
+  /** SemDeDup keep rule over a verified ANN pair table: star components,
+    * per-member summed micro-quantized cosine centrality, keep the most
+    * central member per cluster — shared by the fixture-geometry and
+    * production-geometry gate rows so the two differ ONLY in the
+    * candidate stage they audit. */
+  private def semdedupKeep(pairs: DataFrame): DataFrame = {
+    val clusters = graft.operators.StarComponents
+      .components(pairs, col("va"), col("vb"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val directed = pairs.select(col("va").as("vec_id"), col("cos"))
+      .unionByName(pairs.select(col("vb").as("vec_id"), col("cos")))
+      .withColumn("cm", floor(col("cos") * 1000000.0 + 0.5).cast("long"))
+    val strength = directed.groupBy("vec_id")
+      .agg(sum("cm").as("centrality_micro"))
+    clusters.join(strength, "vec_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("centrality_micro"), col("vec_id"))).as("mx"))
+      .select(col("cluster_id"), col("n_members"),
+        col("mx.vec_id").as("keep_id"),
+        col("mx.centrality_micro").as("keep_centrality_micro"))
+      .orderBy("cluster_id")
+  }
+
   /** Memoized connected components over the cosine near-dup graph —
     * q_dedup_embed_clusters and q_dedup_semdedup_keep run the identical
     * min-label propagation, so they share one materialization. */
@@ -273,25 +313,22 @@ object DedupQueries {
     // — quantified per cosine band by q_dedup_ann_recall below. sf1+:
     // oracle is quadratic by design → documented SKIP (prefix_filter
     // precedent).
-    "q_dedup_semdedup_ann" -> ((s, d) => {
-      val pairs = annPairsR2(s, d) // already verified at cos >= 0.45
-      val clusters = graft.operators.StarComponents
-        .components(pairs, col("va"), col("vb"))
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-      val directed = pairs.select(col("va").as("vec_id"), col("cos"))
-        .unionByName(pairs.select(col("vb").as("vec_id"), col("cos")))
-        .withColumn("cm", floor(col("cos") * 1000000.0 + 0.5).cast("long"))
-      val strength = directed.groupBy("vec_id")
-        .agg(sum("cm").as("centrality_micro"))
-      clusters.join(strength, "vec_id")
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("centrality_micro"), col("vec_id"))).as("mx"))
-        .select(col("cluster_id"), col("n_members"),
-          col("mx.vec_id").as("keep_id"),
-          col("mx.centrality_micro").as("keep_centrality_micro"))
-        .orderBy("cluster_id")
-    }),
+    "q_dedup_semdedup_ann" -> ((s, d) =>
+      semdedupKeep(annPairsR2(s, d))), // already verified at cos >= 0.45
+
+    // The same SemDeDup chain at the PRODUCTION geometry (w12 b32 radius
+    // 2 — the operating point SCALING_sf1.md's round-10 A/B measured and
+    // recommends: occupancy-flat width, recall bought back with bands).
+    // Unlike the fixture row above, the ORACLE here replays the IDENTICAL
+    // LSH geometry (Rademacher planes, bucket cap, symmetric radius-2
+    // probe join) rather than the unfiltered quadratic join: w12 b32 is
+    // 99.92%-recall approximate BY DESIGN at saturated domains (80/104,217
+    // pairs missed at sf1mut), so the gate pins the configured chain
+    // bitwise at EVERY SF instead of asserting a losslessness that only
+    // holds at fixture scale. The quadratic-oracle losslessness proof
+    // stays the fixture row's job.
+    "q_dedup_semdedup_ann_prod" -> ((s, d) =>
+      semdedupKeep(annPairsProd(s, d))),
 
     // ANN candidate-recall audit at the PRODUCTION operating point
     // (radius 1, the pair table every embedding query shares): exact
@@ -884,6 +921,46 @@ object DedupQueries {
               * sqrt(list_dot_product(y.v, y.v))) AS cos
            FROM e x JOIN e y ON x.vec_id < y.vec_id),
          p AS MATERIALIZED (SELECT va, vb, cos FROM exact WHERE cos >= 0.45),
+         edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM p
+                   UNION ALL SELECT vb, va FROM p),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS r FROM edges
+           UNION
+           SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id),
+         cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         directed AS (SELECT va AS vec_id, cos FROM p
+                      UNION ALL SELECT vb, cos FROM p),
+         st AS (SELECT vec_id,
+                       CAST(sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                         AS centrality_micro
+                FROM directed GROUP BY 1),
+         m AS (SELECT cl.cluster_id, cl.vec_id, st.centrality_micro
+               FROM cl JOIN st USING (vec_id)),
+         rk AS (SELECT cluster_id, vec_id, centrality_micro,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY centrality_micro DESC, vec_id DESC) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS nm
+                FROM m)
+         SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+                vec_id AS keep_id, centrality_micro AS keep_centrality_micro
+         FROM rk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // production geometry: the oracle replays the w12 b32 radius-2 LSH
+    // chain ITSELF (symmetric probe join — the engine's radius-2 form),
+    // then the identical verify/components/centrality/keep replay — the
+    // recommended configuration is hash-gated bitwise at every SF, with
+    // no losslessness assumption
+    "q_dedup_semdedup_ann_prod" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.lshCandCteFor(
+             SimilarityQueries.LshSeed, ProdLshBands, ProdLshWidth,
+             SimilarityQueries.LshMaxBucket, radius = 2)},
+         cos AS (
+           SELECT va, vb,
+             list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
+           FROM cand JOIN e x ON x.vec_id = va JOIN e y ON y.vec_id = vb),
+         p AS MATERIALIZED (SELECT va, vb, cos FROM cos WHERE cos >= 0.45),
          edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM p
                    UNION ALL SELECT vb, va FROM p),
          reach AS (

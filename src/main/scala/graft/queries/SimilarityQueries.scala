@@ -79,15 +79,29 @@ object SimilarityQueries {
     }
 
   /** Shared oracle CTE bodies mirroring [[Similarity.signLshPairs]]'s
-    * candidate stage bitwise: identical md5-derived Rademacher planes,
-    * identical left-to-right IEEE dot accumulation, same bucket cap and
-    * 1-bit multiprobe. */
-  private[queries] def lshCandCte: String =
+    * candidate stage bitwise at ANY geometry: identical md5-derived
+    * Rademacher planes, identical left-to-right IEEE dot accumulation,
+    * same bucket cap, and the engine's probe forms — radius 1 = exact
+    * patterns × 1-bit-flip probes, radius 2 = the SYMMETRIC split
+    * (probes × probes joined on the shared 1-flip midpoint), exactly the
+    * pair sets `signLshPairs` generates. */
+  private[queries] def lshCandCteFor(seed: Long, bands: Int, width: Int,
+                                     maxBucket: Int, radius: Int): String = {
+    require(radius == 1 || radius == 2, s"oracle replays radius 1 or 2, got $radius")
+    val cand =
+      if (radius == 1)
+        """cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS va, p.vec_id AS vb
+                FROM kept a JOIN probes p
+                  ON a.b = p.b AND a.pat = p.probe AND a.vec_id < p.vec_id)"""
+      else
+        """cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS va, p.vec_id AS vb
+                FROM probes a JOIN probes p
+                  ON a.b = p.b AND a.probe = p.probe AND a.vec_id < p.vec_id)"""
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        pl AS (SELECT b, i,
-                [CASE WHEN substr(md5('$LshSeed:' || b || ':' || i || ':' || d), 1, 1) <= '7'
+                [CASE WHEN substr(md5('$seed:' || b || ':' || i || ':' || d), 1, 1) <= '7'
                       THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS r
-              FROM range(0, $LshBands) tb(b), range(0, $LshWidth) ti(i)),
+              FROM range(0, $bands) tb(b), range(0, $width) ti(i)),
        bits AS (SELECT e.vec_id, pl.b, pl.i,
                   CASE WHEN list_dot_product(pl.r, e.v) > 0
                        THEN (1::BIGINT << pl.i) ELSE 0::BIGINT END AS bit
@@ -96,14 +110,18 @@ object SimilarityQueries {
                  FROM bits GROUP BY 1, 2),
        sizes AS (SELECT b, pat, count(*) AS c FROM bands GROUP BY 1, 2),
        kept AS (SELECT bands.vec_id, bands.b, bands.pat
-                FROM bands JOIN sizes USING (b, pat) WHERE sizes.c <= $LshMaxBucket),
+                FROM bands JOIN sizes USING (b, pat) WHERE sizes.c <= $maxBucket),
        probes AS (SELECT vec_id, b, pat AS probe FROM kept
                   UNION ALL
                   SELECT vec_id, b, xor(pat, 1::BIGINT << j) AS probe
-                  FROM kept, range(0, $LshWidth) tj(j)),
-       cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS va, p.vec_id AS vb
-                FROM kept a JOIN probes p
-                  ON a.b = p.b AND a.pat = p.probe AND a.vec_id < p.vec_id)"""
+                  FROM kept, range(0, $width) tj(j)),
+       $cand"""
+  }
+
+  /** The fixture geometry at radius 1 — the shared radius-1 pair table's
+    * oracle twin. */
+  private[queries] def lshCandCte: String =
+    lshCandCteFor(LshSeed, LshBands, LshWidth, LshMaxBucket, radius = 1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact brute-force cosine top-5: broadcast query set × corpus scan

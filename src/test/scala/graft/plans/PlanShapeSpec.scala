@@ -79,7 +79,34 @@ class PlanShapeSpec extends SparkSpec {
     // (11: postings/df/qbag derivation + BM25's own postings/df/score
     // exchanges + the qid windows/aggregate — each shuffles a bounded or
     // postings-sized table, none the raw corpus twice in one stage)
-    ("q_text_retrieval_eval", 11, Seq("n_chars"))
+    ("q_text_retrieval_eval", 11, Seq("n_chars")),
+    // production ANN geometry: same shape discipline as the fixture row
+    // (memoized pair table → star components → centrality aggregate) —
+    // the w12 b32 chain must not change the post-memo plan class
+    ("q_dedup_semdedup_ann_prod", 4, Seq("label")),
+    // —— the rest of the committed slowest-20 (r10 verdict #6) ——
+    // one hash aggregate with map-side combine over the lineitem scan
+    // (1) + the output ordering's range exchange (1)
+    ("q_eng_pricing_summary", 2, Nil),
+    // label aggregate (1) + withRank's sort/indexing exchanges (2) +
+    // decile-bin aggregate (1); totals broadcast, no global window
+    ("q_eng_calibration", 4, Nil),
+    // scored-orders label aggregate (1) + the custkey join exchange pair
+    // absorbed into withRank-free grouping on the bounded
+    // (nation × label) key (2) + output ordering (1); nation names
+    // broadcast
+    ("q_eng_target_encode", 4, Nil),
+    // BM25 leg (postings/df/score exchanges) + the vector leg's rank +
+    // the per-doc fusion aggregate and output ordering; the corpus-wide
+    // n_chars column must stay pruned from every scan
+    ("q_sim_rrf_fusion", 11, Seq("n_chars")),
+    // label aggregate + withRank's exchanges + cumulative confusion
+    // counters per distinct score cut + the final per-threshold
+    // aggregate/ordering — still zero corpus-sized windows
+    ("q_eng_mcc_sweep", 6, Nil),
+    // TPC-H-style waiting-supplier: lineitem semi/anti joins on
+    // l_orderkey + per-supplier aggregate + output ordering
+    ("q_eng_waiting_supplier", 4, Nil)
   )
 
   for ((name, budget, pruned) <- pins) {
