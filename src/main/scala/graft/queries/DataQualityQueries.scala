@@ -67,6 +67,34 @@ object DataQualityQueries {
         .orderBy("col_name")
     }),
 
+    // sketch-backed grouped profiler (r10 verdict #8): per-language
+    // completeness / exact distinct / min-max of documents.n_chars PLUS
+    // the distribution readout through graft_quantile_sketch — the
+    // mergeable TypedImperativeAggregate (bottom-k-by-md5-priority,
+    // k = 256, merge-tree-invariant), whose rank error is itself a gated
+    // measurement: ≤ 2.9% at k = 256 against the ±6.25% analytic bound
+    // (q_eng_sketch_error). At 100 TB this — not an exact per-group sort
+    // — is the profile a snapshot monitor runs: one scan, map-side
+    // sketch updates, ≤ k·24-byte merge per group. The oracle replays
+    // the identical priority sample and rank reads next to the exact
+    // aggregates.
+    "q_eng_profile_sketch" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("prof_docs")
+      s.sql(
+        """SELECT lang, n, n_nulls, n_distinct, min_val, max_val,
+                  qs.q25 AS q25, qs.q50 AS q50, qs.q75 AS q75, qs.q90 AS q90
+           FROM (SELECT lang,
+                        CAST(count(1) AS BIGINT) AS n,
+                        CAST(count(1) - count(n_chars) AS BIGINT) AS n_nulls,
+                        CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+                        CAST(min(n_chars) AS BIGINT) AS min_val,
+                        CAST(max(n_chars) AS BIGINT) AS max_val,
+                        graft_quantile_sketch(doc_id, n_chars, 256) AS qs
+                 FROM prof_docs GROUP BY lang)
+           ORDER BY lang""")
+    }),
+
     // constraint validation suite, one audit row: primary-key uniqueness
     // (duplicate orderkeys), referential integrity in both directions
     // (orders→customer and lineitem→orders orphans, via shuffle anti-joins
@@ -234,6 +262,45 @@ object DataQualityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact aggregates + the identical bottom-k-by-md5-priority sample
+    // and integer rank reads as the q_eng_sketch_quantiles oracle
+    "q_eng_profile_sketch" ->
+      """WITH pr AS (
+           SELECT lang, doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) AS p
+           FROM documents),
+         s AS (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY p, doc_id) AS rk
+               FROM pr),
+         kk AS (SELECT lang, n_chars FROM s WHERE rk <= 256),
+         r AS (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_chars) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS m
+               FROM kk),
+         sk AS (SELECT lang,
+                  CAST(max(CASE WHEN rn = (m-1)*25//100 + 1 THEN n_chars END)
+                    AS BIGINT) AS q25,
+                  CAST(max(CASE WHEN rn = (m-1)*50//100 + 1 THEN n_chars END)
+                    AS BIGINT) AS q50,
+                  CAST(max(CASE WHEN rn = (m-1)*75//100 + 1 THEN n_chars END)
+                    AS BIGINT) AS q75,
+                  CAST(max(CASE WHEN rn = (m-1)*90//100 + 1 THEN n_chars END)
+                    AS BIGINT) AS q90
+                FROM r GROUP BY lang),
+         ex AS (SELECT lang,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls,
+                  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+                  CAST(min(n_chars) AS BIGINT) AS min_val,
+                  CAST(max(n_chars) AS BIGINT) AS max_val
+                FROM documents GROUP BY lang)
+         SELECT ex.lang, ex.n, ex.n_nulls, ex.n_distinct, ex.min_val,
+                ex.max_val, sk.q25, sk.q50, sk.q75, sk.q90
+         FROM ex JOIN sk USING (lang) ORDER BY lang""",
+
     "q_eng_profile" ->
       """WITH o AS (
            SELECT o_orderkey, o_custkey, o_orderstatus,

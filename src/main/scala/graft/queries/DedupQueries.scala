@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Driver-verifiable queries for the dedup extension operators
   * (graft.dedup.Dedup, graft.similarity.Similarity) over `documents` and
@@ -36,6 +36,11 @@ object DedupQueries {
   // skew split.
   private def maxDf(s: SparkSession, d: String): Int =
     math.max(8, (docCount(s, d) / 500L).toInt)
+  // Above this many documents, the prefix-filter losslessness proof runs
+  // on the md5-mod-m sampled stratum instead of the full corpus (the
+  // unfiltered oracle is Θ(Σdf²) — quadratic on the verbatim-duplicated
+  // sf1 fixture). Gate SFs (≤ ~5k docs) stay on the full proof.
+  private[queries] val PrefixProofCap = 10000L
   // oracle twin (inlined at the three `keep` CTE sites):
   //   HAVING count(*) <= greatest(8, (SELECT count(*) FROM documents) // 500)
   // metadata-cheap corpus count, cached per (session, dir) like QueryCaches
@@ -231,14 +236,36 @@ object DedupQueries {
     // df-ascending prefix of each shingle set (rarest hashes), exact
     // integer Jaccard verify. The oracle computes the UNFILTERED join —
     // every pair sharing any hash — so gate equality is a cross-engine
-    // proof the prefix prune is lossless at J ≥ 0.8
+    // proof the prefix prune is lossless at J ≥ 0.8.
+    //
+    // Corpus-adaptive proof stratum (closes the one remaining scale-gate
+    // skip, r10 verdict #5): below PrefixProofCap documents the proof is
+    // the FULL unfiltered join (gate SFs — bitwise identical to the
+    // pre-r11 row); above it, both sides restrict to pairs TOUCHING the
+    // md5-mod-m sample (m = largest power of 2 ≤ n/250, the
+    // ann_recall_sampled modulus — ~250–500 sampled docs at any corpus
+    // size), so the oracle's unfiltered join is Θ((k/n)·Σdf²) instead of
+    // Θ(Σdf²) and the losslessness proof gates at EVERY SF on a fixed-
+    // size stratum instead of skipping. Both engines derive the branch
+    // and the modulus from count(*) — the maxDf pattern.
     "q_dedup_prefix_filter" -> ((s, d) => {
       val sh = QueryCaches.memo(s, d, "dedup_hashes") {
         withSig(s, d)
           .select(col("doc_id"), Dedup.shingleHashes(col("shingles")).as("hs"))
       }
-      Dedup.prefixFilterPairs(sh, col("doc_id"), col("hs"), minJaccard = 0.8)
-        .orderBy("ida", "idb")
+      val pairs =
+        Dedup.prefixFilterPairs(sh, col("doc_id"), col("hs"), minJaccard = 0.8)
+      val n = docCount(s, d)
+      val strat =
+        if (n <= PrefixProofCap) pairs
+        else {
+          val m = math.max(1L, java.lang.Long.highestOneBit(n / 250L))
+          def inSample(c: Column) =
+            conv(substring(md5(concat(lit("pfx:"), c)), 1, 4), 16, 10)
+              .cast("long") % m === 0
+          pairs.where(inSample(col("ida")) || inSample(col("idb")))
+        }
+      strat.orderBy("ida", "idb")
     }),
 
     // SimHash signatures (per-bit majority vote over shingle hashes)
@@ -329,6 +356,45 @@ object DedupQueries {
     // stays the fixture row's job.
     "q_dedup_semdedup_ann_prod" -> ((s, d) =>
       semdedupKeep(annPairsProd(s, d))),
+
+    // Semantic decontamination (r10 verdict #7): eval-set leakage by
+    // near-PARAPHRASE — the gap n-gram-overlap decontamination
+    // (q_text_decontaminate) cannot see. The benchmark side is a
+    // corpus-derived md5-mod-m sample (~250–500 vectors at any corpus
+    // size — standing in for the real eval set, which is tiny and
+    // broadcast by construction); a corpus document is contaminated when
+    // its embedding is within cos ≥ 0.6 of any benchmark vector. The
+    // engine reuses the MEMOIZED radius-2 sign-LSH chain (annPairsR2 —
+    // zero new LSH builds) and keeps pairs with exactly one benchmark
+    // endpoint; the ORACLE is the deliberately-unfiltered exact
+    // benchmark × corpus join — Θ(k·n), linear at every SF because the
+    // left side is fixed-size (the ann_recall_sampled shape), so gate
+    // equality is a cross-engine losslessness proof of the candidate
+    // stage at τ = 0.45 — the exact regime the radius-2 chain is
+    // MEASURED lossless in (semdedup gate: every exact pair covered
+    // down to cos ≥ 0.42 at both gate SFs; 104,217/104,217 at sf1mut),
+    // with the analytic per-pair miss bound 1.5e-4 at the threshold.
+    // (The fixture's pair cosines top out near 0.52, so a stricter τ
+    // would be vacuous — contamination here IS the ~0.45 near-dup band.)
+    "q_text_decontam_semantic" -> ((s, d) => {
+      val m = math.max(1L, java.lang.Long.highestOneBit(vecCount(s, d) / 250L))
+      def isBench(c: Column) =
+        conv(substring(md5(concat(lit("decon:"), c)), 1, 4), 16, 10)
+          .cast("long") % m === 0
+      val pairs = annPairsR2(s, d) // verified exact cos, >= 0.45
+      val dir = pairs.select(col("va").as("x"), col("vb").as("y"), col("cos"))
+        .unionByName(
+          pairs.select(col("vb").as("x"), col("va").as("y"), col("cos")))
+      dir.where(isBench(col("x")) && !isBench(col("y")) &&
+          col("cos") >= 0.45)
+        .withColumn("cm", floor(col("cos") * 1000000.0 + 0.5).cast("long"))
+        .groupBy(col("y").as("vec_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(struct(col("cm"), col("x"))).as("mx"))
+        .select(col("vec_id"), col("n_bench_hits"),
+          col("mx.x").as("top_bench_id"), col("mx.cm").as("top_cos_micro"))
+        .orderBy("vec_id")
+    }),
 
     // ANN candidate-recall audit at the PRODUCTION operating point
     // (radius 1, the pair table every embedding query shares): exact
@@ -757,7 +823,14 @@ object DedupQueries {
 
     // deliberately UNFILTERED: all pairs sharing any hash, exact integer
     // Jaccard test — equality with the prefix-filtered engine result is
-    // the losslessness proof (9·shared ≥ 4·(na+nb) ⟺ J ≥ 0.8 exactly)
+    // the losslessness proof (9·shared ≥ 4·(na+nb) ⟺ J ≥ 0.8 exactly).
+    // Corpus-adaptive stratum (engine twin at the query): at
+    // n ≤ PrefixProofCap the sample side is ALL docs (exs = ex — the
+    // original full proof, bitwise); above it only pairs touching the
+    // md5-mod-m sample survive, and the sample predicate is pushed into
+    // the join's LEFT side so the unfiltered join is Θ((k/n)·Σdf²), not
+    // post-filtered quadratic. least/greatest normalization makes the
+    // one-sided join emit the identical undirected distinct pair set.
     "q_dedup_prefix_filter" ->
       s"""$shCte,
           hsh AS (
@@ -765,10 +838,19 @@ object DedupQueries {
                    list_distinct(list_transform(shingles,
                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
             FROM sh),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          mm AS (SELECT n, CASE WHEN n // 250 = 0 THEN CAST(1 AS BIGINT)
+                                ELSE (1::BIGINT << (length(bin(n // 250)) - 1))
+                           END AS m FROM nn),
           ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+          exs AS (SELECT doc_id, h FROM ex, mm
+                  WHERE mm.n <= $PrefixProofCap
+                     OR CAST('0x' || substr(md5('pfx:' || doc_id), 1, 4) AS BIGINT)
+                        % mm.m = 0),
           cand AS (
-            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS ida,
+                   greatest(a.doc_id, b.doc_id) AS idb
+            FROM exs a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id),
           j AS (
             SELECT ida, idb,
                    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS shared,
@@ -984,6 +1066,39 @@ object DedupQueries {
          SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
                 vec_id AS keep_id, centrality_micro AS keep_centrality_micro
          FROM rk WHERE rn = 1 ORDER BY cluster_id""",
+
+    // deliberately UNFILTERED exact benchmark × corpus join (no LSH):
+    // fixed-size left side ⇒ Θ(k·n) at every SF; equality with the
+    // radius-2-candidate engine result is the candidate-stage
+    // losslessness proof at τ = 0.45 (bound at the engine query)
+    "q_text_decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         mm AS (SELECT CASE WHEN n // 250 = 0 THEN CAST(1 AS BIGINT)
+                            ELSE (1::BIGINT << (length(bin(n // 250)) - 1))
+                       END AS m FROM nn),
+         b AS (SELECT vec_id, v FROM e, mm
+               WHERE CAST('0x' || substr(md5('decon:' || vec_id), 1, 4) AS BIGINT)
+                     % mm.m = 0),
+         c AS (SELECT vec_id, v FROM e, mm
+               WHERE CAST('0x' || substr(md5('decon:' || vec_id), 1, 4) AS BIGINT)
+                     % mm.m <> 0),
+         j AS (SELECT b.vec_id AS bid, c.vec_id AS cid,
+                      list_dot_product(b.v, c.v)
+                      / (sqrt(list_dot_product(b.v, b.v))
+                       * sqrt(list_dot_product(c.v, c.v))) AS cos
+               FROM b, c),
+         h AS (SELECT cid, bid,
+                      CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cm
+               FROM j WHERE cos >= 0.45),
+         r AS (SELECT cid, bid, cm,
+                      row_number() OVER (PARTITION BY cid
+                        ORDER BY cm DESC, bid DESC) AS rn,
+                      count(*) OVER (PARTITION BY cid) AS nb
+               FROM h)
+         SELECT cid AS vec_id, CAST(nb AS BIGINT) AS n_bench_hits,
+                bid AS top_bench_id, cm AS top_cos_micro
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
 
     // exact quadratic join vs the radius-1 candidate chain, per cosine band
     "q_dedup_ann_recall" ->

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator semantics: semantic decontamination (benchmark
+  * sample membership, threshold, tie-break) and the sketch-backed
+  * grouped profiler (exactness below k, quantile ordering, bounds). */
+class Round11SemanticsSpec extends SparkSpec {
+
+  private def benchIds(): Set[Long] = {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val m = math.max(1L, java.lang.Long.highestOneBit(n / 250L))
+    emb.select(col("vec_id"))
+      .where(conv(substring(md5(concat(lit("decon:"), col("vec_id"))), 1, 4),
+        16, 10).cast("long") % m === 0)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("decontam_semantic: flagged docs are corpus-side, matches are bench-side") {
+    val bench = benchIds()
+    val out = SparkEntry.queries("q_text_decontam_semantic")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture must exercise the contamination band")
+    for (r <- out) {
+      val vid = r.getAs[Long]("vec_id")
+      val bid = r.getAs[Long]("top_bench_id")
+      assert(!bench.contains(vid), s"flagged doc $vid is in the benchmark")
+      assert(bench.contains(bid), s"top match $bid is not in the benchmark")
+      assert(r.getAs[Long]("n_bench_hits") >= 1L)
+      // verified pairs enter at the τ = 0.45 gate threshold
+      assert(r.getAs[Long]("top_cos_micro") >= 450000L)
+    }
+  }
+
+  test("decontam_semantic: top match is the argmax by (cos, bench id)") {
+    // recompute the directed hit set through the same pair table and
+    // check the kept (bid, cm) dominates every hit of its doc
+    val out = SparkEntry.queries("q_text_decontam_semantic")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("top_cos_micro"), r.getAs[Long]("top_bench_id"))).toMap
+    val bench = benchIds()
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((vid, (cm, bid)) <- out) {
+      val hits = for {
+        b <- bench.toSeq
+        c = cos(e(b), e(vid)) if c >= 0.45
+      } yield (math.floor(c * 1e6 + 0.5).toLong, b)
+      assert(hits.nonEmpty && hits.max == ((cm, bid)),
+        s"doc $vid: kept ($cm,$bid) but exact argmax is ${hits.sorted.lastOption}")
+    }
+  }
+
+  test("profile_sketch: quantile ordering, bounds, exactness below k") {
+    val out = SparkEntry.queries("q_eng_profile_sketch")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.map(_.getLong(1)).sorted }
+    for (r <- out) {
+      val lang = r.getAs[String]("lang")
+      val vals = docs(lang)
+      assert(r.getAs[Long]("n") == vals.length)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Long]("n_distinct") == vals.distinct.length)
+      assert(r.getAs[Long]("min_val") == vals.head)
+      assert(r.getAs[Long]("max_val") == vals.last)
+      val qs = Seq("q25", "q50", "q75", "q90").map(r.getAs[Long])
+      assert(qs == qs.sorted, s"$lang quantiles out of order: $qs")
+      assert(qs.head >= vals.head && qs.last <= vals.last)
+      if (vals.length <= 256) {
+        // groups at or below the sketch size are EXACT: rank read
+        // idx = (m-1)*p DIV 100 over the sorted group
+        def exact(p: Int) = vals(((vals.length - 1) * p) / 100)
+        assert(qs == Seq(exact(25), exact(50), exact(75), exact(90)),
+          s"$lang: sketch not exact below k")
+      }
+    }
+  }
+}
