@@ -41,6 +41,23 @@ object DedupQueries {
   // unfiltered oracle is Θ(Σdf²) — quadratic on the verbatim-duplicated
   // sf1 fixture). Gate SFs (≤ ~5k docs) stay on the full proof.
   private[queries] val PrefixProofCap = 10000L
+
+  /** Proof-stratum restriction for q_dedup_prefix_filter: identity at
+    * n ≤ cap; above it keep only pairs TOUCHING the md5-mod-m sample
+    * (m = largest power of 2 ≤ n/250 — the ann_recall_sampled modulus,
+    * derived from count(*) identically by the oracle). Factored so a
+    * spec can force the sampled branch at fixture scale (cap = 0) and
+    * check the predicate against an independent JVM-side md5. */
+  private[queries] def prefixProofStratum(pairs: DataFrame, n: Long,
+                                          cap: Long): DataFrame =
+    if (n <= cap) pairs
+    else {
+      val m = math.max(1L, java.lang.Long.highestOneBit(n / 250L))
+      def inSample(c: Column) =
+        conv(substring(md5(concat(lit("pfx:"), c)), 1, 4), 16, 10)
+          .cast("long") % m === 0
+      pairs.where(inSample(col("ida")) || inSample(col("idb")))
+    }
   // oracle twin (inlined at the three `keep` CTE sites):
   //   HAVING count(*) <= greatest(8, (SELECT count(*) FROM documents) // 500)
   // metadata-cheap corpus count, cached per (session, dir) like QueryCaches
@@ -255,17 +272,8 @@ object DedupQueries {
       }
       val pairs =
         Dedup.prefixFilterPairs(sh, col("doc_id"), col("hs"), minJaccard = 0.8)
-      val n = docCount(s, d)
-      val strat =
-        if (n <= PrefixProofCap) pairs
-        else {
-          val m = math.max(1L, java.lang.Long.highestOneBit(n / 250L))
-          def inSample(c: Column) =
-            conv(substring(md5(concat(lit("pfx:"), c)), 1, 4), 16, 10)
-              .cast("long") % m === 0
-          pairs.where(inSample(col("ida")) || inSample(col("idb")))
-        }
-      strat.orderBy("ida", "idb")
+      prefixProofStratum(pairs, docCount(s, d), PrefixProofCap)
+        .orderBy("ida", "idb")
     }),
 
     // SimHash signatures (per-bit majority vote over shingle hashes)

@@ -972,6 +972,28 @@ object TextQueries {
         .limit(100)
     }),
 
+    // The documented web-scale DSIR degradation, ON the gate: the same
+    // selection computed through Dsir.weights' SHUFFLE branch
+    // (broadcastCeiling below B forces the hinted shuffle-hash scoring
+    // join — the plan a B = 2^28+ web-scale run uses when the lr table
+    // outgrows a broadcast). Values are branch-invariant by
+    // construction (DsirSpec pins bit-equality and the plan
+    // difference); hash-equality with the SAME oracle as
+    // q_text_dsir_select makes the degradation path continuously
+    // oracle-gated, not just spec'd. Not memoized with the broadcast
+    // row on purpose — sharing the memo would gate one branch twice.
+    "q_text_dsir_select_shuffle" -> ((s, d) => {
+      val w = QueryCaches.memo(s, d, "dsir_weights_shuffle") {
+        graft.text.Dsir.weights(docs(s, d), col("doc_id"), col("text"),
+          col("lang") === "en", buckets = 4096, broadcastCeiling = 1024)
+      }
+      w.join(docs(s, d).select("doc_id", "source", "lang"), "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_feats"), col("weight_micro"))
+        .orderBy(col("weight_micro").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // DSIR distribution shift: what the selector thinks of each source —
     // per-source feature mass and summed importance weight (negative =
     // the source reads unlike the target). Sum + count, no division, so
@@ -2407,6 +2429,15 @@ object TextQueries {
          GROUP BY 1 ORDER BY source""",
 
     "q_text_dsir_select" -> (dsirCte +
+      """
+         SELECT w.doc_id, d.source, d.lang, n_feats, weight_micro
+         FROM w JOIN documents d USING (doc_id)
+         ORDER BY weight_micro DESC, doc_id LIMIT 100"""),
+
+    // identical oracle text as q_text_dsir_select: the engine's two
+    // scoring-join branches are value-equal by construction, so ONE
+    // DuckDB replay gates both — each engine row hashed independently
+    "q_text_dsir_select_shuffle" -> (dsirCte +
       """
          SELECT w.doc_id, d.source, d.lang, n_feats, weight_micro
          FROM w JOIN documents d USING (doc_id)

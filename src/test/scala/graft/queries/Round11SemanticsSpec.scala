@@ -59,6 +59,34 @@ class Round11SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("prefix_filter stratum: sampled branch matches an independent md5") {
+    // force the >cap branch at fixture scale (cap = 0) and verify the
+    // engine's sample predicate against a JVM-side MessageDigest md5 —
+    // the arithmetic the sf1 gate rides (16-bit md5 prefix mod m)
+    import spark.implicits._
+    val raw = (1L to 200L).grouped(2).map(g => (g(0), g(1))).toSeq
+    val pairs = raw.toDF("ida", "idb")
+    val n = 4000L // → m = highestOneBit(16) = 16
+    val m = java.lang.Long.highestOneBit(n / 250L)
+    assert(m == 16L)
+    def jvmInSample(id: Long): Boolean = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pfx:$id".getBytes("UTF-8"))
+      val hex4 = dig.take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex4, 16) % m == 0
+    }
+    val got = DedupQueries.prefixProofStratum(pairs, n, cap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = raw.filter { case (a, b) => jvmInSample(a) || jvmInSample(b) }
+      .toSet
+    assert(exp.nonEmpty && exp.size < raw.size,
+      "fixture must exercise both kept and dropped pairs")
+    assert(got == exp)
+    // identity below the cap
+    assert(DedupQueries.prefixProofStratum(pairs, n, cap = 10000L)
+      .count() == raw.size.toLong)
+  }
+
   test("profile_sketch: quantile ordering, bounds, exactness below k") {
     val out = SparkEntry.queries("q_eng_profile_sketch")(spark, sf).collect()
     assert(out.nonEmpty)
