@@ -1,0 +1,72 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Executed-plan proof of the bucketing contract: a join (and an
+  * aggregation) keyed on the bucket column of two same-bucketed tables
+  * plans ZERO exchanges, the identical unbucketed join plans two, and
+  * the two paths are value-equal. AQE off so the pins read the static
+  * plan (the PlanShapeSpec discipline). */
+class BucketingSpec extends SparkSpec {
+
+  private lazy val s = {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "false")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    ns
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }.size
+
+  private lazy val tables: Unit = {
+    val o = graft.Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val l = graft.Tables.lineitem(s, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+    Bucketing.writeBucketed(o, "bk_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bk_lineitem", "o_orderkey", 8)
+  }
+
+  test("same-bucketed join and keyed aggregation plan ZERO exchanges") {
+    tables
+    val joined = Bucketing.readBucketed(s, "bk_orders")
+      .join(Bucketing.readBucketed(s, "bk_lineitem"), "o_orderkey")
+    assert(shuffles(joined) == 0,
+      s"bucketed join planned ${shuffles(joined)} exchanges:\n" +
+        joined.queryExecution.executedPlan)
+    val agg = Bucketing.readBucketed(s, "bk_lineitem")
+      .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+    assert(shuffles(agg) == 0,
+      s"bucketed aggregation planned ${shuffles(agg)} exchanges")
+  }
+
+  test("negative control: the identical unbucketed join shuffles both sides") {
+    val o = graft.Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val l = graft.Tables.lineitem(s, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    assert(shuffles(o.join(l, "o_orderkey")) == 2)
+  }
+
+  test("bucketed path is value-equal to the plain join") {
+    tables
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = rows(Bucketing.readBucketed(s, "bk_orders")
+      .join(Bucketing.readBucketed(s, "bk_lineitem"), "o_orderkey"))
+    val plain = rows(graft.Tables.orders(s, sf)
+      .select(col("o_orderkey"))
+      .join(graft.Tables.lineitem(s, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "o_orderkey"))
+    assert(bucketed == plain && bucketed.nonEmpty)
+  }
+}
