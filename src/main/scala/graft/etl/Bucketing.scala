@@ -35,10 +35,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed (and bucket-sorted) managed parquet table.
-    * Overwrites any existing table of the same name. */
+    * True overwrite: drops any existing table AND clears an orphaned
+    * default-location directory — a fresh metastore (e.g. a new local
+    * session against a reused warehouse dir) otherwise refuses the name
+    * with LOCATION_ALREADY_EXISTS even under SaveMode.Overwrite. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sorted: Boolean = true): Unit = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
