@@ -17,6 +17,9 @@ object Bench {
       // real cluster does, just at fixture scale.
       .config("spark.sql.files.maxPartitionBytes", "524288")
       .config("spark.ui.enabled", "false")
+      // bucketed-layout queries saveAsTable; keep the warehouse out of
+      // the repo working tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, parquet reader, shuffle + window
@@ -85,8 +88,11 @@ object Bench {
     // 32 worker threads (SCALING_sf1.md round-10 notes) and decays on a
     // ~60 s constant — min-of-k is the effective lever; the budget exists
     // for quantifying FOREIGN load on a shared box.
-    var quiesceBudget =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE", "0").toDouble
+    // Try-parse: a malformed value must degrade to "quiesce off", not
+    // crash the whole bench before any query runs (ADVICE r11)
+    var quiesceBudget = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE", "0").toDouble)
+      .getOrElse(0.0)
     def quiesce(): Unit =
       while (quiesceBudget > 0 && loadAvg() > loadThreshold) {
         Thread.sleep(2000); quiesceBudget -= 2.0
@@ -159,6 +165,60 @@ object Bench {
         }
       }
     }
+    // Drift ledger (r11 verdict #3): min-of-k cannot fix a contention
+    // window that spans all k timed runs of one query — BENCH_r11 shipped
+    // 6.46 s for a query the committed pair times at 0.89 s on identical
+    // code. The committed bench_full.json is a second, independent
+    // estimate of the clean time, so any kept min exceeding ~3× it (and
+    // by > 0.5 s absolutely, so millisecond rows can't trigger) is
+    // re-measured like a load suspect; the smaller statistic wins for the
+    // same reason as above (noise is strictly additive). The baseline is
+    // only trusted when its "sf" matches this run — a sf1mut bench
+    // compared against the committed sf0.1 pair would flag everything.
+    // Rows that triggered land in `drift_retried`; rows STILL above the
+    // trigger after both passes land in `drift_flagged` (either a real
+    // regression or a box that never went quiet — the reader decides with
+    // the load labels).
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_full.json")
+    val baseline: Map[String, Double] = try {
+      import org.json4s._
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      val sfOk = (j \ "sf") match {
+        case JString(v) => v == sfDir
+        case _ => false
+      }
+      if (!sfOk) Map.empty
+      else (j \ "full_queries") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+    def drifting(n: String, v: Double): Boolean =
+      baseline.get(n).exists(b => v > 3.0 * b && v - b > 0.5)
+    var driftRetried = Set.empty[String]
+    for (_ <- 0 until 2) {
+      val suspects = results.filter { case (n, v) => drifting(n, v) }.keys.toSeq
+      for (name <- suspects; fn <- SparkEntry.queries.get(name)) {
+        driftRetried += name
+        measure(name, fn, recordErrors = false).foreach { case (kept2, med2) =>
+          if (kept2 < results(name)) {
+            results += (name -> kept2)
+            medians += (name -> med2)
+            loads += (name -> loadAvg())
+            retriedKept += name
+          }
+        }
+      }
+    }
+    val driftFlagged =
+      results.collect { case (n, v) if drifting(n, v) => n }.toSet
     val loadEnd = loadAvg()
     // shared-memo build ledger: memo materialization is timed inside
     // QueryCaches (forced at first touch, during some query's untimed
@@ -205,18 +265,24 @@ object Bench {
     // label describes that retry); "shared_builds" is the per-memo-key
     // materialization ledger (seconds) — per-query rows are post-memo
     // only; "stat" names the kept statistic and "medians" preserves the
-    // per-query median-of-iters for continuity with pre-r11 artifacts.
+    // per-query median-of-iters for continuity with pre-r11 artifacts;
+    // "drift_retried"/"drift_flagged" are the committed-baseline drift
+    // ledger (triggered / still-above-trigger after retries).
     // Schema note for the artifact: {full_queries, medians, stat, errors,
-    // load, load_summary, shared_builds, retried, retried_kept, total,
-    // n_queries, failed, sf}.
+    // load, load_summary, shared_builds, retried, retried_kept,
+    // drift_retried, drift_flagged, total, n_queries, failed, sf}.
     val retriedKeptJson =
       retriedKept.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val driftRetriedJson =
+      driftRetried.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val driftFlaggedJson =
+      driftFlagged.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val statName = if (keepMedian) "median" else "min"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"medians":${jmap(medians.toSeq.sortBy(_._1))},"stat":${jstr(statName)},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax, "retry_threshold" -> loadThreshold))},"shared_builds":${jmap(sharedBuilds.toSeq.sortBy(_._1))},"retried":$retried,"retried_kept":$retriedKeptJson,"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"medians":${jmap(medians.toSeq.sortBy(_._1))},"stat":${jstr(statName)},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax, "retry_threshold" -> loadThreshold))},"shared_builds":${jmap(sharedBuilds.toSeq.sortBy(_._1))},"retried":$retried,"retried_kept":$retriedKeptJson,"drift_retried":$driftRetriedJson,"drift_flagged":$driftFlaggedJson,"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"retried":$retried,"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"retried":$retried,"drift_retried":${driftRetried.size},"drift_flagged":$driftFlaggedJson,"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
     // a non-zero failed count must be visible even if only the exit status
     // survives log truncation

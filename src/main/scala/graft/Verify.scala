@@ -18,6 +18,9 @@ object Verify {
       // fixture-scale split sizing — rationale in Bench.scala
       .config("spark.sql.files.maxPartitionBytes", "524288")
       .config("spark.ui.enabled", "false")
+      // bucketed-layout queries saveAsTable; keep the warehouse out of
+      // the repo working tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_verify")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -42,12 +42,26 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sorted: Boolean = true): Unit = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
+    // simple current-database names only: the warehouse/<name> path
+    // derivation below is wrong for a qualified 'db.tbl' (the
+    // whole-string backtick quoting would also mangle the DROP), and a
+    // wrong path + recursive delete is how unrelated directories die
+    // (ADVICE r11)
+    require(!table.contains('.') && !table.contains('`'),
+      s"writeBucketed takes a simple unqualified table name, got '$table'")
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // clear the default-location directory ONLY when it is provably an
+    // orphan — the table is now absent from the catalog (just dropped or
+    // never existed), so a directory at its default location can only be
+    // debris from an earlier metastore (the LOCATION_ALREADY_EXISTS
+    // case), never live data of a registered table
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)

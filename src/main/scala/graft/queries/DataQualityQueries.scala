@@ -263,13 +263,19 @@ object DataQualityQueries {
 
   val oracleSql: Map[String, String] = Map(
     // exact aggregates + the identical bottom-k-by-md5-priority sample
-    // and integer rank reads as the q_eng_sketch_quantiles oracle
+    // and integer rank reads as the q_eng_sketch_quantiles oracle.
+    // pr filters NULL n_chars BEFORE the bottom-k: QuantileSketchAgg
+    // .update skips null-valued rows, so a NULL admitted into the
+    // 256-slot sample would shift every rank read (and surface as a
+    // NULL quantile) on exactly the incomplete corpora the n_nulls
+    // column exists to flag (ADVICE r11). The exact aggregates in ex
+    // keep counting ALL rows — n_nulls stays the completeness readout.
     "q_eng_profile_sketch" ->
       """WITH pr AS (
            SELECT lang, doc_id, n_chars,
                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
                     AS BIGINT) AS p
-           FROM documents),
+           FROM documents WHERE n_chars IS NOT NULL),
          s AS (SELECT lang, n_chars,
                       row_number() OVER (PARTITION BY lang
                                          ORDER BY p, doc_id) AS rk
@@ -298,8 +304,12 @@ object DataQualityQueries {
                   CAST(max(n_chars) AS BIGINT) AS max_val
                 FROM documents GROUP BY lang)
          SELECT ex.lang, ex.n, ex.n_nulls, ex.n_distinct, ex.min_val,
-                ex.max_val, sk.q25, sk.q50, sk.q75, sk.q90
-         FROM ex JOIN sk USING (lang) ORDER BY lang""",
+                ex.max_val,
+                CAST(coalesce(sk.q25, 0) AS BIGINT) AS q25,
+                CAST(coalesce(sk.q50, 0) AS BIGINT) AS q50,
+                CAST(coalesce(sk.q75, 0) AS BIGINT) AS q75,
+                CAST(coalesce(sk.q90, 0) AS BIGINT) AS q90
+         FROM ex LEFT JOIN sk USING (lang) ORDER BY lang""",
 
     "q_eng_profile" ->
       """WITH o AS (

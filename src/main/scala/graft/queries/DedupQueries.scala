@@ -45,7 +45,13 @@ object DedupQueries {
   /** Proof-stratum restriction for q_dedup_prefix_filter: identity at
     * n ≤ cap; above it keep only pairs TOUCHING the md5-mod-m sample
     * (m = largest power of 2 ≤ n/250 — the ann_recall_sampled modulus,
-    * derived from count(*) identically by the oracle). Factored so a
+    * derived from count(*) identically by the oracle). The sample
+    * predicate hashes to 52 bits (13 hex nibbles — the KmvDistinctAgg
+    * prefix), not 16: a 16-bit prefix saturates once m > 2^16
+    * (n ≳ 33M docs), degenerating 'h % m == 0' to 'h == 0' and growing
+    * the stratum as n/2^16 instead of holding ~250–500 docs (ADVICE
+    * r11); 52 bits keeps the fixed-size-stratum and Θ((k/n)·Σdf²)
+    * oracle-cost claims intact past 10^12 documents. Factored so a
     * spec can force the sampled branch at fixture scale (cap = 0) and
     * check the predicate against an independent JVM-side md5. */
   private[queries] def prefixProofStratum(pairs: DataFrame, n: Long,
@@ -54,7 +60,7 @@ object DedupQueries {
     else {
       val m = math.max(1L, java.lang.Long.highestOneBit(n / 250L))
       def inSample(c: Column) =
-        conv(substring(md5(concat(lit("pfx:"), c)), 1, 4), 16, 10)
+        conv(substring(md5(concat(lit("pfx:"), c)), 1, 13), 16, 10)
           .cast("long") % m === 0
       pairs.where(inSample(col("ida")) || inSample(col("idb")))
     }
@@ -387,7 +393,7 @@ object DedupQueries {
     "q_text_decontam_semantic" -> ((s, d) => {
       val m = math.max(1L, java.lang.Long.highestOneBit(vecCount(s, d) / 250L))
       def isBench(c: Column) =
-        conv(substring(md5(concat(lit("decon:"), c)), 1, 4), 16, 10)
+        conv(substring(md5(concat(lit("decon:"), c)), 1, 13), 16, 10)
           .cast("long") % m === 0
       val pairs = annPairsR2(s, d) // verified exact cos, >= 0.45
       val dir = pairs.select(col("va").as("x"), col("vb").as("y"), col("cos"))
@@ -465,7 +471,7 @@ object DedupQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.l2norm(col("v")))
       val q = v.where(
-        conv(substring(md5(concat(lit("recall:"), col("vec_id"))), 1, 4), 16, 10)
+        conv(substring(md5(concat(lit("recall:"), col("vec_id"))), 1, 13), 16, 10)
           .cast("long") % m === 0)
         .select(col("vec_id").as("qa"), col("v").as("xa"), col("nrm").as("na"))
       val exact = broadcast(q)
@@ -853,7 +859,7 @@ object DedupQueries {
           ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
           exs AS (SELECT doc_id, h FROM ex, mm
                   WHERE mm.n <= $PrefixProofCap
-                     OR CAST('0x' || substr(md5('pfx:' || doc_id), 1, 4) AS BIGINT)
+                     OR CAST('0x' || substr(md5('pfx:' || doc_id), 1, 13) AS BIGINT)
                         % mm.m = 0),
           cand AS (
             SELECT DISTINCT least(a.doc_id, b.doc_id) AS ida,
@@ -1086,10 +1092,10 @@ object DedupQueries {
                             ELSE (1::BIGINT << (length(bin(n // 250)) - 1))
                        END AS m FROM nn),
          b AS (SELECT vec_id, v FROM e, mm
-               WHERE CAST('0x' || substr(md5('decon:' || vec_id), 1, 4) AS BIGINT)
+               WHERE CAST('0x' || substr(md5('decon:' || vec_id), 1, 13) AS BIGINT)
                      % mm.m = 0),
          c AS (SELECT vec_id, v FROM e, mm
-               WHERE CAST('0x' || substr(md5('decon:' || vec_id), 1, 4) AS BIGINT)
+               WHERE CAST('0x' || substr(md5('decon:' || vec_id), 1, 13) AS BIGINT)
                      % mm.m <> 0),
          j AS (SELECT b.vec_id AS bid, c.vec_id AS cid,
                       list_dot_product(b.v, c.v)
@@ -1140,7 +1146,7 @@ object DedupQueries {
                             ELSE (1::BIGINT << (length(bin(n // 250)) - 1))
                        END AS m FROM nn),
          q AS (SELECT vec_id, v FROM e, mm
-               WHERE CAST('0x' || substr(md5('recall:' || vec_id), 1, 4) AS BIGINT) % mm.m = 0),
+               WHERE CAST('0x' || substr(md5('recall:' || vec_id), 1, 13) AS BIGINT) % mm.m = 0),
          ex AS (SELECT q.vec_id AS qa, y.vec_id AS vb,
                   list_dot_product(q.v, y.v)
                   / (sqrt(list_dot_product(q.v, q.v))

@@ -41,6 +41,34 @@ object EngineQueries {
     graft.functions.WideDiv.sqlDecSumToDouble(
       s"sum(CAST($expr AS DECIMAL(18,6)))")
 
+  /** Write-once bucketed orders/lineitem layout per (session, sfDir) —
+    * the storage-side shuffle eliminator q_eng_bucketed_join gates.
+    * Memoized like QueryCaches so Bench's warmup pays the one-time write
+    * and every timed iteration measures the ZERO-EXCHANGE join the
+    * layout buys (on a cluster: write the fact table bucketed once,
+    * every downstream keyed join/aggregation skips its exchange). Money
+    * columns are pre-quantized to integer cents AT WRITE so the bucketed
+    * files carry longs only; 16 buckets at fixture scale — at corpus
+    * scale size buckets to ~128–512 MB each (Bucketing Scaladoc). */
+  private val bucketedTables =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+  private def ensureBucketed(s: SparkSession, d: String): (String, String) =
+    bucketedTables.getOrElseUpdate((System.identityHashCode(s), d), {
+      val tag = d.toLowerCase.filter(c => c.isLetterOrDigit).takeRight(24)
+      val ot = s"graft_bk_orders_$tag"
+      val lt = s"graft_bk_lineitem_$tag"
+      graft.etl.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_cents")),
+        ot, "o_orderkey", 16)
+      graft.etl.Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("l_cents")),
+        lt, "o_orderkey", 16)
+      (ot, lt)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single hash aggregate, map-side combine
     "q_eng_pricing_summary" -> ((s, d) =>
@@ -625,6 +653,30 @@ object EngineQueries {
           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
         .orderBy("p_brand")),
+
+    // bucketed-table layout, gated end-to-end (r11 verdict #1): orders
+    // and lineitem are WRITTEN bucketed+sorted on orderkey (once per
+    // session/SF — the write is the memoized shared build), then the
+    // gated query is the read-back join + keyed aggregation, which plans
+    // ZERO ShuffleExchangeExec (BucketingSpec pins it against the
+    // 2-exchange unbucketed negative control): scan → zero-shuffle SMJ
+    // over pre-sorted buckets → partial-free hash agg on the same key →
+    // TakeOrderedAndProject. The oracle replays the identical join over
+    // the raw parquet, so equality also proves the bucketed write is
+    // lossless. All money pre-quantized to integer cents; top-20 orders
+    // by line revenue, tie-broken on key.
+    "q_eng_bucketed_join" -> ((s, d) => {
+      val (ot, lt) = ensureBucketed(s, d)
+      graft.etl.Bucketing.readBucketed(s, ot)
+        .join(graft.etl.Bucketing.readBucketed(s, lt), "o_orderkey")
+        .groupBy(col("o_orderkey"))
+        .agg(max(col("o_cents")).as("o_cents"),
+          count(lit(1)).as("n_items"),
+          sum(col("qty")).as("sum_qty"),
+          sum(col("l_cents")).as("sum_cents"))
+        .orderBy(col("sum_cents").desc, col("o_orderkey"))
+        .limit(20)
+    }),
 
     // HLL approximate distinct vs exact, asserted within 5% in-plan —
     // the boolean invariant is the cross-engine-checkable part
@@ -2373,6 +2425,23 @@ object EngineQueries {
                  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand ORDER BY p_brand""",
+
+    // replays the bucketed join over the RAW parquet tables — equality
+    // proves the bucketed write+read round-trip is lossless and the
+    // zero-exchange plan computes the plain join's answer
+    "q_eng_bucketed_join" ->
+      """WITH j AS (
+           SELECT o.o_orderkey,
+                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS oc,
+                  CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty,
+                  CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS lc
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+         SELECT o_orderkey, CAST(max(oc) AS BIGINT) AS o_cents,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(qty) AS BIGINT) AS sum_qty,
+                CAST(sum(lc) AS BIGINT) AS sum_cents
+         FROM j GROUP BY o_orderkey
+         ORDER BY sum_cents DESC, o_orderkey LIMIT 20""",
 
     "q_eng_asof_join" ->
       """WITH cfg AS (

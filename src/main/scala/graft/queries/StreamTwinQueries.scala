@@ -30,6 +30,80 @@ import org.apache.spark.sql.functions._
   */
 object StreamTwinQueries {
 
+  /** Micro-batch count of the most recent [[runStreamExec]] — the
+    * multi-batch proof StreamExecGateSpec pins (≥ 2 means the windowed
+    * state really accumulated ACROSS micro-batches, not in one). */
+  @volatile var lastStreamBatches: Long = 0L
+
+  // one true streaming execution per (session, sfDir) — the sink dir is
+  // the memo value; Bench's untimed warmup pays the run like every other
+  // shared build
+  private val streamExecDone =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Execute a REAL Structured Streaming query over the events fixture
+    * (r11 verdict #6 — the q_stream_* rows gate batch twins of the shared
+    * folds; this drives the streaming EXECUTION path itself): the events
+    * table is split into 4 time-ranged parquet files, read back through
+    * `readStream` with `maxFilesPerTrigger = 1` (→ 4 genuine micro-batches
+    * under `Trigger.AvailableNow`), aggregated into epoch-aligned 6 h
+    * tumbling windows in COMPLETE output mode (state accumulates across
+    * batches; no watermark, so the final emission is split-invariant —
+    * exactly the property that lets a plain GROUP BY oracle gate a
+    * streaming run), and committed through a checkpointed foreachBatch
+    * parquet sink. Returns the sink dir holding the LAST batch's full
+    * aggregate. At 100 TB the same topology is the incremental-ingest
+    * standing query: file-source backlog drained in bounded batches,
+    * keyed state merged per batch, sink overwritten transactionally. */
+  private def runStreamExec(s: SparkSession, d: String): String =
+    streamExecDone.getOrElseUpdate((System.identityHashCode(s), d), {
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val base = s"/tmp/graft_stream_exec_$tag"
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = math.max(1L, (hi - lo) / 4L + 1L)
+      // oldest range first: sequential appends give the file source its
+      // arrival order (complete mode makes the RESULT order-independent;
+      // the ordering just makes each micro-batch a realistic increment)
+      for (k <- 0L until 4L) {
+        ev.where(unix_micros(col("ts")) >= lo + k * step &&
+            unix_micros(col("ts")) < lo + (k + 1) * step)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val agg = stream
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("wstart_us"),
+          col("event_type"), col("n_events"))
+      var batches = 0L
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          batches += 1
+          df.write.mode("overwrite").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastStreamBatches = batches
+      outDir
+    })
+
   // 6 h session gap in exact integer microseconds (the events fixture's
   // per-user inter-arrival is ~hours, so this yields real multi-event
   // sessions AND real breaks at every SF).
@@ -121,6 +195,17 @@ object StreamTwinQueries {
           Tables.events(s, d), windowLen = "6 hours", watermarkDelay = "1 hour")
         .select(unix_micros(col("window_start")).as("wstart_us"),
           col("event_type"), col("n_events"))
+        .orderBy("wstart_us", "event_type")),
+
+    // The streaming EXECUTION gate (not a twin): runStreamExec drives a
+    // real checkpointed StreamingQuery — 4 micro-batches over time-ranged
+    // files, complete-mode windowed state accumulated across them,
+    // foreachBatch parquet sink — and this row reads the sink back. The
+    // oracle is the plain windowed GROUP BY: equality proves the
+    // micro-batch execution path (source backlog planning, cross-batch
+    // state merge, sink commit) computes the batch answer.
+    "q_stream_exec_windowed" -> ((s, d) =>
+      s.read.parquet(runStreamExec(s, d))
         .orderBy("wstart_us", "event_type")),
 
     // Last-writer-wins upsert readout: Upsert.keepLatest — the EXACT
@@ -236,6 +321,13 @@ object StreamTwinQueries {
     },
 
     "q_stream_windowed_counts" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS wstart_us,
+                event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY wstart_us, event_type""",
+
+    // identical readout: the streaming execution must land exactly the
+    // batch windowed counts (no watermark → no split-dependent drops)
+    "q_stream_exec_windowed" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS wstart_us,
                 event_type, CAST(count(*) AS BIGINT) AS n_events
          FROM events GROUP BY 1, 2 ORDER BY wstart_us, event_type""",

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -45,6 +45,15 @@ import java.nio.charset.StandardCharsets
   *     applies the arity rule before projection, so row counts never
   *     change with the column list (spec-pinned).
   */
+object GdeltTsv {
+  /** Driver-side handle on the most recent scan's row-skip accumulator —
+    * the observability hook GdeltTsvSpec pins pushed-filter skip counts
+    * through (the accumulator itself is also named in the Spark UI). */
+  @volatile private[sources] var lastSkipAccumulator:
+    Option[org.apache.spark.util.LongAccumulator] = None
+  def lastSkippedRows: Option[Long] = lastSkipAccumulator.map(_.value)
+}
+
 class GdeltTsv extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gdelt-tsv"
 
@@ -69,19 +78,107 @@ private[sources] class GdeltTsvTable(path: String) extends Table with SupportsRe
 }
 
 private[sources] class GdeltTsvScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = Gdelt.rawSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GdeltTsvScan(path, required)
+  /** Filter pushdown on the date-int columns (Day / Year / MonthYear —
+    * the reference's `_DATE_INT_COLS`, the columns every date-ranged
+    * convert/scan predicates on): supported filters are evaluated in the
+    * reader on the RAW tab-split fields, before any UTF8String or
+    * InternalRow is built — a date-ranged scan over a year of files
+    * skips materialization of every out-of-range row. Contract is the
+    * Parquet discipline: ALL filters are also returned as post-scan
+    * residuals, so Spark re-evaluates them and correctness never rests
+    * on the source's comparison semantics (the reader's UTF8String
+    * binary compare matches Spark's string ordering — spec-pinned — but
+    * the residual makes that a performance fact, not a correctness
+    * dependency). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GdeltTsvFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GdeltTsvScan(path, required, pushed)
 }
 
-private[sources] class GdeltTsvScan(path: String, required: StructType)
-    extends Scan with Batch {
+/** Pushable-filter vocabulary + compiler for [[GdeltTsvScanBuilder]]. */
+private[sources] object GdeltTsvFilters {
+  /** Only the three date-int columns: their values are fixed-width digit
+    * strings in every GDELT file, so binary string order IS numeric
+    * order and a pushed range skips exactly the right rows. */
+  private val pushable: Set[String] = Set("Day", "Year", "MonthYear")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => pushable(a) && v.isInstanceOf[String]
+    case GreaterThan(a, v) => pushable(a) && v.isInstanceOf[String]
+    case GreaterThanOrEqual(a, v) => pushable(a) && v.isInstanceOf[String]
+    case LessThan(a, v) => pushable(a) && v.isInstanceOf[String]
+    case LessThanOrEqual(a, v) => pushable(a) && v.isInstanceOf[String]
+    case In(a, vs) => pushable(a) && vs.nonEmpty &&
+      vs.forall(_.isInstanceOf[String])
+    case IsNull(a) => pushable(a)
+    case IsNotNull(a) => pushable(a)
+    case _ => false
+  }
+
+  /** Compile the pushed filters to one predicate over the raw tab-split
+    * fields (empty / absent field = SQL NULL, comparisons on NULL are
+    * unknown → row skipped — the engine's own filter semantics).
+    * UTF8String.compareTo is Spark's binary string order, so the reader
+    * agrees with the residual Filter bit-for-bit. */
+  def compile(filters: Array[Filter]): Array[String] => Boolean = {
+    def ord(a: String): Int = Gdelt.columns.indexOf(a)
+    def fieldAt(fields: Array[String], i: Int): String =
+      if (i >= fields.length || fields(i).isEmpty) null else fields(i)
+    def cmp(s: String, v: String): Int =
+      UTF8String.fromString(s).compareTo(UTF8String.fromString(v))
+    val preds: Array[Array[String] => Boolean] = filters.map {
+      case EqualTo(a, v: String) =>
+        val i = ord(a); (fs: Array[String]) =>
+          { val s = fieldAt(fs, i); s != null && cmp(s, v) == 0 }
+      case GreaterThan(a, v: String) =>
+        val i = ord(a); (fs: Array[String]) =>
+          { val s = fieldAt(fs, i); s != null && cmp(s, v) > 0 }
+      case GreaterThanOrEqual(a, v: String) =>
+        val i = ord(a); (fs: Array[String]) =>
+          { val s = fieldAt(fs, i); s != null && cmp(s, v) >= 0 }
+      case LessThan(a, v: String) =>
+        val i = ord(a); (fs: Array[String]) =>
+          { val s = fieldAt(fs, i); s != null && cmp(s, v) < 0 }
+      case LessThanOrEqual(a, v: String) =>
+        val i = ord(a); (fs: Array[String]) =>
+          { val s = fieldAt(fs, i); s != null && cmp(s, v) <= 0 }
+      case In(a, vs) =>
+        val i = ord(a)
+        val set = vs.collect { case s: String => s }.toSet
+        (fs: Array[String]) =>
+          { val s = fieldAt(fs, i); s != null && set.contains(s) }
+      case IsNull(a) =>
+        val i = ord(a); (fs: Array[String]) => fieldAt(fs, i) == null
+      case IsNotNull(a) =>
+        val i = ord(a); (fs: Array[String]) => fieldAt(fs, i) != null
+      case other =>
+        throw new IllegalStateException(s"unsupported pushed filter $other")
+    }
+    fs => {
+      var i = 0
+      var ok = true
+      while (ok && i < preds.length) { ok = preds(i)(fs); i += 1 }
+      ok
+    }
+  }
+}
+
+private[sources] class GdeltTsvScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GdeltTsv $path ReadSchema: ${required.catalogString}"
+    s"GdeltTsv $path ReadSchema: ${required.catalogString} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   // resolved lazily on the driver; not serialized to executors
   @transient private lazy val hadoopConf =
@@ -113,18 +210,29 @@ private[sources] class GdeltTsvScan(path: String, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // resolve required columns to their TSV field ordinals once, on the
-    // driver; the factory ships only the int array + the Hadoop conf
+    // driver; the factory ships only the int array + the pushed filters
+    // + the Hadoop conf
     val ordinals = required.fieldNames.map(Gdelt.columns.indexOf)
     require(ordinals.forall(_ >= 0),
       s"gdelt-tsv: unknown columns ${required.fieldNames.mkString(",")}")
-    new GdeltTsvReaderFactory(ordinals, new SerializableHadoopConf(hadoopConf))
+    // row-skip ledger: a named LongAccumulator so the pushdown's work is
+    // observable (Spark UI + the companion hook the spec pins row-skip
+    // counts through); created per scan on the driver, merged from every
+    // partition reader
+    val acc = SparkSession.active.sparkContext
+      .longAccumulator("gdelt-tsv pushed-filter row skips")
+    GdeltTsv.lastSkipAccumulator = Some(acc)
+    new GdeltTsvReaderFactory(ordinals, new SerializableHadoopConf(hadoopConf),
+      pushed, acc)
   }
 }
 
 private[sources] case class GdeltTsvPartition(file: String) extends InputPartition
 
 private[sources] class GdeltTsvReaderFactory(ordinals: Array[Int],
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf, pushed: Array[Filter],
+    skips: org.apache.spark.util.LongAccumulator)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GdeltTsvPartition].file
     new PartitionReader[InternalRow] {
@@ -132,6 +240,9 @@ private[sources] class GdeltTsvReaderFactory(ordinals: Array[Int],
       private val in = new BufferedReader(new InputStreamReader(
         hp.getFileSystem(conf.value).open(hp), StandardCharsets.UTF_8))
       private var row: InternalRow = _
+      // compiled once per partition reader, on the executor
+      private val keep: Array[String] => Boolean =
+        if (pushed.isEmpty) null else GdeltTsvFilters.compile(pushed)
 
       override def next(): Boolean = {
         var line = in.readLine()
@@ -145,11 +256,15 @@ private[sources] class GdeltTsvReaderFactory(ordinals: Array[Int],
           if (line.nonEmpty) {
             val fields = line.split("\t", -1)
             if (fields.length <= Gdelt.columns.length) {
-              row = InternalRow.fromSeq(ordinals.map { i =>
-                if (i >= fields.length || fields(i).isEmpty) null
-                else UTF8String.fromString(fields(i))
-              }.toIndexedSeq)
-              return true
+              // pushed-filter row skip happens HERE — before a single
+              // UTF8String or InternalRow is built for the row
+              if (keep == null || keep(fields)) {
+                row = InternalRow.fromSeq(ordinals.map { i =>
+                  if (i >= fields.length || fields(i).isEmpty) null
+                  else UTF8String.fromString(fields(i))
+                }.toIndexedSeq)
+                return true
+              } else skips.add(1L)
             }
           }
           line = in.readLine()

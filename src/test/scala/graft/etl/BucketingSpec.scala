@@ -46,6 +46,21 @@ class BucketingSpec extends SparkSpec {
       s"bucketed aggregation planned ${shuffles(agg)} exchanges")
   }
 
+  test("gated q_eng_bucketed_join plans ZERO exchanges end-to-end") {
+    // the oracle-gated row itself (r11 verdict #1), pinned on the same
+    // broadcast-disabled AQE-off session so zero exchanges can only come
+    // from the bucketed layout: scan → SMJ → same-key agg → top-k, with
+    // no ShuffleExchangeExec anywhere and no per-task sort ahead of the
+    // join (the sortBy-baked buckets stream pre-sorted runs)
+    val df = graft.SparkEntry.queries("q_eng_bucketed_join")(s, sf)
+    assert(shuffles(df) == 0,
+      s"gated bucketed join planned ${shuffles(df)} exchanges:\n" +
+        df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(df.count() == 20L)
+  }
+
   test("negative control: the identical unbucketed join shuffles both sides") {
     val o = graft.Tables.orders(s, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

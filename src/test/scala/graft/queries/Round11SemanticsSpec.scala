@@ -13,7 +13,7 @@ class Round11SemanticsSpec extends SparkSpec {
     val n = emb.count()
     val m = math.max(1L, java.lang.Long.highestOneBit(n / 250L))
     emb.select(col("vec_id"))
-      .where(conv(substring(md5(concat(lit("decon:"), col("vec_id"))), 1, 4),
+      .where(conv(substring(md5(concat(lit("decon:"), col("vec_id"))), 1, 13),
         16, 10).cast("long") % m === 0)
       .collect().map(_.getLong(0)).toSet
   }
@@ -62,7 +62,9 @@ class Round11SemanticsSpec extends SparkSpec {
   test("prefix_filter stratum: sampled branch matches an independent md5") {
     // force the >cap branch at fixture scale (cap = 0) and verify the
     // engine's sample predicate against a JVM-side MessageDigest md5 —
-    // the arithmetic the sf1 gate rides (16-bit md5 prefix mod m)
+    // the arithmetic the sf1 gate rides (52-bit md5 prefix mod m; 13
+    // hex nibbles so the modulus can't saturate before m = 2^52,
+    // ADVICE r11)
     import spark.implicits._
     val raw = (1L to 200L).grouped(2).map(g => (g(0), g(1))).toSeq
     val pairs = raw.toDF("ida", "idb")
@@ -72,8 +74,8 @@ class Round11SemanticsSpec extends SparkSpec {
     def jvmInSample(id: Long): Boolean = {
       val dig = java.security.MessageDigest.getInstance("MD5")
         .digest(s"pfx:$id".getBytes("UTF-8"))
-      val hex4 = dig.take(2).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex4, 16) % m == 0
+      val hex13 = dig.take(7).map(b => f"$b%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex13, 16) % m == 0
     }
     val got = DedupQueries.prefixProofStratum(pairs, n, cap = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -85,6 +87,44 @@ class Round11SemanticsSpec extends SparkSpec {
     // identity below the cap
     assert(DedupQueries.prefixProofStratum(pairs, n, cap = 10000L)
       .count() == raw.size.toLong)
+  }
+
+  test("profile_sketch: NULL n_chars rows stay out of the sample (both engines)") {
+    // ADVICE r11: the oracle's bottom-k CTE admitted NULL-n_chars rows
+    // into the 256-slot sample (the aggregate skips them), silently
+    // green because fixtures carry zero nulls. This fixture has nulls:
+    // lang "aa" mixes values and nulls (sample = non-null rows only),
+    // lang "zz" is ALL null (engine emits an empty-sample zeros row;
+    // the oracle LEFT JOIN + coalesce must mirror it). The expected
+    // quantiles replay the oracle's rank reads over the NULL-FILTERED
+    // sample in plain Scala.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("profnull").toString
+    val rows =
+      (1L to 40L).map(i => (i, s"t$i", "aa", "s",
+        if (i % 4 == 0L) None else Some(i * 10L))) ++
+      (41L to 44L).map(i => (i, s"t$i", "zz", "s", None: Option[Long]))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_eng_profile_sketch")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out.keySet == Set("aa", "zz"))
+    val aa = out("aa")
+    val aaVals = rows.filter(_._3 == "aa").flatMap(_._5)
+    assert(aa.getAs[Long]("n") == 40L)
+    assert(aa.getAs[Long]("n_nulls") == 10L)
+    // oracle replay: all 30 non-null rows fit in k = 256, so the sample
+    // is exact and rank p reads sorted((m-1)*p DIV 100)
+    val sorted = aaVals.sorted
+    def exact(p: Int) = sorted(((sorted.size - 1) * p) / 100)
+    assert(Seq("q25", "q50", "q75", "q90").map(aa.getAs[Long]) ==
+      Seq(exact(25), exact(50), exact(75), exact(90)))
+    val zz = out("zz")
+    assert(zz.getAs[Long]("n") == 4L && zz.getAs[Long]("n_nulls") == 4L)
+    assert(zz.isNullAt(zz.fieldIndex("min_val")) &&
+      zz.isNullAt(zz.fieldIndex("max_val")))
+    assert(Seq("q25", "q50", "q75", "q90").map(zz.getAs[Long]) ==
+      Seq(0L, 0L, 0L, 0L), "empty sample must read as zeros")
   }
 
   test("profile_sketch: quantile ordering, bounds, exactness below k") {

@@ -91,4 +91,68 @@ class GdeltTsvSpec extends SparkSpec {
     assert(glob.select("GlobalEventID").as[String].collect().sorted.toSeq ==
       plain.select("GlobalEventID").as[String].collect().sorted.toSeq)
   }
+
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+
+  test("date-int filter pushdown: plan shows pushed filters, reader skips rows") {
+    // r11 verdict #5: a Day range on the custom source must reach the
+    // reader and skip row materialization. Two out-of-range rows (ids
+    // 1,2 @ 20130401) are skipped PRE-materialization — the named
+    // accumulator counts exactly them; the null-padded "short" row
+    // (Day = "row") survives the binary-order compare, matching the
+    // CSV path's string semantics row for row.
+    val v2 = spark.read.format("gdelt-tsv").load(dir)
+      .where(col("Day") >= "20130402")
+    val plan = scanDesc(v2)
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(Day,20130402)"),
+      s"expected the Day range in PushedFilters, got:\n$plan")
+    val got = v2.select("GlobalEventID").as[String].collect().sorted.toSeq
+    assert(got == Seq("3", "5", "short"))
+    assert(GdeltTsv.lastSkippedRows.contains(2L),
+      s"expected 2 pre-materialization row skips, got ${GdeltTsv.lastSkippedRows}")
+    // CSV-reader baseline under the identical predicate, minus the
+    // over-length row id 4 where the two malformation contracts
+    // deliberately diverge (the CSV parser's DROPMALFORMED is
+    // projection-dependent — documented in the row-for-row test above)
+    val v1 = graft.etl.Convert.readRawTsv(spark,
+        Seq(s"$dir/a.tsv", s"$dir/b.tsv"))
+      .where(col("Day") >= "20130402" && col("GlobalEventID") =!= "4")
+      .select("GlobalEventID").as[String].collect().sorted.toSeq
+    assert(got == v1)
+  }
+
+  test("pushdown vocabulary: non-date columns stay residual-only") {
+    val df = spark.read.format("gdelt-tsv").load(dir)
+      .where(col("Actor1Name") === "actor1" && col("Day") === "20130401")
+    val plan = scanDesc(df)
+    assert(plan.contains("EqualTo(Day,20130401)"),
+      s"Day equality should push:\n$plan")
+    assert(!plan.contains("EqualTo(Actor1Name"),
+      s"Actor1Name must not enter PushedFilters:\n$plan")
+    assert(df.select("GlobalEventID").as[String].collect().toSeq == Seq("1"))
+  }
+
+  test("pushed IN-list and null-semantics match the residual filter") {
+    val df = spark.read.format("gdelt-tsv").load(dir)
+      .where(col("Day").isin("20130401", "20130403"))
+    assert(scanDesc(df).contains("In(Day"))
+    assert(df.select("GlobalEventID").as[String].collect().sorted.toSeq ==
+      Seq("1", "2"))
+    // a NULL Day never satisfies a pushed range (SQL unknown → skipped):
+    // the short row's Day is non-null here, so build one with a null Day
+    val d2 = JFiles.createTempDirectory("graft_dsv2_null").toString
+    val fields = Gdelt.columns.map {
+      case "GlobalEventID" => "9"
+      case "Day" => "" // empty field reads as SQL NULL
+      case c => c
+    }
+    JFiles.write(Paths.get(d2, "n.tsv"),
+      fields.mkString("\t").getBytes)
+    val nulls = spark.read.format("gdelt-tsv").load(d2)
+    assert(nulls.where(col("Day") >= "0").count() == 0L)
+    assert(nulls.where(col("Day").isNull).count() == 1L)
+  }
 }
