@@ -20,6 +20,18 @@ object Bench {
       // bucketed-layout queries saveAsTable; keep the warehouse out of
       // the repo working tree
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
+      // Shuffle-partition sizing across SFs (r11 verdict #2): a fixed 32
+      // partitions makes each task's window/join buffer 10× bigger at the
+      // 10× fixtures — at sf1mut that blew an 8 GB heap (heap OOM in
+      // ExternalAppendOnlyUnsafeRowArray under 32 concurrent fat tasks).
+      // With AQE on, shuffles START at 8×cpus partitions and the runtime
+      // coalescer merges them back to the advisory size wherever data is
+      // small — per-task working sets shrink with corpus growth instead
+      // of growing linearly. This is the cluster discipline ("size
+      // shuffle partitions so partitions fit in executor memory"), not a
+      // local hack.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (8 * cpus.toInt).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, parquet reader, shuffle + window
@@ -119,6 +131,17 @@ object Bench {
       }
     }
     var results = scala.collection.immutable.ListMap.empty[String, Double]
+    // Memo lifetime bound (r11 verdict #2): after each query, age the
+    // shared-memo registry and release memos no query touched for the
+    // last `memoAge` queries — the whole-suite union of cached memos
+    // (signatures + postings + n-grams + pair tables) does not fit an
+    // 8 GB heap at sf1mut, and nothing needs it to: family reuse is
+    // temporally local in suite order. An evicted memo a later query
+    // still wants is rebuilt during that query's UNTIMED warmup (timed
+    // rows stay post-memo); rebuild seconds accumulate in shared_builds.
+    val memoAge = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_MEMO_AGE", "25").toInt).getOrElse(25)
+    var evicted = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -133,6 +156,8 @@ object Bench {
               medians += (name -> med)
             }
         }
+        graft.queries.QueryCaches.tick()
+        evicted ++= graft.queries.QueryCaches.evictStale(memoAge)
       }
     // ACT on the load labels, don't just record them (r8 verdict: the
     // committed map shipped 12.35 s for a verified-1.65 s query with only
@@ -277,9 +302,12 @@ object Bench {
       driftRetried.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val driftFlaggedJson =
       driftFlagged.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    // memo keys released by the age bound during the run (possibly with
+    // repeats if a rebuilt memo aged out again) — the working-set ledger
+    val memoEvictedJson = evicted.map(jstr).mkString("[", ",", "]")
     val statName = if (keepMedian) "median" else "min"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"medians":${jmap(medians.toSeq.sortBy(_._1))},"stat":${jstr(statName)},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax, "retry_threshold" -> loadThreshold))},"shared_builds":${jmap(sharedBuilds.toSeq.sortBy(_._1))},"retried":$retried,"retried_kept":$retriedKeptJson,"drift_retried":$driftRetriedJson,"drift_flagged":$driftFlaggedJson,"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"full_queries":${jmap(results.toSeq.sortBy(_._1))},"medians":${jmap(medians.toSeq.sortBy(_._1))},"stat":${jstr(statName)},"errors":${jerrs(errors)},"load":${jmap(loads.toSeq.sortBy(_._1))},"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax, "retry_threshold" -> loadThreshold))},"shared_builds":${jmap(sharedBuilds.toSeq.sortBy(_._1))},"retried":$retried,"retried_kept":$retriedKeptJson,"drift_retried":$driftRetriedJson,"drift_flagged":$driftFlaggedJson,"memo_evicted":$memoEvictedJson,"total":${f3(total)},"n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"retried":$retried,"drift_retried":${driftRetried.size},"drift_flagged":$driftFlaggedJson,"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")

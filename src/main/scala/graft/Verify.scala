@@ -21,6 +21,11 @@ object Verify {
       // bucketed-layout queries saveAsTable; keep the warehouse out of
       // the repo working tree
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_verify")
+      // scale-adaptive shuffle sizing + bounded memo lifetime — rationale
+      // in Bench.scala (r11 verdict #2): per-task working sets must not
+      // grow linearly with the fixture
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (8 * cpus.toInt).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -40,6 +45,8 @@ object Verify {
         status(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${status(name)}")
       }
+      graft.queries.QueryCaches.tick()
+      graft.queries.QueryCaches.evictStale(25)
     }
     graft.queries.QueryCaches.clear()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
