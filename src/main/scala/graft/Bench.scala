@@ -24,14 +24,18 @@ object Bench {
       // partitions makes each task's window/join buffer 10× bigger at the
       // 10× fixtures — at sf1mut that blew an 8 GB heap (heap OOM in
       // ExternalAppendOnlyUnsafeRowArray under 32 concurrent fat tasks).
-      // With AQE on, shuffles START at 8×cpus partitions and the runtime
-      // coalescer merges them back to the advisory size wherever data is
-      // small — per-task working sets shrink with corpus growth instead
-      // of growing linearly. This is the cluster discipline ("size
-      // shuffle partitions so partitions fit in executor memory"), not a
-      // local hack.
+      // With AQE on, shuffles START at ~one partition per input MB
+      // (clamped to [cpus, 8×cpus]) and the runtime coalescer merges them
+      // back to the advisory size wherever data is small — per-task
+      // working sets stay bounded as the corpus grows. Scaling the
+      // INITIAL count with the data, not a constant, matters both ways:
+      // a flat 8×cpus was measured +9% median per-query at sf0.1 (and 3×
+      // on the per-round BFS loops — 256 tasks of scheduling per tiny
+      // iteration), while cpus alone OOMs sf1mut; size to the data, like
+      // a cluster job sizes to its scan.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (8 * cpus.toInt).toString)
+        graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
+          .toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, parquet reader, shuffle + window
@@ -139,8 +143,18 @@ object Bench {
     // temporally local in suite order. An evicted memo a later query
     // still wants is rebuilt during that query's UNTIMED warmup (timed
     // rows stay post-memo); rebuild seconds accumulate in shared_builds.
+    // The valve opens on the SAME data-size signal as partition sizing:
+    // when the fixture is small enough that initialPartitions clamps to
+    // cpus, the whole memo union fits a default heap (the r11 sf0.1 pair
+    // proved it at 212 s) and eviction would only pay rebuilds — so the
+    // age bound engages only past that size.
     val memoAge = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_MEMO_AGE", "25").toInt).getOrElse(25)
+      sys.env.get("SPARK_GRAFT_MEMO_AGE").map(_.toInt)).toOption.flatten
+      .getOrElse {
+        if (graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
+            > cpus.toInt) 25
+        else Int.MaxValue / 2
+      }
     var evicted = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -22,10 +22,11 @@ object Verify {
       // the repo working tree
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_verify")
       // scale-adaptive shuffle sizing + bounded memo lifetime — rationale
-      // in Bench.scala (r11 verdict #2): per-task working sets must not
-      // grow linearly with the fixture
+      // in Bench.scala / PartitionSizing (r11 verdict #2): per-task
+      // working sets must not grow linearly with the fixture
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (8 * cpus.toInt).toString)
+        graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
+          .toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -34,6 +35,12 @@ object Verify {
     // skip it (the round-6 fixture break shipped exactly this way). The
     // ledger makes absence itself an auditable failure.
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    // memo lifetime valve — engages only when the fixture is big enough
+    // to need partition scaling (rationale in Bench.scala)
+    val memoAge =
+      if (graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
+          > cpus.toInt) 25
+      else Int.MaxValue / 2
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -46,7 +53,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${status(name)}")
       }
       graft.queries.QueryCaches.tick()
-      graft.queries.QueryCaches.evictStale(25)
+      graft.queries.QueryCaches.evictStale(memoAge)
     }
     graft.queries.QueryCaches.clear()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

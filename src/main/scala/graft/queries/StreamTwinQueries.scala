@@ -60,7 +60,9 @@ object StreamTwinQueries {
       val tag = java.lang.Long.toHexString(
         java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
           .getMostSignificantBits)
-      val base = s"/tmp/graft_stream_exec_$tag"
+      // per-process component: two JVMs gating the same fixture (a bench
+      // and a verify run side by side) must not share a sink/checkpoint
+      val base = s"/tmp/graft_stream_exec_${ProcessHandle.current().pid()}_$tag"
       val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
