@@ -5,6 +5,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val warehouseDir =
+      s"/tmp/graft_warehouse_bench_${ProcessHandle.current().pid()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,8 +20,10 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "524288")
       .config("spark.ui.enabled", "false")
       // bucketed-layout queries saveAsTable; keep the warehouse out of
-      // the repo working tree
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
+      // the repo working tree; per-PID so two bench JVMs on the same
+      // fixture never race on DROP + recursive delete of shared table
+      // dirs (the discipline runStreamExec's sink paths already follow)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       // Shuffle-partition sizing across SFs (r11 verdict #2): a fixed 32
       // partitions makes each task's window/join buffer 10× bigger at the
       // 10× fixtures — at sf1mut that blew an 8 GB heap (heap OOM in
@@ -326,6 +330,9 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"retried":$retried,"drift_retried":${driftRetried.size},"drift_flagged":$driftFlaggedJson,"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
+    // the per-PID warehouse is run-scoped scratch — remove it so repeated
+    // runs don't accumulate /tmp debris
+    graft.util.Scratch.deleteRecursively(warehouseDir)
     // a non-zero failed count must be visible even if only the exit status
     // survives log truncation
     if (errors.nonEmpty) {

@@ -11,6 +11,8 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warehouseDir =
+      s"/tmp/graft_warehouse_verify_${ProcessHandle.current().pid()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +22,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // bucketed-layout queries saveAsTable; keep the warehouse out of
       // the repo working tree
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_verify")
+      // the repo working tree; per-PID so side-by-side verify JVMs never
+      // race on the same table dirs (see Bench)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       // scale-adaptive shuffle sizing + bounded memo lifetime — rationale
       // in Bench.scala / PartitionSizing (r11 verdict #2): per-task
       // working sets must not grow linearly with the fixture
@@ -81,5 +85,8 @@ object Verify {
     else
       System.err.println(s"[verify] all ${status.size} queries dumped ok")
     spark.stop()
+    // the per-PID warehouse is run-scoped scratch — remove it so repeated
+    // runs don't accumulate /tmp debris
+    graft.util.Scratch.deleteRecursively(warehouseDir)
   }
 }

@@ -38,8 +38,11 @@ object StreamTwinQueries {
   // one true streaming execution per (session, sfDir) — the sink dir is
   // the memo value; Bench's untimed warmup pays the run like every other
   // shared build
+  // keyed on the session reference (not identity hash — see
+  // EngineQueries.bucketedTables): a recycled hash must never hand a new
+  // session a sink it didn't run
   private val streamExecDone =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Execute a REAL Structured Streaming query over the events fixture
     * (r11 verdict #6 — the q_stream_* rows gate batch twins of the shared
@@ -56,7 +59,7 @@ object StreamTwinQueries {
     * standing query: file-source backlog drained in bounded batches,
     * keyed state merged per batch, sink overwritten transactionally. */
   private def runStreamExec(s: SparkSession, d: String): String =
-    streamExecDone.getOrElseUpdate((System.identityHashCode(s), d), {
+    streamExecDone.getOrElseUpdate((s, d), {
       val tag = java.lang.Long.toHexString(
         java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
           .getMostSignificantBits)

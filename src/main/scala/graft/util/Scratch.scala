@@ -1,0 +1,17 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Best-effort local scratch cleanup for per-PID run directories
+  * (warehouses, stream sinks). Failures are swallowed: scratch removal
+  * must never fail a run that already produced its artifacts. */
+object Scratch {
+  def deleteRecursively(dir: String): Unit =
+    try {
+      val p: Path = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+}

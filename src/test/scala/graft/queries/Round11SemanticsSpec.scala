@@ -123,6 +123,11 @@ class Round11SemanticsSpec extends SparkSpec {
     assert(zz.getAs[Long]("n") == 4L && zz.getAs[Long]("n_nulls") == 4L)
     assert(zz.isNullAt(zz.fieldIndex("min_val")) &&
       zz.isNullAt(zz.fieldIndex("max_val")))
+    // getAs[Long] would unbox a NULL to 0L and silently pass — assert
+    // non-null FIRST so this pins actual zeros, not nulls (ADVICE r12)
+    for (q <- Seq("q25", "q50", "q75", "q90"))
+      assert(!zz.isNullAt(zz.fieldIndex(q)),
+        s"$q must be a real zero, not NULL")
     assert(Seq("q25", "q50", "q75", "q90").map(zz.getAs[Long]) ==
       Seq(0L, 0L, 0L, 0L), "empty sample must read as zeros")
   }
