@@ -13,7 +13,6 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 
 /** DataSource V2 reader for the reference's raw GDELT event TSV files
@@ -27,11 +26,14 @@ import java.nio.charset.StandardCharsets
   *
   *   - **schema injection, never inference** — the table reports the fixed
   *     61-column schema without reading a byte;
-  *   - **one InputPartition per file** — Spark schedules files across the
-  *     cluster exactly like its built-in file sources (at 100 TB the
-  *     parallelism is the file count; a production connector adds offset
-  *     splits for giant files, per-file is the correct unit here because
-  *     GDELT ships many ~MB daily files);
+  *   - **one InputPartition per file, line-aligned offset splits past
+  *     128 MB** — Spark schedules files across the cluster exactly like
+  *     its built-in file sources; a giant historical file splits into
+  *     byte ranges (Hadoop LineRecordReader ownership convention) so a
+  *     single multi-GB yearly archive never serializes onto one task;
+  *   - **file-level pruning from filename periods** — a pushed
+  *     Day/Year/MonthYear range drops whole files at planning time when
+  *     the filename's period can't overlap (see [[GdeltTsvPrune]]);
   *   - **column pruning at PARSE time** (SupportsPushDownRequiredColumns):
   *     a `select(Day)` materializes one UTF8String per row, not 61 — the
   *     `ReadSchema` in `.explain` shrinks accordingly, which is the
@@ -52,6 +54,18 @@ object GdeltTsv {
   @volatile private[sources] var lastSkipAccumulator:
     Option[org.apache.spark.util.LongAccumulator] = None
   def lastSkippedRows: Option[Long] = lastSkipAccumulator.map(_.value)
+
+  /** File-level pruning ledger of the most recent scan's planning pass:
+    * (files kept, files pruned by filename period). Driver-side — set in
+    * planInputPartitions; the spec pins that a date-ranged scan PLANS
+    * fewer files, not just skips their rows. */
+  @volatile var lastFilesPlanned: Long = 0L
+  @volatile var lastFilesPruned: Long = 0L
+
+  /** Split files larger than this into line-aligned offset ranges (one
+    * reader task per range). Matches Spark's file-source default split
+    * size; override per-read with `.option("maxSplitBytes", n)`. */
+  val DefaultMaxSplitBytes: Long = 128L * 1024 * 1024
 }
 
 class GdeltTsv extends TableProvider with DataSourceRegister {
@@ -74,10 +88,13 @@ private[sources] class GdeltTsvTable(path: String) extends Table with SupportsRe
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GdeltTsvScanBuilder(path)
+    new GdeltTsvScanBuilder(path,
+      options.getLong("maxSplitBytes", GdeltTsv.DefaultMaxSplitBytes),
+      options.getBoolean("filenamePruning", true))
 }
 
-private[sources] class GdeltTsvScanBuilder(path: String)
+private[sources] class GdeltTsvScanBuilder(path: String, maxSplitBytes: Long,
+    filenamePruning: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = Gdelt.rawSchema
@@ -101,7 +118,8 @@ private[sources] class GdeltTsvScanBuilder(path: String)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GdeltTsvScan(path, required, pushed)
+  override def build(): Scan =
+    new GdeltTsvScan(path, required, pushed, maxSplitBytes, filenamePruning)
 }
 
 /** Pushable-filter vocabulary + compiler for [[GdeltTsvScanBuilder]]. */
@@ -172,8 +190,64 @@ private[sources] object GdeltTsvFilters {
   }
 }
 
+/** File-level pruning from GDELT filename periods (r12 verdict #2): the
+  * archive's own layout carries each file's date coverage in its name
+  * (reference scraper.py:128-168 — daily `YYYYMMDD.export.CSV`, monthly
+  * `YYYYMM`, yearly `YYYY`), so a pushed Day/Year/MonthYear range can
+  * skip WHOLE FILES at planning time — on a year-partitioned 100 TB
+  * archive this is the dominant win: a one-month scan opens ~30 daily
+  * files instead of ~3600, before a single task launches.
+  *
+  * Contract: pruning trusts the layout — a file named for a period is
+  * assumed to contain only rows of that period (the same trust Hive
+  * partition pruning places in directory names). Rows violating the
+  * naming contract (malformed Day fields in a well-named file) can be
+  * planned away; `.option("filenamePruning", false)` restores
+  * open-every-file behavior for untrusted layouts. Files with
+  * unparseable names are never pruned. */
+private[sources] object GdeltTsvPrune {
+  /** Per-column inclusive [lo, hi] digit-string bounds implied by the
+    * filename's period; None when the name carries no period. Fixed-width
+    * digit strings compare binary = numeric, the same property the
+    * row-level pushdown relies on. */
+  def bounds(fileName: String): Option[Map[String, (String, String)]] =
+    Files.parseFileDate(graft.etl.Convert.fileZipName(fileName)).map {
+      case (ds, de) =>
+        val f = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+        val (lo, hi) = (ds.format(f), de.format(f))
+        Map("Day" -> (lo, hi),
+          "MonthYear" -> (lo.take(6), hi.take(6)),
+          "Year" -> (lo.take(4), hi.take(4)))
+    }
+
+  /** True iff some pushed conjunct is provably unsatisfiable on the
+    * file's bounds. Null-semantics filters (IsNull/IsNotNull) never
+    * prune — the filename says nothing about per-row nullness. */
+  def prunable(filters: Array[Filter],
+               b: Map[String, (String, String)]): Boolean =
+    filters.exists {
+      case EqualTo(a, v: String) =>
+        b.get(a).exists { case (lo, hi) => v < lo || v > hi }
+      case GreaterThan(a, v: String) =>
+        b.get(a).exists { case (_, hi) => hi <= v }
+      case GreaterThanOrEqual(a, v: String) =>
+        b.get(a).exists { case (_, hi) => hi < v }
+      case LessThan(a, v: String) =>
+        b.get(a).exists { case (lo, _) => lo >= v }
+      case LessThanOrEqual(a, v: String) =>
+        b.get(a).exists { case (lo, _) => lo > v }
+      case In(a, vs) =>
+        b.get(a).exists { case (lo, hi) =>
+          val ss = vs.collect { case s: String => s }
+          ss.length == vs.length && ss.forall(v => v < lo || v > hi)
+        }
+      case _ => false
+    }
+}
+
 private[sources] class GdeltTsvScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], maxSplitBytes: Long, filenamePruning: Boolean)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -204,8 +278,34 @@ private[sources] class GdeltTsvScan(path: String, required: StructType,
     }
     if (files.isEmpty)
       throw new IllegalArgumentException(s"gdelt-tsv: no such path $path")
-    files.map(_.getPath.toString).distinct.sorted
-      .map(f => GdeltTsvPartition(f): InputPartition).toArray
+    val distinct = files.groupBy(_.getPath.toString).map(_._2.head)
+      .toSeq.sortBy(_.getPath.toString)
+    // file-level pruning BEFORE any task is planned: drop files whose
+    // filename period can't satisfy the pushed date conjunction
+    val (kept, pruned) =
+      if (filenamePruning && pushed.nonEmpty)
+        distinct.partition { st =>
+          !GdeltTsvPrune.bounds(st.getPath.getName)
+            .exists(GdeltTsvPrune.prunable(pushed, _))
+        }
+      else (distinct, Seq.empty[FileStatus])
+    GdeltTsv.lastFilesPlanned = kept.size.toLong
+    GdeltTsv.lastFilesPruned = pruned.size.toLong
+    // line-aligned offset splits past the threshold (r12 verdict #7): a
+    // single multi-GB historical file must not serialize onto one task.
+    // Ownership follows the Hadoop LineRecordReader convention — a split
+    // owns every line STARTING in (start, start+length] (first split:
+    // [0, length]); the reader seeks, discards the first partial line
+    // when start > 0, and reads one line past its end — so results are
+    // split-invariant byte for byte.
+    require(maxSplitBytes > 0, s"need maxSplitBytes > 0, got $maxSplitBytes")
+    kept.flatMap { st =>
+      val f = st.getPath.toString
+      val len = st.getLen
+      if (len <= maxSplitBytes) Seq(GdeltTsvPartition(f, 0L, len))
+      else (0L until len by maxSplitBytes).map(off =>
+        GdeltTsvPartition(f, off, math.min(maxSplitBytes, len - off)))
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -227,33 +327,52 @@ private[sources] class GdeltTsvScan(path: String, required: StructType,
   }
 }
 
-private[sources] case class GdeltTsvPartition(file: String) extends InputPartition
+private[sources] case class GdeltTsvPartition(file: String, start: Long,
+    length: Long) extends InputPartition
 
 private[sources] class GdeltTsvReaderFactory(ordinals: Array[Int],
     conf: SerializableHadoopConf, pushed: Array[Filter],
     skips: org.apache.spark.util.LongAccumulator)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GdeltTsvPartition].file
+    val part = partition.asInstanceOf[GdeltTsvPartition]
     new PartitionReader[InternalRow] {
-      private val hp = new HPath(file)
-      private val in = new BufferedReader(new InputStreamReader(
-        hp.getFileSystem(conf.value).open(hp), StandardCharsets.UTF_8))
+      private val hp = new HPath(part.file)
+      private val stream = hp.getFileSystem(conf.value).open(hp)
+      // Hadoop's LineReader gives bytes-consumed per line — the split
+      // ownership bookkeeping a BufferedReader can't (UTF-8 chars ≠
+      // bytes). Terminator semantics match BufferedReader: LF, CR, CRLF
+      // all end a line and are excluded from the returned Text.
+      private val reader = {
+        if (part.start > 0) stream.seek(part.start)
+        new org.apache.hadoop.util.LineReader(stream)
+      }
+      private val text = new org.apache.hadoop.io.Text()
+      private val end = part.start + part.length
+      // position where the NEXT line starts; a split owns lines starting
+      // in (start, end] (first split [0, end]) — the seek+discard below
+      // and the `pos <= end` guard in next() implement exactly that
+      private var pos = part.start +
+        (if (part.start > 0) reader.readLine(text).toLong else 0L)
       private var row: InternalRow = _
       // compiled once per partition reader, on the executor
       private val keep: Array[String] => Boolean =
         if (pushed.isEmpty) null else GdeltTsvFilters.compile(pushed)
 
       override def next(): Boolean = {
-        var line = in.readLine()
-        while (line != null) {
+        while (pos <= end) {
+          val n = reader.readLine(text)
+          if (n == 0) return false // EOF
+          pos += n
           // -1 keeps trailing empty fields so the arity check is exact.
           // DROPMALFORMED parity with the CSV reader: EMPTY lines are
           // skipped (the CSV parser never emits a record for them), rows
           // with MORE fields than the schema are malformed and dropped;
           // SHORT rows null-pad (Spark's CSV parser only flags excess
           // tokens)
-          if (line.nonEmpty) {
+          if (text.getLength > 0) {
+            val line = new String(text.getBytes, 0, text.getLength,
+              StandardCharsets.UTF_8)
             val fields = line.split("\t", -1)
             if (fields.length <= Gdelt.columns.length) {
               // pushed-filter row skip happens HERE — before a single
@@ -267,13 +386,12 @@ private[sources] class GdeltTsvReaderFactory(ordinals: Array[Int],
               } else skips.add(1L)
             }
           }
-          line = in.readLine()
         }
         false
       }
 
       override def get(): InternalRow = row
-      override def close(): Unit = in.close()
+      override def close(): Unit = reader.close()
     }
   }
 }

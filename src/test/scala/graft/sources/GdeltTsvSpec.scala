@@ -135,6 +135,82 @@ class GdeltTsvSpec extends SparkSpec {
     assert(df.select("GlobalEventID").as[String].collect().toSeq == Seq("1"))
   }
 
+  test("filename-period pruning: a date-ranged scan plans fewer FILES") {
+    // r12 verdict #2: the archive layout carries each file's period in
+    // its name — a pushed Day range must drop whole files at planning
+    // time, before any task launches
+    val d = JFiles.createTempDirectory("graft_dsv2_prune").toString
+    def line(id: Long, day: String) = Gdelt.columns.map {
+      case "GlobalEventID" => id.toString
+      case "Day" => day
+      case c => s"$c-$id"
+    }.mkString("\t")
+    JFiles.write(Paths.get(d, "20130401.export.CSV"),
+      Seq(line(1, "20130401"), line(2, "20130401")).mkString("\n").getBytes)
+    JFiles.write(Paths.get(d, "20130403.export.CSV"),
+      Seq(line(3, "20130403")).mkString("\n").getBytes)
+    JFiles.write(Paths.get(d, "201305.csv"), // monthly period: May 2013
+      Seq(line(4, "20130515")).mkString("\n").getBytes)
+    JFiles.write(Paths.get(d, "noperiod.tsv"), // unparseable: never pruned
+      Seq(line(5, "20130520")).mkString("\n").getBytes)
+
+    val ranged = spark.read.format("gdelt-tsv").load(d)
+      .where(col("Day") >= "20130402" && col("Day") <= "20130430")
+    assert(ranged.select("GlobalEventID").as[String].collect().sorted.toSeq
+      == Seq("3"))
+    assert(GdeltTsv.lastFilesPruned == 2L, // 20130401 daily + 201305 monthly
+      s"expected 2 files pruned, got ${GdeltTsv.lastFilesPruned}")
+    assert(GdeltTsv.lastFilesPlanned == 2L, // 20130403 + the unparseable
+      s"expected 2 files planned, got ${GdeltTsv.lastFilesPlanned}")
+
+    // Year-level predicate prunes via the filename's year bounds too
+    val byYear = spark.read.format("gdelt-tsv").load(d)
+      .where(col("Year") === "2014")
+    assert(byYear.count() == 0L)
+    assert(GdeltTsv.lastFilesPruned == 3L && GdeltTsv.lastFilesPlanned == 1L)
+
+    // opt-out restores open-every-file behavior, identical results
+    val noprune = spark.read.format("gdelt-tsv")
+      .option("filenamePruning", "false").load(d)
+      .where(col("Day") >= "20130402" && col("Day") <= "20130430")
+    assert(noprune.select("GlobalEventID").as[String].collect().sorted.toSeq
+      == Seq("3"))
+    assert(GdeltTsv.lastFilesPruned == 0L && GdeltTsv.lastFilesPlanned == 4L)
+  }
+
+  test("offset splits: a giant file reads through >1 partition, results unchanged") {
+    // r12 verdict #7: past maxSplitBytes a file splits into line-aligned
+    // byte ranges (LineRecordReader ownership convention), so one
+    // multi-GB historical file never serializes onto a single task
+    val d = JFiles.createTempDirectory("graft_dsv2_split").toString
+    def line(id: Long) = Gdelt.columns.map {
+      case "GlobalEventID" => id.toString
+      case "Day" => "20130401"
+      case "Actor1Name" => if (id % 7 == 0) "" else s"actor$id"
+      case c => s"$c-$id"
+    }.mkString("\t")
+    val rows = (1L to 4000L).map(line)
+    JFiles.write(Paths.get(d, "big.tsv"), rows.mkString("\n").getBytes)
+    val whole = spark.read.format("gdelt-tsv").load(d)
+    val split = spark.read.format("gdelt-tsv")
+      .option("maxSplitBytes", "65536").load(d)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected >4 offset splits, got ${split.rdd.getNumPartitions}")
+    assert(split.count() == 4000L && whole.count() == 4000L)
+    // byte-identical row set across the split boundaries (ids are unique
+    // so a lost/duplicated boundary line can't cancel out)
+    val a = split.select("GlobalEventID").as[String].collect().sorted.toSeq
+    val b = whole.select("GlobalEventID").as[String].collect().sorted.toSeq
+    assert(a == b)
+    // null semantics and projection survive splitting
+    assert(split.where(col("Actor1Name").isNull).count() ==
+      whole.where(col("Actor1Name").isNull).count())
+    // pushed row-filters compose with splits
+    val f = split.where(col("Day") === "20130401")
+    assert(f.count() == 4000L)
+  }
+
   test("pushed IN-list and null-semantics match the residual filter") {
     val df = spark.read.format("gdelt-tsv").load(dir)
       .where(col("Day").isin("20130401", "20130403"))
