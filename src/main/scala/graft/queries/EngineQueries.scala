@@ -50,11 +50,20 @@ object EngineQueries {
     * columns are pre-quantized to integer cents AT WRITE so the bucketed
     * files carry longs only; 16 buckets at fixture scale — at corpus
     * scale size buckets to ~128–512 MB each (Bucketing Scaladoc). */
+  // keyed on the session REFERENCE (not its identity hash — hashes can
+  // recur after GC and hand a new session table names it never wrote);
+  // holding the reference pins the session alive exactly like
+  // QueryCaches.reg, which is the intended lifetime: memo dies with JVM
   private val bucketedTables =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
   private def ensureBucketed(s: SparkSession, d: String): (String, String) =
-    bucketedTables.getOrElseUpdate((System.identityHashCode(s), d), {
-      val tag = d.toLowerCase.filter(c => c.isLetterOrDigit).takeRight(24)
+    bucketedTables.getOrElseUpdate((s, d), {
+      // tag = hash of the FULL fixture path: a suffix-of-path tag mapped
+      // two dirs differing only in earlier segments/punctuation to one
+      // table name, silently repointing the first fixture's memo
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
       val ot = s"graft_bk_orders_$tag"
       val lt = s"graft_bk_lineitem_$tag"
       graft.etl.Bucketing.writeBucketed(
@@ -67,6 +76,28 @@ object EngineQueries {
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("l_cents")),
         lt, "o_orderkey", 16)
       (ot, lt)
+    })
+
+  /** 32-bucket lineitem twin for the bucket-count-evolution gate
+    * (q_eng_bucketed_join_coalesce): tables written in different eras
+    * carry different bucket counts, and `coalesceBucketsInJoin` folds the
+    * finer side down (32 → 16, a 2:1 read-side merge, no exchange)
+    * instead of re-shuffling either side — the contract Bucketing's
+    * Scaladoc promises ("or a multiple"). */
+  private val bucketedTables32 =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureBucketed32(s: SparkSession, d: String): String =
+    bucketedTables32.getOrElseUpdate((s, d), {
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val lt32 = s"graft_bk32_lineitem_$tag"
+      graft.etl.Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("l_cents")),
+        lt32, "o_orderkey", 32)
+      lt32
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -669,6 +700,30 @@ object EngineQueries {
       val (ot, lt) = ensureBucketed(s, d)
       graft.etl.Bucketing.readBucketed(s, ot)
         .join(graft.etl.Bucketing.readBucketed(s, lt), "o_orderkey")
+        .groupBy(col("o_orderkey"))
+        .agg(max(col("o_cents")).as("o_cents"),
+          count(lit(1)).as("n_items"),
+          sum(col("qty")).as("sum_qty"),
+          sum(col("l_cents")).as("sum_cents"))
+        .orderBy(col("sum_cents").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Bucket-count EVOLUTION (r12 verdict #3): the same join across
+    // tables bucketed at DIFFERENT counts (orders@16 ⋈ lineitem@32).
+    // With coalesceBucketsInJoin enabled, Catalyst folds the 32-bucket
+    // scan down to 16 at read time (each task reads 2 buckets of the
+    // finer table) — still ZERO ShuffleExchangeExec (BucketingSpec pins
+    // it), so a re-bucketed fact table keeps joining shuffle-free
+    // against older layouts during a live bucket-count migration. Same
+    // aggregate + oracle as q_eng_bucketed_join: equality also proves
+    // the coalesced read loses no rows.
+    "q_eng_bucketed_join_coalesce" -> ((s, d) => {
+      val (ot, _) = ensureBucketed(s, d)
+      val lt32 = ensureBucketed32(s, d)
+      s.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      graft.etl.Bucketing.readBucketed(s, ot)
+        .join(graft.etl.Bucketing.readBucketed(s, lt32), "o_orderkey")
         .groupBy(col("o_orderkey"))
         .agg(max(col("o_cents")).as("o_cents"),
           count(lit(1)).as("n_items"),
@@ -2430,6 +2485,22 @@ object EngineQueries {
     // proves the bucketed write+read round-trip is lossless and the
     // zero-exchange plan computes the plain join's answer
     "q_eng_bucketed_join" ->
+      """WITH j AS (
+           SELECT o.o_orderkey,
+                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS oc,
+                  CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty,
+                  CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS lc
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+         SELECT o_orderkey, CAST(max(oc) AS BIGINT) AS o_cents,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(qty) AS BIGINT) AS sum_qty,
+                CAST(sum(lc) AS BIGINT) AS sum_cents
+         FROM j GROUP BY o_orderkey
+         ORDER BY sum_cents DESC, o_orderkey LIMIT 20""",
+
+    // identical replay: the mixed-bucket-count (16 ⋈ 32, coalesced) join
+    // must land exactly the raw-parquet join's answer
+    "q_eng_bucketed_join_coalesce" ->
       """WITH j AS (
            SELECT o.o_orderkey,
                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS oc,
