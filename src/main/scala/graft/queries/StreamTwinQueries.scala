@@ -35,6 +35,15 @@ object StreamTwinQueries {
     * state really accumulated ACROSS micro-batches, not in one). */
   @volatile var lastStreamBatches: Long = 0L
 
+  /** Ledger of the most recent [[runStreamExecAppend]]: micro-batch
+    * count, total state rows EVICTED by the watermark (summed
+    * numRowsRemoved across progress reports — > 0 proves finalized
+    * windows actually left the store), and state rows still resident at
+    * termination (> 0 proves the unfinalized tail was withheld). */
+  @volatile var lastAppendBatches: Long = 0L
+  @volatile var lastAppendStateRemoved: Long = 0L
+  @volatile var lastAppendStateResident: Long = 0L
+
   // one true streaming execution per (session, sfDir) — the sink dir is
   // the memo value; Bench's untimed warmup pays the run like every other
   // shared build
@@ -106,6 +115,85 @@ object StreamTwinQueries {
         .start()
       q.awaitTermination()
       lastStreamBatches = batches
+      outDir
+    })
+
+  private val streamExecAppendDone =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The PRODUCTION streaming topology (r12 verdict #1): same 4
+    * micro-batch AvailableNow run as [[runStreamExec]], but through
+    * `withWatermark` + APPEND output mode — each window is emitted
+    * exactly once, when the watermark passes its end, and its state row
+    * is EVICTED from the store. Complete mode (the r12 gate) rewrites
+    * the whole result every batch and holds every window ever opened;
+    * append + watermark is the shape that runs forever at 100 TB:
+    * resident state = only the open windows inside the watermark
+    * horizon, sink writes are monotone appends of finalized rows.
+    *
+    * Determinism that lets a batch oracle gate it: the file source
+    * drains splits oldest-first, the final no-data micro-batch advances
+    * the watermark to (global max ts − delay), and Spark finalizes
+    * exactly the windows with `window.end <= watermark` (micros vs the
+    * ms-truncated watermark — WatermarkSupport's LessThanOrEqual). So
+    * the sink holds precisely the plain GROUP BY restricted below that
+    * threshold — expressible in DuckDB from the raw table alone. */
+  private def runStreamExecAppend(s: SparkSession, d: String): String =
+    streamExecAppendDone.getOrElseUpdate((s, d), {
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val base =
+        s"/tmp/graft_stream_append_${ProcessHandle.current().pid()}_$tag"
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = math.max(1L, (hi - lo) / 4L + 1L)
+      // oldest range first: append mode is ORDER-SENSITIVE in general
+      // (late rows behind the watermark drop) — sequential time-ranged
+      // splits model the archival-replay arrival order where nothing is
+      // late, so every row lands before its window finalizes
+      for (k <- 0L until 4L) {
+        ev.where(unix_micros(col("ts")) >= lo + k * step &&
+            unix_micros(col("ts")) < lo + (k + 1) * step)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("wstart_us"),
+          col("event_type"), col("n_events"))
+      var batches = 0L
+      val q = agg.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          batches += 1
+          // monotone append of finalized windows only — never rewritten
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastAppendBatches = batches
+      val progress = q.recentProgress
+      lastAppendStateRemoved = progress
+        .flatMap(p => p.stateOperators.map(_.numRowsRemoved)).sum
+      lastAppendStateResident = progress.lastOption
+        .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+        .getOrElse(0L)
       outDir
     })
 
@@ -211,6 +299,19 @@ object StreamTwinQueries {
     // state merge, sink commit) computes the batch answer.
     "q_stream_exec_windowed" -> ((s, d) =>
       s.read.parquet(runStreamExec(s, d))
+        .orderBy("wstart_us", "event_type")),
+
+    // The state-EVICTION gate (r12 verdict #1): runStreamExecAppend
+    // drives the same 4-micro-batch run through watermark + append mode;
+    // the sink accumulates each window exactly once, when the watermark
+    // finalizes it, and the oracle is the batch GROUP BY restricted to
+    // windows below the final watermark (max ts − 1 h, ms-truncated).
+    // Equality proves the production streaming shape — bounded state,
+    // monotone emission, watermark eviction — computes the right answer;
+    // StreamExecGateSpec additionally pins that state rows were REMOVED
+    // from the store and the unfinalized tail was withheld.
+    "q_stream_exec_append" -> ((s, d) =>
+      s.read.parquet(runStreamExecAppend(s, d))
         .orderBy("wstart_us", "event_type")),
 
     // Last-writer-wins upsert readout: Upsert.keepLatest — the EXACT
@@ -336,6 +437,21 @@ object StreamTwinQueries {
       """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS wstart_us,
                 event_type, CAST(count(*) AS BIGINT) AS n_events
          FROM events GROUP BY 1, 2 ORDER BY wstart_us, event_type""",
+
+    // append-mode replay: only windows FINALIZED by the final watermark
+    // (max event time, ms-truncated, minus the 1 h delay — Spark evicts
+    // window.end <= watermark, micros vs ms*1000) may appear in the sink
+    "q_stream_exec_append" ->
+      """WITH wm AS (
+           SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us
+           FROM events)
+         SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS wstart_us,
+                event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM events, wm
+         WHERE (epoch_us(ts) // 21600000000) * 21600000000 + 21600000000
+                 <= wm.wm_us
+         GROUP BY 1, 2
+         ORDER BY wstart_us, event_type""",
 
     "q_stream_upsert_latest" ->
       """WITH r AS (

@@ -27,4 +27,42 @@ class StreamExecGateSpec extends SparkSpec {
     val b = SparkEntry.queries("q_stream_exec_windowed")(spark, sf).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("append gate: watermark finalizes windows once and EVICTS their state") {
+    // r12 verdict #1 — the production streaming shape: append output +
+    // watermark. The sink must hold exactly the finalized windows (each
+    // once), the store must have REMOVED rows (eviction really ran), and
+    // the unfinalized tail must be withheld (resident state > 0, sink
+    // strictly smaller than the no-watermark batch answer).
+    val emitted = SparkEntry.queries("q_stream_exec_append")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(graft.queries.StreamTwinQueries.lastAppendBatches >= 2L,
+      "append gate must run >= 2 micro-batches, saw " +
+        graft.queries.StreamTwinQueries.lastAppendBatches)
+    assert(graft.queries.StreamTwinQueries.lastAppendStateRemoved > 0L,
+      "watermark eviction must remove finalized windows from the store")
+    assert(graft.queries.StreamTwinQueries.lastAppendStateResident > 0L,
+      "the unfinalized tail (windows above the final watermark) must " +
+        "still be resident at termination, not emitted")
+    // each window exactly once (monotone append, no complete-mode rewrite)
+    assert(emitted.map(t => (t._1, t._2)).distinct.size == emitted.size,
+      "append sink must emit each (window, type) exactly once")
+    // equality with the batch GROUP BY below the final watermark, strict
+    // subset of the full batch answer
+    val full = SparkEntry.queries("q_stream_windowed_counts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val maxUs = graft.Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")))).head().getLong(0)
+    val wmUs = (maxUs / 1000L - 3600000L) * 1000L
+    val expected = full.filter(_._1 + 21600000000L <= wmUs)
+    assert(emitted.nonEmpty && emitted == expected,
+      "append sink diverged from the finalized-window batch restriction")
+    assert(emitted.size < full.size,
+      "the window containing max(ts) can never finalize — sink must be " +
+        "a strict subset of the batch answer")
+  }
 }
