@@ -175,6 +175,9 @@ object Bench {
             }
         }
         graft.queries.QueryCaches.tick()
+        // pressure valve first (storage-memory high-water → aggressive
+        // age-0-ish eviction), fixed age bound as the fallback
+        evicted ++= graft.queries.QueryCaches.evictOnPressure(spark)
         evicted ++= graft.queries.QueryCaches.evictStale(memoAge)
       }
     // ACT on the load labels, don't just record them (r8 verdict: the

@@ -57,6 +57,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${status(name)}")
       }
       graft.queries.QueryCaches.tick()
+      // pressure valve first, fixed age bound as fallback (see Bench)
+      graft.queries.QueryCaches.evictOnPressure(spark)
       graft.queries.QueryCaches.evictStale(memoAge)
     }
     graft.queries.QueryCaches.clear()

@@ -58,6 +58,38 @@ object QueryCaches {
     stale.map(_._3).sorted
   }
 
+  // —— pressure valve (r12 verdict #4) ————————————————————————————
+  // A fixed age bound is the fallback discipline; the signal a shared
+  // cluster actually cares about is STORAGE-MEMORY pressure: when cached
+  // blocks approach the storage pool's capacity, evicting our oldest
+  // memos beats letting the block manager drop arbitrary blocks (it
+  // evicts LRU *blocks*, stranding half-cached memos that then recompute
+  // per partition instead of once).
+
+  /** Fraction of executor storage memory in use, summed across the
+    * cluster (local mode: the one block manager). 0.0 when the metric is
+    * unavailable — the valve then simply never opens and the age bound
+    * rules alone. */
+  def storageUsedFraction(s: SparkSession): Double = {
+    val st = s.sparkContext.getExecutorMemoryStatus.values
+    val max = st.iterator.map(_._1).sum.toDouble
+    val rem = st.iterator.map(_._2).sum.toDouble
+    if (max <= 0) 0.0 else math.max(0.0, 1.0 - rem / max)
+  }
+
+  /** Evict aggressively when storage pressure crosses `highWater`: every
+    * memo older than `keepYoung` ticks goes (the current family's newest
+    * memos survive, so the running query keeps its working set). Returns
+    * the released keys; Nil when the valve stays closed. `usedFraction`
+    * is injectable so specs can drive the pressure path without actually
+    * filling executor storage — the production reading is one standard
+    * SparkContext call. */
+  def evictOnPressure(s: SparkSession, highWater: Double = 0.75,
+      keepYoung: Int = 3,
+      usedFraction: SparkSession => Double = storageUsedFraction)
+      : Seq[String] =
+    if (usedFraction(s) > highWater) evictStale(keepYoung) else Nil
+
   /** Memoized cached DataFrame: builds + caches on first use per
     * (session, sfDir, key), returns the identical instance afterwards.
     *

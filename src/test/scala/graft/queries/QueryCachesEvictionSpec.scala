@@ -34,4 +34,37 @@ class QueryCachesEvictionSpec extends SparkSpec {
     assert(QueryCaches.sharedBuilds.keys.exists(_.startsWith("evict_a@")))
     QueryCaches.clear()
   }
+
+  test("pressure valve: high storage-water evicts aggressively, low water is a no-op") {
+    // r12 verdict #4 — the memory-pressure path, driven via the
+    // injectable reading (the production signal is one SparkContext
+    // call, asserted sane below)
+    QueryCaches.clear()
+    import spark.implicits._
+    var builds = 0
+    def memoOld() = QueryCaches.memo(spark, "/tmp/press_sf", "press_old") {
+      builds += 1; Seq(1).toDF("x")
+    }
+    def memoNew() = QueryCaches.memo(spark, "/tmp/press_sf", "press_new") {
+      Seq(2).toDF("y")
+    }
+    memoOld()
+    for (_ <- 1 to 5) { QueryCaches.tick(); memoNew() }
+    // valve closed: nothing goes, however stale (NB: calling memoOld()
+    // here would touch it and reset its age — assert via the ledger)
+    assert(QueryCaches.evictOnPressure(spark, highWater = 0.75,
+      keepYoung = 0, usedFraction = _ => 0.10) == Nil,
+      "closed valve must not evict")
+    // valve open: everything older than keepYoung goes, the fresh memo
+    // survives (the running family keeps its working set)
+    val released = QueryCaches.evictOnPressure(spark, highWater = 0.75,
+      keepYoung = 3, usedFraction = _ => 0.90)
+    assert(released == Seq("press_old"), s"expected press_old, got $released")
+    val n = memoNew(); assert(n eq memoNew(), "young memo must survive the valve")
+    memoOld(); assert(builds == 2, "evicted memo rebuilds on demand")
+    // the production reading is sane on a live session
+    val f = QueryCaches.storageUsedFraction(spark)
+    assert(f >= 0.0 && f <= 1.0, s"storage fraction out of range: $f")
+    QueryCaches.clear()
+  }
 }
