@@ -73,7 +73,11 @@ class AqePlanShapeSpec extends SparkSpec {
     ("q_eng_waiting_supplier", 4, Nil),
     // the bucketed-layout flagship: zero exchanges EVEN under AQE —
     // adaptive re-planning respects the catalog bucket distribution
-    ("q_eng_bucketed_join", 0, Nil)
+    ("q_eng_bucketed_join", 0, Nil),
+    // bucket-count evolution (16 ⋈ 32 coalesced): the zero-exchange
+    // shape must survive AQE too — runtime re-planning keeps the
+    // read-side bucket coalescing instead of inserting an exchange
+    ("q_eng_bucketed_join_coalesce", 0, Nil)
   )
 
   for ((name, budget, pruned) <- pins) {
