@@ -333,9 +333,10 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"retried":$retried,"drift_retried":${driftRetried.size},"drift_flagged":$driftFlaggedJson,"load_summary":${jmap(Seq("start" -> loadStart, "end" -> loadEnd, "max" -> loadMax))},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
-    // the per-PID warehouse is run-scoped scratch — remove it so repeated
-    // runs don't accumulate /tmp debris
+    // the per-PID warehouse and streaming scratch are run-scoped —
+    // remove them so repeated runs don't accumulate /tmp debris
     graft.util.Scratch.deleteRecursively(warehouseDir)
+    graft.queries.StreamTwinQueries.cleanupScratch()
     // a non-zero failed count must be visible even if only the exit status
     // survives log truncation
     if (errors.nonEmpty) {

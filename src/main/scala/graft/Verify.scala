@@ -87,8 +87,9 @@ object Verify {
     else
       System.err.println(s"[verify] all ${status.size} queries dumped ok")
     spark.stop()
-    // the per-PID warehouse is run-scoped scratch — remove it so repeated
-    // runs don't accumulate /tmp debris
+    // the per-PID warehouse and streaming scratch are run-scoped —
+    // remove them so repeated runs don't accumulate /tmp debris
     graft.util.Scratch.deleteRecursively(warehouseDir)
+    graft.queries.StreamTwinQueries.cleanupScratch()
   }
 }

@@ -53,6 +53,22 @@ object StreamTwinQueries {
   private val streamExecDone =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // every per-PID scratch base this process created (split inputs,
+  // sinks, checkpoints), for end-of-run removal
+  private val scratchBases =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Best-effort removal of this process's streaming scratch dirs and
+    * the memos pointing into them. Invalidates the gate memos — call
+    * only when no more queries will run (Bench/Verify do, after their
+    * suite, next to the warehouse cleanup). */
+  def cleanupScratch(): Unit = {
+    scratchBases.keys.foreach(graft.util.Scratch.deleteRecursively)
+    scratchBases.clear()
+    streamExecDone.clear()
+    streamExecAppendDone.clear()
+  }
+
   /** Execute a REAL Structured Streaming query over the events fixture
     * (r11 verdict #6 — the q_stream_* rows gate batch twins of the shared
     * folds; this drives the streaming EXECUTION path itself): the events
@@ -75,6 +91,7 @@ object StreamTwinQueries {
       // per-process component: two JVMs gating the same fixture (a bench
       // and a verify run side by side) must not share a sink/checkpoint
       val base = s"/tmp/graft_stream_exec_${ProcessHandle.current().pid()}_$tag"
+      scratchBases.put(base, ())
       val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -145,6 +162,7 @@ object StreamTwinQueries {
           .getMostSignificantBits)
       val base =
         s"/tmp/graft_stream_append_${ProcessHandle.current().pid()}_$tag"
+      scratchBases.put(base, ())
       val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)

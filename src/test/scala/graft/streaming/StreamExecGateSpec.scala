@@ -65,4 +65,18 @@ class StreamExecGateSpec extends SparkSpec {
       "the window containing max(ts) can never finalize — sink must be " +
         "a strict subset of the batch answer")
   }
+
+  test("cleanupScratch removes this process's streaming scratch dirs") {
+    // last test on purpose: the earlier gate runs created the per-PID
+    // scratch; cleanup (what Bench/Verify call at exit) must remove it
+    // and nothing else, and invalidate the memos with it
+    val pid = ProcessHandle.current().pid()
+    def mine() = Option(new java.io.File("/tmp").listFiles()).get
+      .filter(f => f.getName.startsWith(s"graft_stream_exec_${pid}_") ||
+        f.getName.startsWith(s"graft_stream_append_${pid}_")).toSeq
+    assert(mine().nonEmpty, "expected live scratch from the earlier gate runs")
+    graft.queries.StreamTwinQueries.cleanupScratch()
+    assert(mine().isEmpty,
+      s"scratch left behind: ${mine().map(_.getName).mkString(", ")}")
+  }
 }
