@@ -21,7 +21,6 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "524288")
       .config("spark.ui.enabled", "false")
       // bucketed-layout queries saveAsTable; keep the warehouse out of
-      // the repo working tree
       // the repo working tree; per-PID so side-by-side verify JVMs never
       // race on the same table dirs (see Bench)
       .config("spark.sql.warehouse.dir", warehouseDir)

@@ -58,12 +58,7 @@ object EngineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
   private def ensureBucketed(s: SparkSession, d: String): (String, String) =
     bucketedTables.getOrElseUpdate((s, d), {
-      // tag = hash of the FULL fixture path: a suffix-of-path tag mapped
-      // two dirs differing only in earlier segments/punctuation to one
-      // table name, silently repointing the first fixture's memo
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
-          .getMostSignificantBits)
+      val tag = graft.util.PathTag.tag(d)
       val ot = s"graft_bk_orders_$tag"
       val lt = s"graft_bk_lineitem_$tag"
       graft.etl.Bucketing.writeBucketed(
@@ -88,9 +83,7 @@ object EngineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def ensureBucketed32(s: SparkSession, d: String): String =
     bucketedTables32.getOrElseUpdate((s, d), {
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
-          .getMostSignificantBits)
+      val tag = graft.util.PathTag.tag(d)
       val lt32 = s"graft_bk32_lineitem_$tag"
       graft.etl.Bucketing.writeBucketed(
         Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
@@ -721,6 +714,12 @@ object EngineQueries {
     "q_eng_bucketed_join_coalesce" -> ((s, d) => {
       val (ot, _) = ensureBucketed(s, d)
       val lt32 = ensureBucketed32(s, d)
+      // set WITHOUT restore, deliberately: physical planning is lazy (the
+      // caller executes the returned DataFrame after this lambda exits,
+      // so a finally-restore would plan the query with the flag OFF), and
+      // the flag is inert everywhere else — CoalesceBucketsInJoin only
+      // fires on a join of two bucketed tables with DIFFERENT counts,
+      // which exists in this suite only via ensureBucketed32, i.e. here
       s.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
       graft.etl.Bucketing.readBucketed(s, ot)
         .join(graft.etl.Bucketing.readBucketed(s, lt32), "o_orderkey")

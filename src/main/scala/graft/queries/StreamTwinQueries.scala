@@ -67,7 +67,41 @@ object StreamTwinQueries {
     scratchBases.clear()
     streamExecDone.clear()
     streamExecAppendDone.clear()
+    splitInputDone.clear()
   }
+
+  /** One 4-way time-ranged parquet split of the events fixture per
+    * (session, sfDir) — the shared micro-batch backlog BOTH streaming
+    * gates drain (they differ only in watermark/output-mode/sink, so
+    * writing the split twice just scanned events five extra times per
+    * suite). Oldest range first: sequential file order gives the file
+    * source its arrival order — complete mode is order-invariant, and
+    * append mode sees no late rows (nothing arrives behind the
+    * watermark), which is exactly the archival-replay arrival model. */
+  private val splitInputDone =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureSplitInput(s: SparkSession, d: String): String =
+    splitInputDone.getOrElseUpdate((s, d), {
+      val base = s"/tmp/graft_stream_in_${ProcessHandle.current().pid()}_" +
+        graft.util.PathTag.tag(d)
+      scratchBases.put(base, ())
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = math.max(1L, (hi - lo) / 4L + 1L)
+      for (k <- 0L until 4L) {
+        ev.where(unix_micros(col("ts")) >= lo + k * step &&
+            unix_micros(col("ts")) < lo + (k + 1) * step)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      s"$base/in"
+    })
 
   /** Execute a REAL Structured Streaming query over the events fixture
     * (r11 verdict #6 — the q_stream_* rows gate batch twins of the shared
@@ -85,32 +119,16 @@ object StreamTwinQueries {
     * keyed state merged per batch, sink overwritten transactionally. */
   private def runStreamExec(s: SparkSession, d: String): String =
     streamExecDone.getOrElseUpdate((s, d), {
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
-          .getMostSignificantBits)
       // per-process component: two JVMs gating the same fixture (a bench
       // and a verify run side by side) must not share a sink/checkpoint
-      val base = s"/tmp/graft_stream_exec_${ProcessHandle.current().pid()}_$tag"
+      val base = s"/tmp/graft_stream_exec_${ProcessHandle.current().pid()}_" +
+        graft.util.PathTag.tag(d)
       scratchBases.put(base, ())
-      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      val (outDir, ckpt) = (s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts"))
-      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).head()
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val step = math.max(1L, (hi - lo) / 4L + 1L)
-      // oldest range first: sequential appends give the file source its
-      // arrival order (complete mode makes the RESULT order-independent;
-      // the ordering just makes each micro-batch a realistic increment)
-      for (k <- 0L until 4L) {
-        ev.where(unix_micros(col("ts")) >= lo + k * step &&
-            unix_micros(col("ts")) < lo + (k + 1) * step)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      val inDir = ensureSplitInput(s, d)
       val stream = s.readStream
         .schema(s.read.parquet(inDir).schema)
         .option("maxFilesPerTrigger", "1")
@@ -157,32 +175,15 @@ object StreamTwinQueries {
     * threshold — expressible in DuckDB from the raw table alone. */
   private def runStreamExecAppend(s: SparkSession, d: String): String =
     streamExecAppendDone.getOrElseUpdate((s, d), {
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
-          .getMostSignificantBits)
       val base =
-        s"/tmp/graft_stream_append_${ProcessHandle.current().pid()}_$tag"
+        s"/tmp/graft_stream_append_${ProcessHandle.current().pid()}_" +
+          graft.util.PathTag.tag(d)
       scratchBases.put(base, ())
-      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      val (outDir, ckpt) = (s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts"))
-      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).head()
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val step = math.max(1L, (hi - lo) / 4L + 1L)
-      // oldest range first: append mode is ORDER-SENSITIVE in general
-      // (late rows behind the watermark drop) — sequential time-ranged
-      // splits model the archival-replay arrival order where nothing is
-      // late, so every row lands before its window finalizes
-      for (k <- 0L until 4L) {
-        ev.where(unix_micros(col("ts")) >= lo + k * step &&
-            unix_micros(col("ts")) < lo + (k + 1) * step)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      val inDir = ensureSplitInput(s, d)
       val stream = s.readStream
         .schema(s.read.parquet(inDir).schema)
         .option("maxFilesPerTrigger", "1")

@@ -10,8 +10,13 @@ object Scratch {
   def deleteRecursively(dir: String): Unit =
     try {
       val p: Path = Paths.get(dir)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      if (Files.exists(p)) {
+        // Files.walk holds open DirectoryStream handles until closed —
+        // close explicitly so repeated cleanups don't accumulate fds
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+        finally walk.close()
+      }
     } catch { case _: Throwable => () }
 }

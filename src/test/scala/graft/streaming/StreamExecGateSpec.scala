@@ -67,14 +67,17 @@ class StreamExecGateSpec extends SparkSpec {
   }
 
   test("cleanupScratch removes this process's streaming scratch dirs") {
-    // last test on purpose: the earlier gate runs created the per-PID
-    // scratch; cleanup (what Bench/Verify call at exit) must remove it
-    // and nothing else, and invalidate the memos with it
+    // cleanup (what Bench/Verify call at exit) must remove the per-PID
+    // scratch and nothing else, and invalidate the memos with it.
+    // Self-sufficient: runs a gate first, so the test also passes in
+    // isolation (-z), not only after the earlier tests in suite order
+    SparkEntry.queries("q_stream_exec_windowed")(spark, sf).collect()
     val pid = ProcessHandle.current().pid()
     def mine() = Option(new java.io.File("/tmp").listFiles()).get
       .filter(f => f.getName.startsWith(s"graft_stream_exec_${pid}_") ||
-        f.getName.startsWith(s"graft_stream_append_${pid}_")).toSeq
-    assert(mine().nonEmpty, "expected live scratch from the earlier gate runs")
+        f.getName.startsWith(s"graft_stream_append_${pid}_") ||
+        f.getName.startsWith(s"graft_stream_in_${pid}_")).toSeq
+    assert(mine().nonEmpty, "expected live scratch from the gate run")
     graft.queries.StreamTwinQueries.cleanupScratch()
     assert(mine().isEmpty,
       s"scratch left behind: ${mine().map(_.getName).mkString(", ")}")
