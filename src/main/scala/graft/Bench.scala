@@ -337,6 +337,7 @@ object Bench {
     // remove them so repeated runs don't accumulate /tmp debris
     graft.util.Scratch.deleteRecursively(warehouseDir)
     graft.queries.StreamTwinQueries.cleanupScratch()
+    graft.queries.ParityQueries.cleanupScratch()
     // a non-zero failed count must be visible even if only the exit status
     // survives log truncation
     if (errors.nonEmpty) {

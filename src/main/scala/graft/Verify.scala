@@ -90,5 +90,6 @@ object Verify {
     // remove them so repeated runs don't accumulate /tmp debris
     graft.util.Scratch.deleteRecursively(warehouseDir)
     graft.queries.StreamTwinQueries.cleanupScratch()
+    graft.queries.ParityQueries.cleanupScratch()
   }
 }

@@ -38,6 +38,73 @@ object ParityQueries {
   private def dsl(df: DataFrame, json: String) =
     df.where(FilterDsl.toColumn(json, df.columns.toSeq))
 
+  // —— the DSv2 connector's own gate (round 13) ————————————————————
+  // GdeltTsvSpec pins the connector's mechanics (pruning, splits, filter
+  // pushdown, malformation parity); this memo gives it an ORACLE row
+  // too: the events fixture is materialized as a daily-named GDELT TSV
+  // archive (one `YYYYMMDD.export.CSV` per day — the reference's own
+  // layout, scraper.py:128-168), and q_gdelt_tsv_scan reads it back
+  // through `spark.read.format("gdelt-tsv")` with a pushed Day range, so
+  // filename FILE pruning, line-aligned offset splits, parse-time column
+  // pruning, and row-level pushdown all sit in a hash-gated path.
+  private val gdeltTsvDone =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val gdeltScratch =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Remove this process's generated-TSV scratch and invalidate the
+    * memos into it (Bench/Verify call at exit, like the streaming one). */
+  def cleanupScratch(): Unit = {
+    gdeltScratch.keys.foreach(graft.util.Scratch.deleteRecursively)
+    gdeltScratch.clear()
+    gdeltTsvDone.clear()
+  }
+
+  private def ensureGdeltTsv(s: SparkSession, d: String): String =
+    gdeltTsvDone.getOrElseUpdate((s, d), {
+      val base = s"/tmp/graft_gdelt_tsv_${ProcessHandle.current().pid()}_" +
+        graft.util.PathTag.tag(d)
+      gdeltScratch.put(base, ())
+      val hp = new org.apache.hadoop.fs.Path(base)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      // 61-column TSV line per event: the date-int columns derive from
+      // ts exactly as the oracle's strftime does; unused columns empty
+      val cols: Seq[org.apache.spark.sql.Column] =
+        graft.schema.Gdelt.columns.map {
+          case "GlobalEventID" => col("event_id").cast("string")
+          case "Day"           => date_format(col("ts"), "yyyyMMdd")
+          case "MonthYear"     => date_format(col("ts"), "yyyyMM")
+          case "Year"          => date_format(col("ts"), "yyyy")
+          case "Actor1Name"    => col("event_type")
+          case "NumMentions"   => col("user_id").cast("string")
+          case _               => lit("")
+        }
+      val staged = s"$base/staged"
+      // one distributed pass: hash-repartition on the day so each day's
+      // rows land in exactly one task → exactly one text file per
+      // partition dir (required below); day count is ~30 per fixture
+      ev(s, d)
+        .select(date_format(col("ts"), "yyyyMMdd").as("day"),
+          concat_ws("\t", cols: _*).as("value"))
+        .repartition(col("day"))
+        .write.partitionBy("day").text(staged)
+      // driver-side rename to the archive naming the connector's file
+      // pruning parses: day=YYYYMMDD/part-* → in/YYYYMMDD.export.CSV
+      val inDir = new org.apache.hadoop.fs.Path(s"$base/in")
+      fs.mkdirs(inDir)
+      for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+           if st.isDirectory && st.getPath.getName.startsWith("day=")) {
+        val parts = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"expected one file per day dir, got ${parts.length} in ${st.getPath}")
+        fs.rename(parts.head.getPath, new org.apache.hadoop.fs.Path(inDir,
+          s"${st.getPath.getName.stripPrefix("day=")}.export.CSV"))
+      }
+      s"$base/in"
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P5: scalar equality via the JSON DSL
     "q_filter_eq" -> ((s, d) =>
@@ -175,6 +242,34 @@ object ParityQueries {
         SampleOrder.By(Seq(col("event_id"))))
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")),
+
+    // The DSv2 connector end-to-end (round 13): scan the generated
+    // daily-named TSV archive through `gdelt-tsv` with a pushed 15-day
+    // Day range — filename pruning drops ~half the files at planning
+    // time, 64 KB offset splits engage on every kept file, parse-time
+    // projection materializes 4 of 61 columns, and the pushed range
+    // skips residual rows pre-InternalRow. The oracle recomputes the
+    // aggregate from the events parquet alone (the TSV derivation is
+    // deterministic: Day = strftime '%Y%m%d'), so equality proves the
+    // whole source path — naming, pruning, splitting, parsing — is
+    // lossless. Bounds derive from min(ts), not literals, so the row
+    // gates unchanged at every SF.
+    "q_gdelt_tsv_scan" -> ((s, d) => {
+      val dir = ensureGdeltTsv(s, d)
+      val r = ev(s, d).agg(
+        date_format(date_add(min(to_date(col("ts"))), 7), "yyyyMMdd").as("lo"),
+        date_format(date_add(min(to_date(col("ts"))), 21), "yyyyMMdd").as("hi"))
+        .head()
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      s.read.format("gdelt-tsv").option("maxSplitBytes", "65536").load(dir)
+        .where(col("Day") >= lo && col("Day") <= hi)
+        .groupBy(col("Day").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("GlobalEventID")).as("n_ids"),
+          min(col("Actor1Name")).as("first_type"),
+          max(col("NumMentions").cast("long")).as("max_user"))
+        .orderBy("day")
+    }),
 
     // F2 in-plan: GDELT-style integer-date handling — YYYYMMDD ints parsed
     // to dates, month-end via last_day (the reference does this driver-side
@@ -490,6 +585,22 @@ object ParityQueries {
                  (PARTITION BY event_type ORDER BY event_id) AS rn
                FROM events)
          WHERE rn <= 50 ORDER BY event_id""",
+
+    // replays the TSV derivation from the events parquet alone: same
+    // strftime day classification, same 15-day window off min(ts)
+    "q_gdelt_tsv_scan" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+            e AS (SELECT strftime(ts, '%Y%m%d') AS day, CAST(ts AS DATE) AS dt,
+                         event_id, event_type, user_id
+                  FROM events)
+         SELECT day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+                min(event_type) AS first_type,
+                CAST(max(user_id) AS BIGINT) AS max_user
+         FROM e, b
+         WHERE e.dt >= b.d0 + 7 AND e.dt <= b.d0 + 21
+         GROUP BY day ORDER BY day""",
 
     "q_gdelt_dates" ->
       """SELECT event_id,

@@ -211,6 +211,20 @@ class GdeltTsvSpec extends SparkSpec {
     assert(f.count() == 4000L)
   }
 
+  test("the gated q_gdelt_tsv_scan row engages filename pruning in-plan") {
+    // the oracle row (round 13) must actually exercise the planning-time
+    // file drop, or the gate proves parsing but not pruning: the events
+    // fixture spans ~30 days, the query's window keeps 15
+    val rows = graft.SparkEntry.queries("q_gdelt_tsv_scan")(spark, sf)
+      .collect()
+    assert(rows.length == 15, s"expected 15 day rows, got ${rows.length}")
+    assert(GdeltTsv.lastFilesPlanned == 15L,
+      s"expected 15 daily files planned, got ${GdeltTsv.lastFilesPlanned}")
+    assert(GdeltTsv.lastFilesPruned > 0L,
+      "the 15-day range must prune out-of-range daily files at planning")
+    graft.queries.ParityQueries.cleanupScratch()
+  }
+
   test("pushed IN-list and null-semantics match the residual filter") {
     val df = spark.read.format("gdelt-tsv").load(dir)
       .where(col("Day").isin("20130401", "20130403"))
