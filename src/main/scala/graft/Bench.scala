@@ -160,9 +160,17 @@ object Bench {
         else Int.MaxValue / 2
       }
     var evicted = List.empty[String]
+    var qIdx = 0
+    val qTotal = SparkEntry.queries
+      .count { case (name, _) => only.forall(_.contains(name)) }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // progress line BEFORE the query runs: when a run dies mid-suite
+        // (OOM, kill), the log names the query that was executing — the
+        // r13 sf1mut OOM was undiagnosable without this
+        qIdx += 1
+        System.err.println(s"[bench] $qIdx/$qTotal $name")
         once(name, fn) match { // warmup
           case Left(err) => errors += (name -> err)
           case Right(_) =>

@@ -77,16 +77,36 @@ object QueryCaches {
     if (max <= 0) 0.0 else math.max(0.0, 1.0 - rem / max)
   }
 
-  /** Evict aggressively when storage pressure crosses `highWater`: every
+  /** Live-heap fraction AFTER the last old-generation collection —
+    * used/max of the tenured pool's collectionUsage, the JVM's own
+    * "what actually survives GC" number. The storage metric alone
+    * missed the r13 sf1mut crash mode: cached memos sat safely below
+    * the storage high-water while EXECUTION buffers (window/join arrays
+    * are heap, not storage-pool, in local mode) pushed the old gen over
+    * the top — heap OOM with the valve closed. 0.0 when the pool or its
+    * collection usage isn't exposed (then storage + age rules alone). */
+  def heapAfterGcFraction(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP &&
+        p.getName.toLowerCase.contains("old"))
+      .flatMap(p => Option(p.getCollectionUsage))
+      .map(u => if (u.getMax > 0) u.getUsed.toDouble / u.getMax else 0.0)
+      .foldLeft(0.0)(math.max)
+  }
+
+  /** Evict aggressively when memory pressure crosses `highWater`: every
     * memo older than `keepYoung` ticks goes (the current family's newest
-    * memos survive, so the running query keeps its working set). Returns
-    * the released keys; Nil when the valve stays closed. `usedFraction`
-    * is injectable so specs can drive the pressure path without actually
-    * filling executor storage — the production reading is one standard
-    * SparkContext call. */
-  def evictOnPressure(s: SparkSession, highWater: Double = 0.75,
+    * memos survive, so the running query keeps its working set). The
+    * production signal is the WORSE of storage-pool use and live-heap
+    * after GC — either one near the top means the next fat window/join
+    * task allocates into a full heap. Returns the released keys; Nil
+    * when the valve stays closed. `usedFraction` is injectable so specs
+    * can drive the pressure path without actually filling memory. */
+  def evictOnPressure(s: SparkSession, highWater: Double = 0.70,
       keepYoung: Int = 3,
-      usedFraction: SparkSession => Double = storageUsedFraction)
+      usedFraction: SparkSession => Double =
+        sess => math.max(storageUsedFraction(sess), heapAfterGcFraction()))
       : Seq[String] =
     if (usedFraction(s) > highWater) evictStale(keepYoung) else Nil
 

@@ -62,9 +62,11 @@ class QueryCachesEvictionSpec extends SparkSpec {
     assert(released == Seq("press_old"), s"expected press_old, got $released")
     val n = memoNew(); assert(n eq memoNew(), "young memo must survive the valve")
     memoOld(); assert(builds == 2, "evicted memo rebuilds on demand")
-    // the production reading is sane on a live session
+    // both production readings are sane on a live JVM
     val f = QueryCaches.storageUsedFraction(spark)
     assert(f >= 0.0 && f <= 1.0, s"storage fraction out of range: $f")
+    val h = QueryCaches.heapAfterGcFraction()
+    assert(h >= 0.0 && h <= 1.0, s"heap-after-GC fraction out of range: $h")
     QueryCaches.clear()
   }
 }
