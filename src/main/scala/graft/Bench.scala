@@ -163,7 +163,15 @@ object Bench {
     var qIdx = 0
     val qTotal = SparkEntry.queries
       .count { case (name, _) => only.forall(_.contains(name)) }
-    SparkEntry.queries
+    // SORTED execution order, not Map order: the memo-lifetime discipline
+    // (tick/evictStale/evictOnPressure) assumes a family's queries run
+    // contiguously so its shared caches age out together. HashMap order
+    // is arbitrary and reshuffles whenever the key set changes — the r13
+    // sf1mut 8 GB OOM was exactly this: the tail interleaved q_sim_* and
+    // q_dedup_* queries, each touch kept the OTHER family's heavyweight
+    // memos young, and two families' caches stayed resident at once.
+    // Name order clusters families by prefix and is stable across rounds.
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         // progress line BEFORE the query runs: when a run dies mid-suite

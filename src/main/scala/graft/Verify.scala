@@ -44,7 +44,9 @@ object Verify {
       if (graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
           > cpus.toInt) 25
       else Int.MaxValue / 2
-    SparkEntry.queries
+    // sorted execution order — family-clustered memo locality, same
+    // rationale as Bench (the Map's order interleaves families)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
