@@ -29,6 +29,21 @@ object DataQualityQueries {
       val o = Tables.orders(s, d)
         .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .withColumn("odate", col("o_orderdate").cast("date"))
+      // min/max over the two STRING columns live in their own keyless
+      // side-aggregate: a string agg buffer is not mutable-fixed-size, so
+      // leaving them in the wide aggregate forced the WHOLE profiler —
+      // including the 7× Expand for the six distinct counts — through
+      // SortAggregate with a full 7-key sort of the expanded rows
+      // (plans/r13/q_eng_profile_before.txt). Split, the wide aggregate
+      // hash-aggregates; the side pass is a 2-column column-pruned scan
+      // folded without any sort (keyless SortAggregate has no Sort), and
+      // the two 1-row frames broadcast-crossJoin. Same 6-row output,
+      // bitwise. (opt r13, guide §2.3/§7.2)
+      val strAgg = o.agg(
+        min(col("o_orderstatus")).as("min_stat"),
+        max(col("o_orderstatus")).as("max_stat"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"))
       val agg = o.agg(
         count(lit(1)).as("n"),
         count(col("o_orderkey")).as("nn_okey"),
@@ -41,8 +56,6 @@ object DataQualityQueries {
         max(col("o_custkey")).cast("string").as("max_ckey"),
         count(col("o_orderstatus")).as("nn_stat"),
         countDistinct(col("o_orderstatus")).as("nd_stat"),
-        min(col("o_orderstatus")).as("min_stat"),
-        max(col("o_orderstatus")).as("max_stat"),
         count(col("cents")).as("nn_price"),
         countDistinct(col("cents")).as("nd_price"),
         min(col("cents")).cast("string").as("min_price"),
@@ -52,9 +65,8 @@ object DataQualityQueries {
         min(col("odate")).cast("string").as("min_date"),
         max(col("odate")).cast("string").as("max_date"),
         count(col("o_orderpriority")).as("nn_prio"),
-        countDistinct(col("o_orderpriority")).as("nd_prio"),
-        min(col("o_orderpriority")).as("min_prio"),
-        max(col("o_orderpriority")).as("max_prio"))
+        countDistinct(col("o_orderpriority")).as("nd_prio"))
+        .crossJoin(broadcast(strAgg))
       agg.selectExpr(
           """stack(6,
              'o_orderkey',      n - nn_okey,  nd_okey,  min_okey,  max_okey,

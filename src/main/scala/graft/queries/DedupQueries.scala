@@ -539,8 +539,10 @@ object DedupQueries {
     // cluster" policy actually applied after clustering; single struct-max
     // aggregate, no window/self-join
     "q_dedup_keep_best" -> ((s, d) => {
-      val clusters = Dedup.duplicateClusters(
-        minhashPairs(s, d), col("ida"), col("idb"))
+      // read the memoized cluster table (identical propagation) instead of
+      // re-running the iterative min-label contraction per invocation —
+      // same discipline as q_dedup_clusters (opt r13: 35 jobs → 3)
+      val clusters = textClusterTable(s, d)
       clusters
         .join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
         .groupBy("cluster_id")
@@ -599,7 +601,8 @@ object DedupQueries {
     // hard dedup that preserves rare-but-repeated content at reduced
     // mass. One left join of the corpus against the cached cluster table
     "q_dedup_soft_weights" -> ((s, d) => {
-      val fam = Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
+      // memoized cluster table — see q_dedup_keep_best (opt r13)
+      val fam = textClusterTable(s, d)
       val sizes = fam.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
       docs(s, d).select(col("doc_id"))
         .join(fam.join(sizes, "cluster_id").select("doc_id", "sz"),
@@ -614,7 +617,8 @@ object DedupQueries {
     // duplicated how deeply — the dedup report that sizes the win before
     // anyone deletes anything. One rollup over the cached cluster table
     "q_dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.duplicateClusters(minhashPairs(s, d), col("ida"), col("idb"))
+      // memoized cluster table — see q_dedup_keep_best (opt r13)
+      textClusterTable(s, d)
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .orderBy("sz")),

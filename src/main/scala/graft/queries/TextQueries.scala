@@ -216,14 +216,16 @@ object TextQueries {
     // against the fixture's ground-truth label — the quality-measurement
     // loop every heuristic filter needs
     "q_text_langid_eval" -> ((s, d) =>
-      docs(s, d).select(col("lang"), langId(col("text")).as("lang_pred"))
+      // staged scores (one filter() eval per profile per row; values
+      // identical to the inline langId) — opt r13, guide §4
+      withLangId(docs(s, d), col("text"), "lang_pred")
+        .select(col("lang"), col("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")),
 
     "q_text_langid" -> ((s, d) =>
-      docs(s, d).select(
-        col("doc_id"), col("lang"),
-        langId(col("text")).as("lang_pred"))
+      withLangId(docs(s, d), col("text"), "lang_pred")
+        .select(col("doc_id"), col("lang"), col("lang_pred"))
         .orderBy("doc_id")),
 
     // md5 + polynomial rolling-hash fingerprints
@@ -301,10 +303,11 @@ object TextQueries {
     }),
 
     "q_text_curate" -> ((s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
-        .withColumn("quality", qualityScore(col("text")))
-        .withColumn("pred", langId(col("text")))
+      val base = withLangId(
+        docs(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+          .withColumn("quality", qualityScore(col("text"))),
+        col("text"), "pred") // staged scores — opt r13, guide §4
       val surv = base.where(col("quality") >= 0.5 && col("pred") === col("lang"))
         .withColumn("fp", fingerprintMd5(col("text")))
       val kept = surv.withColumn("keep",

@@ -119,6 +119,39 @@ object TextFunctions {
     when(hasCjk, lit("zh")).otherwise(best)
   }
 
+  /** [[langId]] with each profile score evaluated ONCE per row: appends
+    * `out` to `df`, bitwise-identical values to `langId(text)`.
+    *
+    * Inline, the argmax when-chain references every profile score up to
+    * k times, and a Column reference is a full COPY of the expression
+    * tree — so the per-row cost is O(k²) evaluations of the non-codegen
+    * higher-order `filter` (plus as many re-splits of the text). Binding
+    * the token array and the k scores to their own columns in separate
+    * projections makes each evaluate once; CollapseProject keeps the
+    * stages apart exactly because the producers are non-cheap and
+    * multiply referenced. (opt r13, guide §4 — measured 2.59 s → see
+    * OPTIMIZATION_r13.md.) */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
+                 out: String): org.apache.spark.sql.DataFrame = {
+    val toksC = "__lid_toks"
+    val scoreC = LangProfiles.map { case (code, _) => s"__lid_$code" }
+    val staged = df.withColumn(toksC, tokens(lower(text)))
+      .withColumns(LangProfiles.map { case (code, words) =>
+        s"__lid_$code" -> countIn(col(toksC), words)
+      }.toMap)
+    val scores = LangProfiles.map { case (code, _) =>
+      code -> col(s"__lid_$code")
+    }
+    val hasCjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    val best = scores.foldRight(lit("und")) { case ((code, score), elseCol) =>
+      val laterScores = scores.dropWhile(_._1 != code).drop(1).map(_._2)
+      val isMax = laterScores.foldLeft(score > 0)((acc, s2) => acc && score >= s2)
+      when(isMax, lit(code)).otherwise(elseCol)
+    }
+    staged.withColumn(out, when(hasCjk, lit("zh")).otherwise(best))
+      .drop(toksC +: scoreC: _*)
+  }
+
   // --------------------------------------------------------- chunking
 
   /** Fixed-size token chunks with stride (overlap = chunkSize − stride) —
