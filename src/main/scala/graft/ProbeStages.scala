@@ -35,7 +35,7 @@ object ProbeStages {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    @volatile var stages = List.empty[(Int, Int, Long, Long)] // id, tasks, runMs, durMs
+    @volatile var stages = List.empty[(Int, Int, Long, Long, Long, Long)] // id, tasks, runMs, durMs, gcMs, cpuMs
     @volatile var jobs = 0
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
@@ -44,7 +44,8 @@ object ProbeStages {
         val dur = (for {s <- si.submissionTime; e <- si.completionTime}
           yield e - s).getOrElse(0L)
         stages ::= ((si.stageId, si.numTasks,
-          si.taskMetrics.executorRunTime, dur))
+          si.taskMetrics.executorRunTime, dur, si.taskMetrics.jvmGCTime,
+          si.taskMetrics.executorCpuTime / 1000000L))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -63,11 +64,13 @@ object ProbeStages {
         val nTasks = stages.map(_._2).sum
         val runMs = stages.map(_._3).sum
         val durMs = stages.map(_._4).sum
+        val gcMs = stages.map(_._5).sum
+        val cpuMs = stages.map(_._6).sum
         println(f"[probe] $name%-32s wall=$wall%6.3fs jobs=$jobs%3d " +
           f"stages=$nStages%3d tasks=$nTasks%5d taskRun=${runMs / 1000.0}%7.2fs " +
-          f"stageDur=${durMs / 1000.0}%7.2fs")
-        stages.sortBy(_._1).foreach { case (id, nt, rm, dm) =>
-          println(f"[probe]   stage $id%4d tasks=$nt%4d runMs=$rm%6d durMs=$dm%6d")
+          f"stageDur=${durMs / 1000.0}%7.2fs gc=${gcMs / 1000.0}%6.2fs cpu=${cpuMs / 1000.0}%7.2fs")
+        stages.sortBy(_._1).foreach { case (id, nt, rm, dm, gm, cm) =>
+          println(f"[probe]   stage $id%4d tasks=$nt%4d runMs=$rm%6d durMs=$dm%6d gcMs=$gm%5d cpuMs=$cm%6d")
         }
         graft.queries.QueryCaches.tick()
       }

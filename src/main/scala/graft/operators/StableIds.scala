@@ -16,19 +16,47 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 object StableIds {
 
   /** Append a dense 0-based `id` column following `orderCols` order.
-    * Requires a unique ordering key for a deterministic assignment. */
+    * Requires a unique ordering key for a deterministic assignment.
+    *
+    * Plan-native zipWithIndex (opt r13, guide §4): the previous
+    * implementation dropped to `sorted.rdd.zipWithIndex()` +
+    * `createDataFrame(Row…)`, which (a) converts every row
+    * InternalRow → external Row → InternalRow outside codegen, (b) runs
+    * zipWithIndex's extra counting job plus a full recompute of the sort
+    * for the value pass, and (c) leaves the downstream plan opaque to
+    * column pruning. This version stays in the DataFrame engine: range
+    * partition + in-partition sort are materialized ONCE
+    * (localCheckpoint pins the partition layout, the same role the
+    * single pinned RDD played before), `monotonically_increasing_id()`
+    * supplies the in-partition index ((pid << 33) + idx — its documented
+    * construction), and the per-partition row counts (a partitions-sized
+    * aggregate) broadcast back as exclusive prefix offsets. Identical
+    * ids: range partitions are key-ordered and the in-partition sort is
+    * the same, so offset + idx reproduces the global sequence. The
+    * prefix-offset window runs over the bounded partition-count domain
+    * (one row per partition), never over data. */
   def assignIds(df: DataFrame, orderCols: Seq[Column],
                 idCol: String = "id"): DataFrame = {
     require(!df.columns.contains(idCol), s"column '$idCol' already exists")
-    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
+    val pidC = "__sid_pid"
+    val midC = "__sid_mid"
+    for (c <- Seq(pidC, midC))
+      require(!df.columns.contains(c), s"column '$c' is reserved")
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(idCol, LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rows, schema)
+      .withColumn(pidC, spark_partition_id())
+      .withColumn(midC, monotonically_increasing_id())
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(pidC)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy(pidC).agg(count(lit(1)).as("__sid_n"))
+      .select(col(pidC), coalesce(sum(col("__sid_n")).over(w), lit(0L))
+        .as("__sid_off"))
+    sorted.join(broadcast(offs), pidC)
+      .withColumn(idCol,
+        col(midC) - shiftleft(col(pidC).cast("long"), 33) + col("__sid_off"))
+      .drop(pidC, midC, "__sid_off")
   }
 
   /** 1-based global rank in `orderCols` order — the drop-in replacement for

@@ -1097,20 +1097,29 @@ object AnalyticsQueries {
       val ec = und.where(col("src") < col("dst"))
         .select(col("src").as("u"), col("dst").as("v"))
       val nodes = und.select(col("src").as("n")).distinct()
-      val undc = und.union(nodes.select(col("n"), col("n")))
+      // consumed once per label-prop round: materialize the self-loop
+      // union once instead of re-running the union + nodes-distinct per
+      // round (opt r13, guide §2.4)
+      val undc = und.union(nodes.select(col("n"), col("n"))).localCheckpoint()
       var lab = nodes.select(col("n"), col("n").as("lab"))
       for (_ <- 1 to 3) {
+        // lab is VERTEX-sized — broadcast it so the edge table never
+        // shuffles for the propagation join; each round costs ONE
+        // exchange (the partial-aggregated min-by-src), the same
+        // per-iteration shape PageRank.broadcastRanks pins. Web-scale
+        // vertex counts flip this to a shuffle join, as documented
+        // there. (opt r13, guide §3.1)
         lab = undc.as("g")
-          .join(lab.as("l"), col("g.dst") === col("l.n"))
+          .join(broadcast(lab.as("l")), col("g.dst") === col("l.n"))
           .groupBy(col("g.src").as("n"))
           .agg(min(col("l.lab")).as("lab"))
       }
       lab = lab.localCheckpoint() // consumed 3x below; truncate the lineage
       val mdf = ec.agg(count(lit(1)).as("m"))
       val win = ec
-        .join(lab.select(col("n").as("nu"), col("lab").as("lu")),
+        .join(broadcast(lab.select(col("n").as("nu"), col("lab").as("lu"))),
           col("u") === col("nu"))
-        .join(lab.select(col("n").as("nv"), col("lab").as("lv")),
+        .join(broadcast(lab.select(col("n").as("nv"), col("lab").as("lv"))),
           col("v") === col("nv"))
         .where(col("lu") === col("lv"))
         .agg(count(lit(1)).as("within_edges"))

@@ -1968,8 +1968,22 @@ object EngineQueries {
       val und = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+      // deg is VERTEX-sized (distinct parts — orders of magnitude below
+      // the edge/wedge tables it joins); the planner's post-aggregation
+      // size estimate is too pessimistic to broadcast it on its own, so
+      // un-hinted all three joins below went SortMergeJoin and shuffled
+      // the edge-sized lowHub and the wedge table (twice!) just to attach
+      // a degree column (plans/r13/q_eng_common_neighbors_before.txt: 6
+      // full map passes over the cached edge table, 66.8 s of task time).
+      // Broadcasting deg removes every big-side exchange except the two
+      // the algorithm fundamentally needs (the wedge-center shuffle —
+      // reused across both self-join sides — and the (x,y) count); same
+      // calculus as PageRank.broadcastRanks, and like there it flips to a
+      // shuffle join when vertices outgrow the broadcast cap at web
+      // scale. (opt r13, guide §2.4/§3.1)
+      val degB = broadcast(deg)
       val lowHub = und
-        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .join(degB.select(col("n").as("v"), col("deg").as("dv")), "v")
         .where(col("dv") <= 64)
         .select(col("u"), col("v"))
       val wedges = lowHub.as("a")
@@ -1978,8 +1992,8 @@ object EngineQueries {
         .agg(count(lit(1)).as("cn"))
         .where(col("cn") >= 2)
       wedges
-        .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
-        .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+        .join(degB.select(col("n").as("x"), col("deg").as("dx")), "x")
+        .join(degB.select(col("n").as("y"), col("deg").as("dy")), "y")
         .select(col("x"), col("y"), col("cn"),
           ppmWide(col("cn"), col("dx") + col("dy") - col("cn"))
             .as("jaccard_ppm"))

@@ -31,17 +31,23 @@ object EvalQueries {
   /** (o_orderkey, o_custkey, o_orderpriority, cents, label): one row per
     * order. Lineitem partial-aggregates to per-order labels BEFORE the join
     * shuffle, so the join moves (orderkey, 1-bit) pairs, never line items. */
-  private[queries] def scored(s: SparkSession, d: String): DataFrame = {
-    val ret = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("label"))
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
-        col("cents"), coalesce(col("label"), lit(0L)).as("label"))
-  }
+  private[queries] def scored(s: SparkSession, d: String): DataFrame =
+    // memoized (opt r13): 19 eval/stats queries consume this projection,
+    // and most reference it twice in one plan (totals + ranked pass), so
+    // un-memoized the lineitem partial-agg + orders join re-ran per
+    // reference per iteration. Same lifecycle discipline as the dedup
+    // signature memos (QueryCaches tick/evict; build cost ledgered).
+    QueryCaches.memo(s, d, "eval_scored") {
+      val ret = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("label"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("cents"), coalesce(col("label"), lit(0L)).as("label"))
+    }
 
   /** DuckDB twin of [[scored]]. */
   private[queries] val scoredSql =
