@@ -40,6 +40,18 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
           .toString)
+      // Let AQE plan cached-table materialization (default off only for
+      // output-partitioning compatibility): without it every QueryCaches
+      // memo is stored with whatever partition count its build stage
+      // happened to have (union of two 32-partition branches → 64 tiny
+      // cached partitions), and every downstream scan pays the per-task
+      // fixed cost × that count. With it, cached plans get the same
+      // coalesce-to-advisory-size discipline as every other exchange —
+      // guide §2.2 "fewer, larger partitions", applied to the cache.
+      // Measured (opt r13): q_text_textrank task time 50.7 s → 1.9 s,
+      // q_eng_modularity 59 s → 19 s, same results (oracle re-verified).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, parquet reader, shuffle + window

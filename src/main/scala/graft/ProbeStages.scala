@@ -31,6 +31,9 @@ object ProbeStages {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
           .toString)
+      // AQE for cached-plan materialization — rationale in Bench.scala
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     val spark = extra.foldLeft(spark0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

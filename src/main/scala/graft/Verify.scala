@@ -30,6 +30,9 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         graft.util.PartitionSizing.initialPartitions(sfDir, cpus.toInt)
           .toString)
+      // AQE for cached-plan materialization — rationale in Bench.scala
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -109,14 +109,22 @@ object Graph {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
     var e = edges
     for (_ <- 0 until rounds) {
+      // keep is NODE-sized and consumed by BOTH semi joins — materialize
+      // it once (un-checkpointed, each join re-ran the degree pass) and
+      // broadcast it so the edge table is filtered in place instead of
+      // being shuffled twice per round; web-scale vertex counts flip
+      // this to shuffle joins, as in PageRank.broadcastRanks
+      // (opt r13, guide §2.4/§3.1)
       val keep = e
         .select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select("n")
+        .localCheckpoint(false) // lazy: materializes inside the round's
+                                // edge-checkpoint job, not as its own action
       e = e
-        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "leftsemi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "leftsemi")
+        .join(broadcast(keep.withColumnRenamed("n", "u")), Seq("u"), "leftsemi")
+        .join(broadcast(keep.withColumnRenamed("n", "v")), Seq("v"), "leftsemi")
         .localCheckpoint()
     }
     e.select(explode(array(col("u"), col("v"))).as("n"))

@@ -89,7 +89,12 @@ object HeavyHitters {
       s"capacity ($capacity) must be >= k ($k) for exact recall")
     val spark = df.sparkSession
     import spark.implicits._
+    // consumed three times (Misra–Gries pass, total count, recount join):
+    // materialize the value projection once — the caller's value column is
+    // typically an expensive derivation (exploded bigrams), and each
+    // reference re-ran it (opt r13, guide §2.4)
     val vals = df.select(value.cast("string").as("v")).where(col("v").isNotNull)
+      .localCheckpoint()
     val candidates = vals.as[String]
       .select(MisraGries(capacity).toColumn.name("cand"))
       .select(explode(map_keys(col("cand"))).as("v"))

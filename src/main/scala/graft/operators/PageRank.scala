@@ -35,9 +35,15 @@ object PageRank {
                       broadcastRanks: Boolean = false,
                       checkpointEvery: Int = 0): DataFrame = {
     val e = edges.select(src.as("__src"), dst.as("__dst"))
+    // nodes/deg are VERTEX-sized and referenced once per iteration inside
+    // [[prepared]] — materialize them once instead of re-running the
+    // distinct/aggregate over the edge list per reference (opt r13; the
+    // cluster analogue is persisting the derived graph tables, exactly
+    // what the Scaladoc below tells prepared() callers to do)
     val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
+      .union(e.select(col("__dst").as("node"))).distinct().localCheckpoint()
     val deg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     prepared(nodes, deg, e, iters, scale, broadcastRanks, checkpointEvery)
   }
 

@@ -1057,17 +1057,25 @@ object AnalyticsQueries {
       import graft.functions.WideDiv.mulDivWide
       val e = copurchaseEdges(s, d).select(col("src"), col("dst"))
       def normPpm(df: DataFrame): DataFrame = {
-        val mx = df.agg(max(col("v")).as("mx"))
-        df.crossJoin(broadcast(mx))
+        // checkpoint the NODE-sized score frame BEFORE the max: computed
+        // over the raw lineage, the max aggregate re-executed the whole
+        // edge pass a second time per step (opt r13 — 6 edge passes → 3)
+        val base = df.localCheckpoint()
+        val mx = base.agg(max(col("v")).as("mx"))
+        base.crossJoin(broadcast(mx))
           .select(col("node"), mulDivWide(col("v"), lit(1000000L), col("mx")).as("p"))
-          .localCheckpoint()
       }
+      // score frames are VERTEX-sized: broadcast them so the edge table
+      // never shuffles for the per-step joins — one exchange per step
+      // (the node-keyed partial-aggregated sum), the PageRank
+      // broadcastRanks shape (opt r13, guide §3.1)
       val a1 = normPpm(e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("v")))
       val h1 = normPpm(
-        e.join(a1.select(col("node").as("n2"), col("p")), col("dst") === col("n2"))
+        e.join(broadcast(a1.select(col("node").as("n2"), col("p"))),
+            col("dst") === col("n2"))
           .groupBy(col("src").as("node")).agg(sum(col("p")).as("v")))
       val a2 = normPpm(
-        e.join(h1.select(col("node").as("n2"), col("p").as("hp")),
+        e.join(broadcast(h1.select(col("node").as("n2"), col("p").as("hp"))),
             col("src") === col("n2"))
           .groupBy(col("dst").as("node")).agg(sum(col("hp")).as("v")))
       a2.select(col("node"), col("p").as("auth_ppm"))

@@ -1122,9 +1122,13 @@ object TextQueries {
     // n-grams with df ≥ 2 joins back — broadcastable, the "hot set"
     // pattern that keeps the corpus side map-side at 100 TB
     "q_text_dup_ngrams" -> ((s, d) => {
+      // consumed by three branches (df set, per-doc totals, dup join) —
+      // materialize the tokenize+ngram+md5 explode once instead of
+      // re-deriving it per branch (opt r13, guide §2.4)
       val g = docs(s, d).select(col("doc_id"),
           explode(array_distinct(tokenNgrams(col("text"), 3))).as("ng"))
         .withColumn("ng", md5(col("ng")))
+        .localCheckpoint()
       val dupSet = g.groupBy("ng").agg(count(lit(1)).as("ndocs"))
         .where(col("ndocs") >= 2).select("ng")
       val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
