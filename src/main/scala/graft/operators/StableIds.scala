@@ -29,12 +29,11 @@ object StableIds {
     * (localCheckpoint pins the partition layout, the same role the
     * single pinned RDD played before), `monotonically_increasing_id()`
     * supplies the in-partition index ((pid << 33) + idx — its documented
-    * construction), and the per-partition row counts (a partitions-sized
-    * aggregate) broadcast back as exclusive prefix offsets. Identical
-    * ids: range partitions are key-ordered and the in-partition sort is
-    * the same, so offset + idx reproduces the global sequence. The
-    * prefix-offset window runs over the bounded partition-count domain
-    * (one row per partition), never over data. */
+    * construction), and the per-partition row counts (one long per
+    * partition, collected like the old stats pass) broadcast back as
+    * exclusive prefix offsets. Identical ids: range partitions are
+    * key-ordered and the in-partition sort is the same, so offset + idx
+    * reproduces the global sequence. */
   def assignIds(df: DataFrame, orderCols: Seq[Column],
                 idCol: String = "id"): DataFrame = {
     require(!df.columns.contains(idCol), s"column '$idCol' already exists")
@@ -48,12 +47,20 @@ object StableIds {
       .withColumn(pidC, spark_partition_id())
       .withColumn(midC, monotonically_increasing_id())
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(pidC)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offs = sorted.groupBy(pidC).agg(count(lit(1)).as("__sid_n"))
-      .select(col(pidC), coalesce(sum(col("__sid_n")).over(w), lit(0L))
-        .as("__sid_off"))
-    sorted.join(broadcast(offs), pidC)
+    // per-partition row counts to the driver — one long per partition,
+    // the same metadata round-trip the RDD form's stats pass made —
+    // then the exclusive prefix sums rejoin as a broadcast local
+    // relation (never a window: the no-global-window contract stays
+    // assertable on the plan)
+    val counts = sorted.groupBy(pidC).agg(count(lit(1)).as("__sid_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsDf = offs.toDF(pidC, "__sid_off")
+    sorted.join(broadcast(offsDf), pidC)
       .withColumn(idCol,
         col(midC) - shiftleft(col(pidC).cast("long"), 33) + col("__sid_off"))
       .drop(pidC, midC, "__sid_off")

@@ -29,13 +29,18 @@ object StarComponents {
   /** (doc_id, cluster_id) with cluster_id = min reachable node id; one
     * row per distinct node appearing in `pairs`. */
   def components(pairs: DataFrame, idaCol: Column, idbCol: Column): DataFrame = {
+    // lazy checkpoints (opt r13): each round's ONLY action is the
+    // convergence check — the checkpoint materializes inside it instead
+    // of as its own job (the eager form doubled the driver's job count,
+    // and at fixture scale the per-job latency dominated the round)
     val nodes = pairs.select(idaCol.as("id"))
-      .unionByName(pairs.select(idbCol.as("id"))).distinct().localCheckpoint()
+      .unionByName(pairs.select(idbCol.as("id"))).distinct()
+      .localCheckpoint(false)
 
     // undirected edge set, kept as (u, v) both ways for the star ops
     var edges = pairs.select(idaCol.as("u"), idbCol.as("v"))
       .where(col("u") =!= col("v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def bothWays(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
@@ -52,8 +57,12 @@ object StarComponents {
     }
 
     def smallStar(e: DataFrame): DataFrame = {
-      // operate on edges directed to the smaller endpoint: v <= u
-      val dir = bothWays(e).where(col("v") < col("u"))
+      // operate on edges directed to the smaller endpoint: v <= u.
+      // (greatest, least) + distinct IS bothWays(e).where(v < u) for a
+      // self-loop-free e — one distinct over |e| instead of a union +
+      // distinct over 2|e| (opt r13, guide §2.3)
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
       val m = dir.groupBy("u").agg(min(col("v")).as("m"))
       val reattached = dir.join(m, "u")
         .select(col("v").as("u"), col("m").as("v"))
@@ -67,7 +76,7 @@ object StarComponents {
     var guard = 0
     val maxRounds = 64 // far above log²(n) for any 64-bit id space
     while (changed && guard < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // true symmetric difference — a strict subset (edges collapsing
       // into the star forest) must still count as change. Both sides are
       // distinct() outputs, so a signed-count groupBy is an exact set

@@ -1079,7 +1079,7 @@ object AnalyticsQueries {
             col("src") === col("n2"))
           .groupBy(col("dst").as("node")).agg(sum(col("hp")).as("v")))
       a2.select(col("node"), col("p").as("auth_ppm"))
-        .join(h1.select(col("node").as("n3"), col("p").as("hub_ppm")),
+        .join(broadcast(h1.select(col("node").as("n3"), col("p").as("hub_ppm"))),
           col("node") === col("n3"))
         .select(col("node").as("part_id"), col("auth_ppm"), col("hub_ppm"))
         .orderBy(col("auth_ppm").desc, col("part_id"))

@@ -243,9 +243,13 @@ object EngineQueries {
     // per-order self-join (bounded by basket size, not corpus), counts
     // partial-aggregate on the pair key
     "q_eng_basket_pairs" -> ((s, d) => {
+      // op is consumed four times (both self-join sides, part counts,
+      // order count): materialize the distinct once instead of re-running
+      // the lineitem scan + distinct per reference (opt r13, guide §2.4)
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint()
       val pairs = op.as("a")
         .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
@@ -253,9 +257,11 @@ object EngineQueries {
         .where(col("support") >= 3)
       val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
       val nOrders = op.select(col("o")).distinct().agg(count(lit(1)).as("n"))
+      // cnt is part-sized: broadcast, so the pair table is not shuffled
+      // twice just to attach the marginals (opt r13, guide §3.1)
       pairs
-        .join(cnt.select(col("p").as("pa"), col("c").as("ca")), "pa")
-        .join(cnt.select(col("p").as("pb"), col("c").as("cb")), "pb")
+        .join(broadcast(cnt.select(col("p").as("pa"), col("c").as("ca"))), "pa")
+        .join(broadcast(cnt.select(col("p").as("pb"), col("c").as("cb"))), "pb")
         .crossJoin(broadcast(nOrders))
         // support*n and ca*cb are products of row counts — n² territory at
         // scale; both sides of the division run 128-bit wide
@@ -373,9 +379,14 @@ object EngineQueries {
             .cast("long").as("d0"),
           (datediff(col("l_shipdate"), to_date(lit("1995-01-01")))
             .cast("long") + 1).as("d1"))
-      val ev = iv.select(col("supp"), col("d0").as("day"), lit(1L).as("delta"))
-        .unionByName(iv.select(col("supp"), col("d1").as("day"),
-          lit(-1L).as("delta")))
+      // single-pass event generation (opt r13, guide §2.4): the union of
+      // two projections re-ran the lineitem⋈orders join once per branch;
+      // exploding a 2-element (day, delta) array emits the same rows in
+      // ONE pass over the join
+      val ev = iv.select(col("supp"), explode(array(
+          struct(col("d0").as("day"), lit(1L).as("delta")),
+          struct(col("d1").as("day"), lit(-1L).as("delta")))).as("e"))
+        .select(col("supp"), col("e.day").as("day"), col("e.delta").as("delta"))
         .groupBy(col("supp"), col("day")).agg(sum(col("delta")).as("delta"))
       val w = Window.partitionBy(col("supp")).orderBy(col("day"))
       ev.withColumn("open", sum(col("delta")).over(w))
@@ -980,14 +991,43 @@ object EngineQueries {
         .orderBy("l_returnflag")),
 
     // CUBE grouping sets: counts + exact money sums at every combination
-    // of (returnflag, linestatus) including both marginals and the total
-    "q_eng_cube" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          moneySum(col("l_extendedprice")).as("revenue"))
+    // of (returnflag, linestatus) including both marginals and the total.
+    // Derived-marginal form (opt r13, guide §2.3 "aggregate before you
+    // shuffle"): the built-in cube's Expand multiplies the corpus-sized
+    // scan output 4× BEFORE any aggregation; instead aggregate once to
+    // the tiny (flag × status) cell table and re-aggregate THAT for the
+    // marginals/total — count and the DECIMAL money sum are associative
+    // and exact, and the double conversion happens once at the end, so
+    // every value is bit-identical to the cube (oracle re-proven).
+    "q_eng_cube" -> ((s, d) => {
+      import graft.functions.WideDiv.decSumToDouble
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev0"))
+        .localCheckpoint(false) // cell-table-sized; consumed 4×
+      val nullS = lit(null).cast("string")
+      val cell = cells.select(col("l_returnflag"), col("l_linestatus"),
+        col("n0").as("n"), decSumToDouble(col("rev0")).as("revenue"))
+      val mF = cells.groupBy(col("l_returnflag"))
+        .agg(sum(col("n0")).as("n"),
+          decSumToDouble(sum(col("rev0"))).as("revenue"))
+        .select(col("l_returnflag"), nullS.as("l_linestatus"),
+          col("n"), col("revenue"))
+      val mS = cells.groupBy(col("l_linestatus"))
+        .agg(sum(col("n0")).as("n"),
+          decSumToDouble(sum(col("rev0"))).as("revenue"))
+        .select(nullS.as("l_returnflag"), col("l_linestatus"),
+          col("n"), col("revenue"))
+      val tot = cells
+        .agg(sum(col("n0")).as("n"),
+          decSumToDouble(sum(col("rev0"))).as("revenue"))
+        .select(nullS.as("l_returnflag"), nullS.as("l_linestatus"),
+          col("n"), col("revenue"))
+      cell.unionByName(mF).unionByName(mS).unionByName(tot)
         .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)),
+          col("l_linestatus").asc_nulls_first)
+    }),
 
     // semi-structured extraction: parse the JSON props column with
     // Spark's JSON path (codegen'd get_json_object — no UDF) and
@@ -2000,8 +2040,12 @@ object EngineQueries {
           .select(col("a.p").as("pu"), col("b.p").as("pv"))
         graft.operators.Graph.canonicalEdges(edges, "pu", "pv")
       }
-      val und = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
+      // one cached-table pass per reference instead of two union branches
+      // (opt r13, guide §2.4 — same explode trick as interval_coverage)
+      val und = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
       val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
       // deg is VERTEX-sized (distinct parts — orders of magnitude below
       // the edge/wedge tables it joins); the planner's post-aggregation
