@@ -602,8 +602,13 @@ object TextQueries {
     // passes on one doc_id shuffle), then the df-capped pair join
     // discipline of the dedup family
     "q_text_winnow_pairs" -> ((s, d) => {
+      // fingerprints are consumed three times (df table + both self-join
+      // sides): materialize the two-window-pass derivation once; the hot
+      // set is tiny and broadcasts so the anti-join never shuffles the
+      // fingerprint table (opt r13, guide §2.4/§3.1)
       val fps = graft.text.Winnowing.fingerprints(postings(s, d),
         col("doc_id"), col("pos"), col("tok"), k = 3, w = 4)
+        .localCheckpoint()
       // corpus-relative hot-fingerprint cap (0.2% of docs, floored at 8):
       // the absolute df > 8 cut went vacuous at sf1 — every fingerprint's
       // df ≥ 10 under the verbatim 10× fixture, so all were excluded
@@ -612,7 +617,7 @@ object TextQueries {
       val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .where(col("df") > greatest(lit(8L), expr("n DIV 500"))).select("fp")
-      val kept = fps.join(hot, Seq("fp"), "left_anti")
+      val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
       kept.as("a").join(kept.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
