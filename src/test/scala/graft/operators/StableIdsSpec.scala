@@ -31,6 +31,21 @@ class StableIdsSpec extends SparkSpec {
       StableIds.assignIds(ev.withColumn("id", lit(1)), Seq($"event_id")))
   }
 
+  test("assignIds matches row_number() window semantics (desc + tiebreak)") {
+    // focused pin for the opt-r13 plan-native rewrite (mid/pid offsets
+    // instead of RDD zipWithIndex): exact equality with the window
+    // formulation on a composite DESC ordering — the calibration family's
+    // actual key shape
+    import org.apache.spark.sql.expressions.Window
+    val df = ev.select($"event_id", ($"event_id" % 97).as("k"))
+    val got = StableIds.withRank(df, Seq($"k".desc, $"event_id"), "rk")
+      .select("event_id", "rk").as[(Long, Long)].collect().toSet
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy($"k".desc, $"event_id")).cast("long"))
+      .select("event_id", "rk").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("rankAndCumSums matches the window formulation for every value col") {
     import org.apache.spark.sql.expressions.Window
     val df = ev.select($"event_id",

@@ -46,6 +46,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String]("xyzzy plugh", TextFunctions.langId) == "und")
   }
 
+  test("withLangId equals the inline langId on the whole fixture corpus") {
+    // focused pin for the opt-r13 staged-score rewrite: the staged form
+    // must be bitwise the inline expression, document by document
+    val docs = graft.Tables.documents(spark, sf)
+    val diff = TextFunctions.withLangId(docs, col("text"), "staged")
+      .withColumn("inline", TextFunctions.langId(col("text")))
+      .where(col("staged") =!= col("inline") ||
+        col("staged").isNull =!= col("inline").isNull)
+      .count()
+    assert(diff == 0)
+  }
+
   test("chunkTokens: stride windows, short last chunk, short/empty docs") {
     def chunks(t: String, size: Int, stride: Int): Seq[String] =
       Seq(t).toDF("t").select(TextFunctions.chunkTokens(col("t"), size, stride).as("c"))
