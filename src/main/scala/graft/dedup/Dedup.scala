@@ -150,10 +150,17 @@ object Dedup {
       .where(col("ub").cast("double") >=
         lit(minJaccard) * (col("na") + col("nb") - col("ub")).cast("double"))
       .select("ida", "idb")
+    // verify side sorts each doc's hash array ONCE (docs-sized work) so the
+    // per-PAIR exact intersection is an allocation-free merge count instead
+    // of array_intersect's per-row hash set + materialized array — pairs
+    // outnumber docs, so the trade is strictly favorable (opt r13, guide §4;
+    // value-identical on distinct arrays, IntersectExpressionsSpec)
+    val sortedBase = base.select(col("id"), array_sort(col("hs")).as("hs"))
     pruned
-      .join(base.select(col("id").as("ida"), col("hs").as("ha")), "ida")
-      .join(base.select(col("id").as("idb"), col("hs").as("hb")), "idb")
-      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .join(sortedBase.select(col("id").as("ida"), col("hs").as("ha")), "ida")
+      .join(sortedBase.select(col("id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("shared", graft.functions.IntersectExpressions
+        .sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jac", col("shared").cast("double") /
         (size(col("ha")).cast("double") + size(col("hb")).cast("double") -
           col("shared").cast("double")))

@@ -74,11 +74,19 @@ object Graph {
     * broadcasts it while it fits; at web scale they degrade gracefully
     * to shuffle joins on s / t). */
   def countOriented(dir: DataFrame, e: DataFrame): DataFrame = {
-    val adj = dir.groupBy(col("s")).agg(collect_list(col("t")).as("nbrs"))
+    // adjacency lists sorted ONCE per vertex so the per-edge intersection
+    // is an allocation-free merge count instead of array_intersect's
+    // per-row hash set + materialized array (opt r13, guide §4 — same
+    // values: out-neighbor sets are distinct by construction, and the
+    // merge count over sorted distinct arrays equals
+    // size(array_intersect), spec-pinned in IntersectExpressionsSpec)
+    val adj = dir.groupBy(col("s"))
+      .agg(array_sort(collect_list(col("t"))).as("nbrs"))
     val tri = dir
       .join(adj.select(col("s"), col("nbrs").as("na")), "s")
       .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), "t")
-      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L))
+      .agg(coalesce(sum(graft.functions.IntersectExpressions
+          .sortedIntersectCount(col("na"), col("nb"))), lit(0L))
         .cast("long").as("n_triangles"))
     val nNodes = e
       .select(explode(array(col("u"), col("v"))).as("n"))
