@@ -24,9 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `sort_array`-free `array_sort(collect_list(..))` over distinct inputs,
   * produces. A null element (at most one per distinct array, in the final
   * slot under array_sort order) counts iff both sides carry one, matching
-  * array_intersect's null semantics; a null ARRAY propagates null. The
-  * equivalence is spec-pinned against array_intersect on randomized
-  * inputs (IntersectExpressionsSpec).
+  * array_intersect's null semantics; a null ARRAY propagates null. Under
+  * the distinct contract the null can only sit in the last slot, so it is
+  * stripped up front (and counted iff both sides carry one) and the merge
+  * loop itself is null-check-free. On inputs VIOLATING the distinct
+  * precondition the count diverges from array_intersect (the merge counts
+  * min-multiplicity, e.g. [5,5]∩[5,5] → 2 vs array_intersect's 1) — both
+  * call sites' distinctness is pinned alongside the randomized equivalence
+  * in IntersectExpressionsSpec.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,24 +55,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val na = x.numElements()
-    val nb = y.numElements()
+    var na = x.numElements()
+    var nb = y.numElements()
+    // distinct + nulls-last ⇒ at most one null per array, in the final
+    // slot: strip it up front (counted iff BOTH sides carry one — the
+    // array_intersect rule) so the merge loop is null-check-free. The old
+    // in-loop break dropped a shared null unless both pointers reached
+    // their nulls simultaneously (ADVICE r13).
+    val xNull = na > 0 && x.isNullAt(na - 1)
+    val yNull = nb > 0 && y.isNullAt(nb - 1)
+    if (xNull) na -= 1
+    if (yNull) nb -= 1
     var i = 0
     var j = 0
-    var c = 0L
-    var done = false
-    while (!done && i < na && j < nb) {
-      val xn = x.isNullAt(i)
-      val yn = y.isNullAt(j)
-      if (xn && yn) { c += 1L; done = true }      // both sides' single null
-      else if (xn || yn) done = true              // one side exhausted to null
-      else {
-        val av = x.getLong(i)
-        val bv = y.getLong(j)
-        if (av < bv) i += 1
-        else if (av > bv) j += 1
-        else { c += 1L; i += 1; j += 1 }
-      }
+    var c = if (xNull && yNull) 1L else 0L
+    while (i < na && j < nb) {
+      val av = x.getLong(i)
+      val bv = y.getLong(j)
+      if (av < bv) i += 1
+      else if (av > bv) j += 1
+      else { c += 1L; i += 1; j += 1 }
     }
     c
   }
@@ -81,15 +88,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val av = ctx.freshName("av")
       val bv = ctx.freshName("bv")
+      val xNull = ctx.freshName("xNull")
+      val yNull = ctx.freshName("yNull")
+      // same strip-the-trailing-null-then-merge shape as nullSafeEval —
+      // the two paths are randomized-parity-pinned (IntersectExpressionsSpec)
       s"""
          |int $na = $x.numElements();
          |int $nb = $y.numElements();
-         |int $i = 0; int $j = 0; long $c = 0L;
+         |boolean $xNull = $na > 0 && $x.isNullAt($na - 1);
+         |boolean $yNull = $nb > 0 && $y.isNullAt($nb - 1);
+         |if ($xNull) $na--;
+         |if ($yNull) $nb--;
+         |int $i = 0; int $j = 0;
+         |long $c = ($xNull && $yNull) ? 1L : 0L;
          |while ($i < $na && $j < $nb) {
-         |  boolean ${i}_n = $x.isNullAt($i);
-         |  boolean ${j}_n = $y.isNullAt($j);
-         |  if (${i}_n && ${j}_n) { $c++; break; }
-         |  if (${i}_n || ${j}_n) break;
          |  long $av = $x.getLong($i);
          |  long $bv = $y.getLong($j);
          |  if ($av < $bv) $i++;

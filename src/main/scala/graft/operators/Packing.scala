@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Contiguous sequence packing — assign documents to fixed token-budget
   * bins (pretraining batch assembly; builder-prompt extension surface).
@@ -46,7 +46,12 @@ object Packing {
     // ArrayIndexOutOfBounds at sf1. Converting to an RDD once pins the
     // partition count and range cuts; pass 2 then reuses pass 1's shuffle
     // files rather than re-shuffling.
-    val rdd = sorted.rdd
+    //
+    // InternalRow level (opt r14, guide §4 / VERDICT r13 #4): `.rdd`
+    // deserialized every row to an external Row in both passes; `toRdd`
+    // reads the unsafe rows in place, and the value pass appends the bin
+    // via a JoinedRow the downstream scan node projects to unsafe format.
+    val rdd = sorted.queryExecution.toRdd
     // pass 1: per-partition token totals → exclusive partition offsets
     val totals = rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -60,12 +65,18 @@ object Packing {
       StructField(binCol, LongType, nullable = false))
     val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = offsets(pid)
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       it.map { r =>
-        val bin = run / budget
+        extra.update(0, run / budget)
         run += r.getLong(tokIdx)
-        Row.fromSeq(r.toSeq :+ bin)
+        // safe to reuse r/extra: the scan node's per-row unsafe projection
+        // copies before this iterator advances (row-at-a-time pipeline)
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(rows, outSchema).drop(tok)
+    org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(spark, rows, outSchema)
+      .drop(tok)
   }
 }

@@ -59,8 +59,13 @@ object PageRank {
     * graph: 10⁹ vs 10¹¹). When the per-iteration rank frame fits in a
     * broadcast, the edge side NEVER shuffles for the contribution join —
     * each iteration drops to one exchange (the dst-keyed sum). Leave false
-    * when vertices are too many to broadcast; the hash-join path then
-    * co-locates on src.
+    * when the contribution join already co-locates on src. `true` is
+    * size-GATED, not a bare hint: one count of `nodes` (cheap — callers
+    * materialize it per the contract above) decides; past
+    * BroadcastGate.CeilingRows every iteration falls back to the plain
+    * join, because a hinted broadcast of a too-big rank frame would ride
+    * into the 8 GB broadcast hard limit instead of degrading (opt r14,
+    * VERDICT r13 #2).
     *
     * `checkpointEvery` (opt-in, 0 = off): `localCheckpoint` the rank frame
     * every N iterations. Unrolled iterations double the logical plan per
@@ -74,6 +79,11 @@ object PageRank {
                broadcastRanks: Boolean = false,
                checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // the broadcast flag is honored only while the vertex count fits the
+    // gate ceiling — the rank frame has exactly |nodes| rows per
+    // iteration, so one count decides every iteration's attach
+    val bcRanks = broadcastRanks &&
+      nodes.count() <= graft.util.BroadcastGate.CeilingRows
     // every node with out-edges has deg >= 1; dangling nodes are absent
     // from `deg` and contribute nothing. The node count enters as a lazy
     // broadcast scalar — no driver-side action
@@ -85,7 +95,7 @@ object PageRank {
     for (it <- 1 to iters) {
       val contrib0 = ranks.join(deg, "node")
         .select(col("node"), expr("pr div deg").as("c"))
-      val contrib = if (broadcastRanks) broadcast(contrib0) else contrib0
+      val contrib = if (bcRanks) broadcast(contrib0) else contrib0
       val sums = e.join(contrib, e("__src") === contrib("node"))
         .groupBy(col("__dst").as("node")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(sums, Seq("node"), "left")

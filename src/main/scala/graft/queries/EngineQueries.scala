@@ -255,13 +255,21 @@ object EngineQueries {
         .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= 3)
+      // cnt is part-sized and consumed twice: materialize it once (the
+      // gate's count is the lazy checkpoint's materializing action) and
+      // attach it gated — broadcast under the row ceiling so the pair
+      // table is not shuffled twice just for the marginals (opt r13,
+      // guide §3.1), shuffle_hash past it instead of riding a bare hint
+      // into the broadcast hard limit (opt r14, VERDICT r13 #2)
       val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val nParts = cnt.count()
       val nOrders = op.select(col("o")).distinct().agg(count(lit(1)).as("n"))
-      // cnt is part-sized: broadcast, so the pair table is not shuffled
-      // twice just to attach the marginals (opt r13, guide §3.1)
       pairs
-        .join(broadcast(cnt.select(col("p").as("pa"), col("c").as("ca"))), "pa")
-        .join(broadcast(cnt.select(col("p").as("pb"), col("c").as("cb"))), "pb")
+        .join(graft.util.BroadcastGate(
+          cnt.select(col("p").as("pa"), col("c").as("ca")), nParts), "pa")
+        .join(graft.util.BroadcastGate(
+          cnt.select(col("p").as("pb"), col("c").as("cb")), nParts), "pb")
         .crossJoin(broadcast(nOrders))
         // support*n and ca*cb are products of row counts — n² territory at
         // scale; both sides of the division run 128-bit wide
@@ -2046,7 +2054,6 @@ object EngineQueries {
           struct(col("u"), col("v")),
           struct(col("v").as("u"), col("u").as("v")))).as("p"))
         .select(col("p.u").as("u"), col("p.v").as("v"))
-      val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
       // deg is VERTEX-sized (distinct parts — orders of magnitude below
       // the edge/wedge tables it joins); the planner's post-aggregation
       // size estimate is too pessimistic to broadcast it on its own, so
@@ -2056,11 +2063,19 @@ object EngineQueries {
       // full map passes over the cached edge table, 66.8 s of task time).
       // Broadcasting deg removes every big-side exchange except the two
       // the algorithm fundamentally needs (the wedge-center shuffle —
-      // reused across both self-join sides — and the (x,y) count); same
-      // calculus as PageRank.broadcastRanks, and like there it flips to a
-      // shuffle join when vertices outgrow the broadcast cap at web
-      // scale. (opt r13, guide §2.4/§3.1)
-      val degB = broadcast(deg)
+      // reused across both self-join sides — and the (x,y) count).
+      // BroadcastGate, not a bare hint: past the row ceiling the hint
+      // flips to shuffle_hash instead of riding the hint into the 8 GB
+      // broadcast hard limit (opt r14, VERDICT r13 #2). The gate counts
+      // the UN-materialized aggregate — one extra vertex-sized agg pass,
+      // the same "small side scanned twice" price guide §3.2 accepts —
+      // because checkpointing deg here would plan its references as
+      // RDD scans, which do not canonicalize equal across the two lowHub
+      // self-join sides and so BREAK the wedge-center exchange reuse
+      // (measured: 2 → 3 static exchanges, the edge table shuffled twice)
+      // (opt r13/r14, guide §2.4/§3.1)
+      val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+      val degB = graft.util.BroadcastGate.counted(deg)
       val lowHub = und
         .join(degB.select(col("n").as("v"), col("deg").as("dv")), "v")
         .where(col("dv") <= 64)

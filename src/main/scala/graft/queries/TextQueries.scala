@@ -614,10 +614,17 @@ object TextQueries {
       // df ≥ 10 under the verbatim 10× fixture, so all were excluded
       // (same class as the dedup MaxDf scale bug, same fix)
       val n = docs(s, d).agg(count(lit(1)).as("n"))
+      // hot is a data-scaled aggregate (top ~0.2% of the fingerprint
+      // vocabulary): gate the anti-join's broadcast on its measured row
+      // count — shuffle_hash past the ceiling instead of riding a bare
+      // hint into the broadcast hard limit (opt r14, VERDICT r13 #2);
+      // the gate's count materializes the lazy checkpoint
       val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .where(col("df") > greatest(lit(8L), expr("n DIV 500"))).select("fp")
-      val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+        .localCheckpoint(false)
+      val kept = fps.join(graft.util.BroadcastGate.counted(hot),
+        Seq("fp"), "left_anti")
       kept.as("a").join(kept.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
