@@ -52,6 +52,18 @@ object Bench {
       // q_eng_modularity 59 s → 19 s, same results (oracle re-verified).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // Let the planner pick shuffled-hash join where its size conditions
+      // hold (guide §3.1 and the §9 baseline config): sort-merge pays an
+      // O(n log n) sort on BOTH sides per join; a shuffled-hash join
+      // builds a hash table over the (size-checked) smaller per-partition
+      // side and streams the other. Unlike a SHUFFLE_HASH hint this is
+      // still planner-guarded — it only fires when one side is provably
+      // much smaller and a partition fits the build budget, so it cannot
+      // OOM-by-fiat at scale. Measured (opt r14, ProbeStages A/B):
+      // q_eng_waiting_supplier task time 10.4 s → 6.4 s, q_eng_triangles
+      // 31.1 s → 26.7 s, mann_whitney/span_removal −10-15%, rest neutral;
+      // oracle re-proved 347/347 under the flag.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, parquet reader, shuffle + window

@@ -33,6 +33,9 @@ object Plans {
       // AQE for cached-plan materialization — rationale in Bench.scala
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // allow shuffled-hash where its size conditions hold — rationale in
+      // Bench.scala (opt r14, guide §3.1/§9)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

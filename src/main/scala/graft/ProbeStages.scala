@@ -34,6 +34,9 @@ object ProbeStages {
       // AQE for cached-plan materialization — rationale in Bench.scala
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // allow shuffled-hash where its size conditions hold — rationale in
+      // Bench.scala (opt r14, guide §3.1/§9)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
     val spark = extra.foldLeft(spark0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -245,11 +245,17 @@ object EngineQueries {
     "q_eng_basket_pairs" -> ((s, d) => {
       // op is consumed four times (both self-join sides, part counts,
       // order count): materialize the distinct once instead of re-running
-      // the lineitem scan + distinct per reference (opt r13, guide §2.4)
+      // the lineitem scan + distinct per reference (opt r13, guide §2.4;
+      // A/B'd against exchange reuse alone — 11.2 s vs 9.6 s task time,
+      // reuse does not cover the cnt/nOrders actions). LAZY checkpoint
+      // (opt r14, VERDICT r13 #3): the eager form ran the materialization
+      // as its own blocking action inside every timed invocation; lazy
+      // folds it into the first consuming job (min-of-5 bench pair
+      // 2.69 s → 2.20 s, same task work)
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val pairs = op.as("a")
         .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))

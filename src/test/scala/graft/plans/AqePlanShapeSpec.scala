@@ -40,6 +40,9 @@ class AqePlanShapeSpec extends SparkSpec {
   private lazy val aqeSession: SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "true")
+    // mirror the Bench/Verify session's join preference (opt r14) — the
+    // final adaptive plans pinned here must describe the benched config
+    s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     s
   }
 

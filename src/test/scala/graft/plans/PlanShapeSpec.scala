@@ -35,10 +35,15 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   */
 class PlanShapeSpec extends SparkSpec {
 
-  // AQE off: assert on the static plan, not the runtime-replanned one
+  // AQE off: assert on the static plan, not the runtime-replanned one.
+  // preferSortMergeJoin=false mirrors the Bench/Verify session (opt r14)
+  // so the pinned shapes describe the benched configuration — exchange
+  // budgets are join-strategy-invariant (SMJ→SHJ swaps sorts for a hash
+  // build, never an exchange), so the audited counts carry over.
   private lazy val planSession: SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     s
   }
 
