@@ -80,7 +80,10 @@ class AqePlanShapeSpec extends SparkSpec {
     ("q_eng_target_encode", 3, Nil),
     ("q_sim_rrf_fusion", 11, Seq("n_chars")),
     ("q_eng_mcc_sweep", 5, Nil),
-    ("q_eng_waiting_supplier", 4, Nil),
+    // 4 -> 3 (opt r14): the returned-pairs distinct + join-back left the
+    // plan — one two-level aggregate (pair exchange + order exchange)
+    // plus the s_name count
+    ("q_eng_waiting_supplier", 3, Nil),
     // the bucketed-layout flagship: zero exchanges EVEN under AQE —
     // adaptive re-planning respects the catalog bucket distribution
     ("q_eng_bucketed_join", 0, Nil),

@@ -125,7 +125,10 @@ class PlanShapeSpec extends SparkSpec {
     ("q_eng_mcc_sweep", 5, Nil),
     // TPC-H-style waiting-supplier: lineitem semi/anti joins on
     // l_orderkey + per-supplier aggregate + output ordering
-    ("q_eng_waiting_supplier", 4, Nil)
+    // 4 -> 3 (opt r14): the returned-pairs distinct + join-back left the
+    // plan — one two-level aggregate (pair exchange + order exchange)
+    // plus the s_name count
+    ("q_eng_waiting_supplier", 3, Nil)
   )
 
   for ((name, budget, pruned) <- pins) {
