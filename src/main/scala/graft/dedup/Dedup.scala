@@ -124,8 +124,9 @@ object Dedup {
     * so they are dropped from the CANDIDATE stage only: a pair becomes a
     * candidate iff it shares at least one rare (df ≤ maxDf) shingle, which
     * bounds the join at O(Σ_{df≤τ} df²) ≤ O(τ · index size). Verification
-    * then computes `shared`/`jac` over the FULL hash sets via
-    * array_intersect, so every emitted pair carries the exact unfiltered
+    * then computes `shared`/`jac` over the FULL hash sets (sorted-merge
+    * count ≡ size(array_intersect) on the distinct arrays,
+    * IntersectExpressionsSpec), so every emitted pair carries the exact unfiltered
     * Jaccard — the cutoff affects recall only (pairs overlapping solely in
     * stop-shingles are missed; those are exactly the pairs MinHash-LSH
     * banding still catches, making [[lshCandidates]] the complementary
@@ -215,11 +216,16 @@ object Dedup {
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
+    // same verify trade as ngramJaccardPairs (opt r14): sort each doc's
+    // distinct hash array ONCE (docs-sized) so the per-PAIR intersection
+    // is the allocation-free merge count — value-identical to
+    // size(array_intersect) on distinct arrays (IntersectExpressionsSpec)
+    val sortedBase = base.select(col("id"), array_sort(col("hs")).as("hs"))
     cand
-      .join(base.select(col("id").as("ida"), col("hs").as("ha")), "ida")
-      .join(base.select(col("id").as("idb"), col("hs").as("hb")), "idb")
-      .withColumn("shared",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .join(sortedBase.select(col("id").as("ida"), col("hs").as("ha")), "ida")
+      .join(sortedBase.select(col("id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("shared", graft.functions.IntersectExpressions
+        .sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("na", size(col("ha")).cast("long"))
       .withColumn("nb", size(col("hb")).cast("long"))
       .where(col("shared") * lit(1000000L + tPpm) >=
@@ -273,10 +279,15 @@ object Dedup {
       .where(col("ub").cast("double") >=
         lit(minContainment) * least(col("na"), col("nb")).cast("double"))
       .select("ida", "idb")
+    // same verify trade as ngramJaccardPairs (opt r14): sorted-merge
+    // count over the once-sorted distinct hash arrays instead of
+    // array_intersect's per-pair hash set (IntersectExpressionsSpec)
+    val sortedBase = base.select(col("id"), array_sort(col("hs")).as("hs"))
     pruned
-      .join(base.select(col("id").as("ida"), col("hs").as("ha")), "ida")
-      .join(base.select(col("id").as("idb"), col("hs").as("hb")), "idb")
-      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .join(sortedBase.select(col("id").as("ida"), col("hs").as("ha")), "ida")
+      .join(sortedBase.select(col("id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("shared", graft.functions.IntersectExpressions
+        .sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("cont", col("shared").cast("double") /
         least(size(col("ha")), size(col("hb"))).cast("double"))
       .where(col("cont") >= minContainment)
